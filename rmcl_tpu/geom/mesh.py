@@ -1,0 +1,334 @@
+"""Triangle meshes: host-side container, file loaders, procedural generators.
+
+Replaces the reference's Assimp-based map import (``import_embree_map`` /
+``import_optix_map`` — reference micp_localization.cpp:187-195, rmagine
+AssimpIO, SURVEY.md §2.9). Host-side numpy; device upload happens when the
+BVH is built (rmcl_tpu.bvh).
+
+Supported file formats (self-contained parsers, no external deps):
+OBJ, ASCII/binary STL, ASCII PLY, OFF. Anything richer can be converted
+offline. Procedural generators mirror the synthetic benchmark geometry
+(parametric sphere — reference
+rmcl_ros/src/benchmarks/lidar_corrector_embree_benchmark.cpp:104-135).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+import struct
+from typing import Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class TriangleMesh:
+    """Host-side indexed triangle mesh.
+
+    vertices: (V, 3) float32
+    faces:    (F, 3) int32
+    """
+
+    vertices: np.ndarray
+    faces: np.ndarray
+    name: str = "mesh"
+
+    def __post_init__(self):
+        self.vertices = np.ascontiguousarray(self.vertices, dtype=np.float32)
+        self.faces = np.ascontiguousarray(self.faces, dtype=np.int32)
+        if self.vertices.ndim != 2 or self.vertices.shape[1] != 3:
+            raise ValueError(f"vertices must be (V,3), got {self.vertices.shape}")
+        if self.faces.ndim != 2 or self.faces.shape[1] != 3:
+            raise ValueError(f"faces must be (F,3), got {self.faces.shape}")
+
+    @property
+    def n_faces(self) -> int:
+        return int(self.faces.shape[0])
+
+    @property
+    def n_vertices(self) -> int:
+        return int(self.vertices.shape[0])
+
+    def triangles(self) -> np.ndarray:
+        """(F, 3, 3) expanded triangle vertices."""
+        return self.vertices[self.faces]
+
+    def face_normals(self, normalize: bool = True) -> np.ndarray:
+        tri = self.triangles()
+        n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+        if normalize:
+            length = np.linalg.norm(n, axis=1, keepdims=True)
+            n = n / np.maximum(length, 1e-20)
+        return n.astype(np.float32)
+
+    def face_areas(self) -> np.ndarray:
+        tri = self.triangles()
+        n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+        return (0.5 * np.linalg.norm(n, axis=1)).astype(np.float32)
+
+    def aabb(self) -> tuple[np.ndarray, np.ndarray]:
+        return self.vertices.min(0), self.vertices.max(0)
+
+    def transformed(self, matrix4: np.ndarray) -> "TriangleMesh":
+        v = self.vertices @ matrix4[:3, :3].T + matrix4[:3, 3]
+        return TriangleMesh(v, self.faces, self.name)
+
+    def concat(self, other: "TriangleMesh") -> "TriangleMesh":
+        return TriangleMesh(
+            np.concatenate([self.vertices, other.vertices]),
+            np.concatenate([self.faces, other.faces + self.n_vertices]),
+            self.name,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Loaders
+# ---------------------------------------------------------------------------
+
+
+def load_mesh(path: str) -> TriangleMesh:
+    """Load a mesh by file extension (.obj/.stl/.ply/.off)."""
+    ext = os.path.splitext(path)[1].lower()
+    loaders = {".obj": load_obj, ".stl": load_stl, ".ply": load_ply, ".off": load_off}
+    if ext not in loaders:
+        raise ValueError(f"unsupported mesh format '{ext}' (have {sorted(loaders)})")
+    mesh = loaders[ext](path)
+    mesh.name = os.path.basename(path)
+    return mesh
+
+
+def _fan_triangulate(idx: list[int]) -> list[list[int]]:
+    return [[idx[0], idx[i], idx[i + 1]] for i in range(1, len(idx) - 1)]
+
+
+def load_obj(path: str) -> TriangleMesh:
+    verts: list[list[float]] = []
+    faces: list[list[int]] = []
+    with open(path, "r") as f:
+        for line in f:
+            if line.startswith("v "):
+                parts = line.split()
+                verts.append([float(parts[1]), float(parts[2]), float(parts[3])])
+            elif line.startswith("f "):
+                idx = [int(tok.split("/")[0]) for tok in line.split()[1:]]
+                idx = [i - 1 if i > 0 else len(verts) + i for i in idx]
+                faces.extend(_fan_triangulate(idx))
+    return TriangleMesh(np.asarray(verts, np.float32), np.asarray(faces, np.int32))
+
+
+def load_stl(path: str) -> TriangleMesh:
+    with open(path, "rb") as f:
+        head = f.read(5)
+        f.seek(0)
+        if head == b"solid":
+            # could still be binary with a 'solid' header; try ascii first
+            try:
+                return _load_stl_ascii(path)
+            except Exception:
+                pass
+        return _load_stl_binary(f.read())
+
+
+def _load_stl_ascii(path: str) -> TriangleMesh:
+    tris = []
+    with open(path, "r") as f:
+        cur: list[list[float]] = []
+        for line in f:
+            line = line.strip()
+            if line.startswith("vertex"):
+                parts = line.split()
+                cur.append([float(parts[1]), float(parts[2]), float(parts[3])])
+                if len(cur) == 3:
+                    tris.append(cur)
+                    cur = []
+    if not tris:
+        raise ValueError("no triangles in ascii stl")
+    return _mesh_from_triangle_soup(np.asarray(tris, np.float32))
+
+
+def _load_stl_binary(data: bytes) -> TriangleMesh:
+    n = struct.unpack("<I", data[80:84])[0]
+    rec = np.frombuffer(data[84 : 84 + n * 50], dtype=np.uint8).reshape(n, 50)
+    floats = rec[:, :48].copy().view(np.float32).reshape(n, 4, 3)
+    return _mesh_from_triangle_soup(floats[:, 1:4])
+
+
+def _mesh_from_triangle_soup(tris: np.ndarray) -> TriangleMesh:
+    """De-duplicate vertices of a (T,3,3) triangle soup."""
+    flat = tris.reshape(-1, 3)
+    uniq, inverse = np.unique(flat.round(7), axis=0, return_inverse=True)
+    return TriangleMesh(uniq.astype(np.float32), inverse.reshape(-1, 3).astype(np.int32))
+
+
+def load_ply(path: str) -> TriangleMesh:
+    with open(path, "rb") as f:
+        data = f.read()
+    header_end = data.find(b"end_header\n") + len(b"end_header\n")
+    header = data[:header_end].decode("ascii", "replace")
+    lines = [ln.strip() for ln in header.splitlines()]
+    if "format ascii 1.0" not in header:
+        raise ValueError("only ascii PLY supported")
+    counts = {}
+    order = []
+    props: dict[str, int] = {}
+    cur = None
+    for ln in lines:
+        if ln.startswith("element"):
+            _, name, cnt = ln.split()
+            counts[name] = int(cnt)
+            order.append(name)
+            cur = name
+            props[name] = 0
+        elif ln.startswith("property") and cur == "vertex":
+            props[cur] += 1
+    body = data[header_end:].decode("ascii").split()
+    pos = 0
+    verts = None
+    faces: list[list[int]] = []
+    for name in order:
+        if name == "vertex":
+            k = props["vertex"]
+            vals = np.asarray(body[pos : pos + counts[name] * k], np.float32).reshape(
+                counts[name], k
+            )
+            verts = vals[:, :3]
+            pos += counts[name] * k
+        elif name == "face":
+            for _ in range(counts[name]):
+                k = int(body[pos])
+                idx = [int(x) for x in body[pos + 1 : pos + 1 + k]]
+                faces.extend(_fan_triangulate(idx))
+                pos += 1 + k
+    assert verts is not None
+    return TriangleMesh(verts, np.asarray(faces, np.int32))
+
+
+def load_off(path: str) -> TriangleMesh:
+    with open(path, "r") as f:
+        toks = f.read().split()
+    assert toks[0] == "OFF"
+    nv, nf = int(toks[1]), int(toks[2])
+    pos = 4
+    verts = np.asarray(toks[pos : pos + nv * 3], np.float32).reshape(nv, 3)
+    pos += nv * 3
+    faces: list[list[int]] = []
+    for _ in range(nf):
+        k = int(toks[pos])
+        idx = [int(x) for x in toks[pos + 1 : pos + 1 + k]]
+        faces.extend(_fan_triangulate(idx))
+        pos += 1 + k
+    return TriangleMesh(verts, np.asarray(faces, np.int32))
+
+
+def save_obj(mesh: TriangleMesh, path: str) -> None:
+    with open(path, "w") as f:
+        for v in mesh.vertices:
+            f.write(f"v {v[0]} {v[1]} {v[2]}\n")
+        for face in mesh.faces + 1:
+            f.write(f"f {face[0]} {face[1]} {face[2]}\n")
+
+
+# ---------------------------------------------------------------------------
+# Procedural meshes
+# ---------------------------------------------------------------------------
+
+
+def make_sphere(
+    n_lat: int = 100, n_lon: int = 100, radius: float = 1.0, center=(0.0, 0.0, 0.0)
+) -> TriangleMesh:
+    """UV sphere with ~2*n_lat*n_lon faces — the reference benchmark's
+    synthetic parametric sphere (lidar_corrector_embree_benchmark.cpp:104-135
+    sweeps the face count via this construction)."""
+    lat = np.linspace(0.0, np.pi, n_lat + 1)
+    lon = np.linspace(0.0, 2 * np.pi, n_lon, endpoint=False)
+    theta, phi = np.meshgrid(lat, lon, indexing="ij")
+    x = radius * np.sin(theta) * np.cos(phi)
+    y = radius * np.sin(theta) * np.sin(phi)
+    z = radius * np.cos(theta)
+    verts = np.stack([x, y, z], -1).reshape(-1, 3) + np.asarray(center, np.float32)
+
+    def vid(i, j):
+        return i * n_lon + (j % n_lon)
+
+    faces = []
+    for i in range(n_lat):
+        for j in range(n_lon):
+            a, b = vid(i, j), vid(i, j + 1)
+            c, d = vid(i + 1, j), vid(i + 1, j + 1)
+            if i > 0:
+                faces.append([a, c, b])
+            if i < n_lat - 1:
+                faces.append([b, c, d])
+    return TriangleMesh(verts.astype(np.float32), np.asarray(faces, np.int32), "sphere")
+
+
+def make_box(size=(1.0, 1.0, 1.0), center=(0.0, 0.0, 0.0), inward: bool = False) -> TriangleMesh:
+    """Axis-aligned box. ``inward=True`` flips winding so normals face the
+    interior — a room for indoor localization scenarios."""
+    sx, sy, sz = np.asarray(size, np.float32) * 0.5
+    cx, cy, cz = center
+    verts = np.asarray(
+        [
+            [cx - sx, cy - sy, cz - sz],
+            [cx + sx, cy - sy, cz - sz],
+            [cx + sx, cy + sy, cz - sz],
+            [cx - sx, cy + sy, cz - sz],
+            [cx - sx, cy - sy, cz + sz],
+            [cx + sx, cy - sy, cz + sz],
+            [cx + sx, cy + sy, cz + sz],
+            [cx - sx, cy + sy, cz + sz],
+        ],
+        np.float32,
+    )
+    quads = [
+        [0, 3, 2, 1],  # bottom (outward -z)
+        [4, 5, 6, 7],  # top
+        [0, 1, 5, 4],  # front
+        [2, 3, 7, 6],  # back
+        [1, 2, 6, 5],  # right
+        [3, 0, 4, 7],  # left
+    ]
+    faces = []
+    for q in quads:
+        faces.extend(_fan_triangulate(q))
+    faces = np.asarray(faces, np.int32)
+    if inward:
+        faces = faces[:, [0, 2, 1]]
+    return TriangleMesh(verts, faces, "box")
+
+
+def make_plane(size=(10.0, 10.0), center=(0.0, 0.0, 0.0), subdiv: int = 1) -> TriangleMesh:
+    """Z-up ground plane with optional subdivision."""
+    sx, sy = np.asarray(size, np.float32) * 0.5
+    xs = np.linspace(-sx, sx, subdiv + 1)
+    ys = np.linspace(-sy, sy, subdiv + 1)
+    gx, gy = np.meshgrid(xs, ys, indexing="ij")
+    verts = np.stack([gx, gy, np.zeros_like(gx)], -1).reshape(-1, 3) + np.asarray(
+        center, np.float32
+    )
+    faces = []
+    for i in range(subdiv):
+        for j in range(subdiv):
+            a = i * (subdiv + 1) + j
+            b = a + 1
+            c = a + subdiv + 1
+            d = c + 1
+            faces.append([a, c, b])
+            faces.append([b, c, d])
+    return TriangleMesh(verts.astype(np.float32), np.asarray(faces, np.int32), "plane")
+
+
+def make_room_scene(size=(10.0, 8.0, 3.0), n_pillars: int = 4, seed: int = 0) -> TriangleMesh:
+    """An inward-facing room with random box pillars — a richer test world
+    for localization than a bare sphere."""
+    rng = np.random.default_rng(seed)
+    mesh = make_box(size, (0, 0, size[2] / 2), inward=True)
+    for _ in range(n_pillars):
+        pos = rng.uniform([-size[0] / 2 + 1, -size[1] / 2 + 1], [size[0] / 2 - 1, size[1] / 2 - 1])
+        dims = rng.uniform(0.3, 1.0, 2)
+        h = rng.uniform(0.5, size[2])
+        pillar = make_box((dims[0], dims[1], h), (pos[0], pos[1], h / 2))
+        mesh = mesh.concat(pillar)
+    mesh.name = "room"
+    return mesh

@@ -1,0 +1,34 @@
+"""Test configuration: run all tests on a virtual 8-device CPU mesh.
+
+Must set the XLA flags BEFORE jax is imported anywhere. The real-TPU bench
+path is exercised by bench.py, not by the unit tests.
+"""
+
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8"
+    ).strip()
+
+import jax  # noqa: E402
+
+# The environment's TPU plugin ('axon') force-registers itself and overrides
+# JAX_PLATFORMS from the environment — the config update below is the only
+# reliable way to pin unit tests to the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(42)
+
+
+@pytest.fixture
+def key():
+    return jax.random.PRNGKey(0)
