@@ -1,15 +1,16 @@
-"""Host-side BVH construction (fully vectorized numpy LBVH).
+"""Host-side BVH construction (fully vectorized numpy LBVH, threaded layout).
 
 The reference delegates BVH builds to Embree/OptiX/Vulkan (one build per
 backend — SURVEY.md §3.5 "one Assimp parse + BVH build per backend"). Here
 the build is a linear BVH over Morton-sorted primitives with Karras-style
 highest-differing-bit splits, implemented with *no Python-level recursion*:
-the tree is expanded breadth-first with vectorized binary searches, so a
-10M-triangle build is a handful of numpy passes.
+the tree is expanded breadth-first with vectorized binary searches, then
+converted to the preorder-threaded slot layout (rmcl_tpu.bvh.types) with
+vectorized per-level passes — a 10M-triangle build is a handful of numpy
+sweeps.
 
 An optional C++ binned-SAH builder (rmcl_tpu/bvh/native) can replace this for
-higher tree quality; both emit the identical flattened slot layout
-(see rmcl_tpu.bvh.types).
+higher tree quality; both emit the identical flattened slot layout.
 """
 
 from __future__ import annotations
@@ -19,7 +20,7 @@ from typing import List, Optional, Tuple
 import jax.numpy as jnp
 import numpy as np
 
-from rmcl_tpu.bvh.types import BVH
+from rmcl_tpu.bvh.types import BVH, SENTINEL_LINK
 from rmcl_tpu.geom.mesh import TriangleMesh
 
 
@@ -55,7 +56,7 @@ def _highest_bit(x: np.ndarray) -> np.ndarray:
     return p
 
 
-def _vector_searchsorted(codes: np.ndarray, lo: np.ndarray, hi: np.ndarray, target: np.ndarray) -> np.ndarray:
+def _vector_searchsorted(codes, lo, hi, target):
     """For each i: first index in [lo_i, hi_i) with codes[idx] >= target_i.
     Vectorized binary search (all rows advance in lockstep)."""
     lo = lo.copy()
@@ -70,7 +71,7 @@ def _vector_searchsorted(codes: np.ndarray, lo: np.ndarray, hi: np.ndarray, targ
     return lo
 
 
-def _split_ranges(codes: np.ndarray, lo: np.ndarray, hi: np.ndarray) -> np.ndarray:
+def _split_ranges(codes, lo, hi):
     """Karras split: for each range [lo, hi) (size >= 2) over sorted codes,
     return split s with lo < s < hi at the highest differing Morton bit
     (midpoint for duplicate-code runs)."""
@@ -94,7 +95,7 @@ def build_bvh(
     inst_ids: Optional[np.ndarray] = None,
     as_numpy: bool = False,
 ) -> BVH:
-    """Build the flattened slot BVH for a triangle mesh.
+    """Build the threaded flattened BVH for a triangle mesh.
 
     prim_ids/inst_ids override the ids burned into leaf slots (used by the
     scene-graph flattener to keep original face/instance indices).
@@ -119,33 +120,31 @@ def build_bvh(
     order = np.argsort(codes, kind="stable").astype(np.int64)
     codes = codes[order]
 
-    n_internal = T - 1
-    n_slots = 2 * T - 1
-    leaf_base = n_internal  # leaf slot for sorted position j = leaf_base + j
-
-    nodes = np.zeros((n_slots, 16), np.float32)
-
-    # ---- leaf slots ------------------------------------------------------
+    # sorted-order triangle data destined for leaf slots
     tri_s = tri[order]
     v0 = tri_s[:, 0]
     e1 = tri_s[:, 1] - tri_s[:, 0]
     e2 = tri_s[:, 2] - tri_s[:, 0]
     normal = np.cross(e1, e2)
     normal /= np.maximum(np.linalg.norm(normal, axis=1, keepdims=True), 1e-20)
-    leaf = nodes[leaf_base:]
-    leaf[:, 0:3] = v0
-    leaf[:, 3:6] = e1
-    leaf[:, 6:9] = e2
-    leaf[:, 9:12] = normal
-    leaf[:, 12] = prim_ids[order].view(np.float32)
-    leaf[:, 13] = inst_ids[order].view(np.float32)
+    leaf_prim = prim_ids[order]
+    leaf_inst = inst_ids[order]
+
+    n_internal = T - 1
+    n_slots = 2 * T - 1
+    nodes = np.zeros((n_slots, 16), np.float32)
 
     if T == 1:
-        root_link = np.int32(~leaf_base)
-        return _finalize(nodes, root_link, scene_min, scene_max, T, as_numpy)
+        _write_leaf_rows(nodes, np.array([0]), 0, v0, e1, e2, normal, leaf_prim, leaf_inst, np.array([0]))
+        nodes[0, 13] = np.int32(SENTINEL_LINK).view(np.float32)
+        return _finalize(nodes, np.int32(~0), scene_min, scene_max, T, as_numpy)
 
     # ---- breadth-first internal construction -----------------------------
-    child_link = np.zeros((n_internal, 2), np.int32)
+    # slot-id space during construction: internal 0..T-2 (BFS order),
+    # leaf j (sorted position) = (T-1) + j. Converted to preorder below.
+    leaf_base = n_internal
+    child_slot = np.zeros((n_internal, 2), np.int64)
+    child_is_leaf = np.zeros((n_internal, 2), bool)
     levels: List[np.ndarray] = []
 
     ids = np.array([0], np.int64)
@@ -155,17 +154,15 @@ def build_bvh(
     while len(ids):
         levels.append(ids)
         split = _split_ranges(codes, lo, hi)
-        new_ids = []
-        new_lo = []
-        new_hi = []
+        new_ids, new_lo, new_hi = [], [], []
         for side, (clo, chi) in enumerate(((lo, split), (split, hi))):
             is_leaf = (chi - clo) == 1
-            # leaf children link directly to their triangle slot
-            child_link[ids[is_leaf], side] = ~(leaf_base + clo[is_leaf]).astype(np.int32)
+            child_is_leaf[ids, side] = is_leaf
+            child_slot[ids[is_leaf], side] = leaf_base + clo[is_leaf]
             n_new = int((~is_leaf).sum())
             fresh = np.arange(next_free, next_free + n_new, dtype=np.int64)
             next_free += n_new
-            child_link[ids[~is_leaf], side] = fresh.astype(np.int32)
+            child_slot[ids[~is_leaf], side] = fresh
             new_ids.append(fresh)
             new_lo.append(clo[~is_leaf])
             new_hi.append(chi[~is_leaf])
@@ -174,28 +171,66 @@ def build_bvh(
         hi = np.concatenate(new_hi)
     assert next_free == n_internal, (next_free, n_internal)
 
-    # ---- bottom-up subtree AABBs ----------------------------------------
+    # ---- bottom-up: subtree AABBs and sizes ------------------------------
     sub_min = np.empty((n_slots, 3), np.float32)
     sub_max = np.empty((n_slots, 3), np.float32)
+    size = np.ones(n_slots, np.int64)  # leaves have size 1
     sub_min[leaf_base:] = prim_min[order]
     sub_max[leaf_base:] = prim_max[order]
-
-    def slot_of(link: np.ndarray) -> np.ndarray:
-        return np.where(link < 0, ~link, link).astype(np.int64)
-
     for ids in reversed(levels):
-        s0 = slot_of(child_link[ids, 0])
-        s1 = slot_of(child_link[ids, 1])
-        nodes[ids, 0:3] = sub_min[s0]
-        nodes[ids, 3:6] = sub_max[s0]
-        nodes[ids, 6:9] = sub_min[s1]
-        nodes[ids, 9:12] = sub_max[s1]
-        nodes[ids, 12] = child_link[ids, 0].view(np.float32)
-        nodes[ids, 13] = child_link[ids, 1].view(np.float32)
+        s0 = child_slot[ids, 0]
+        s1 = child_slot[ids, 1]
         sub_min[ids] = np.minimum(sub_min[s0], sub_min[s1])
         sub_max[ids] = np.maximum(sub_max[s0], sub_max[s1])
+        size[ids] = 1 + size[s0] + size[s1]
 
-    return _finalize(nodes, np.int32(0), scene_min, scene_max, T, as_numpy)
+    # ---- top-down: preorder positions, hit/miss links --------------------
+    pre = np.zeros(n_slots, np.int64)
+    miss = np.full(n_slots, int(SENTINEL_LINK), np.int64)  # in link encoding
+    pre[0] = 0
+    for ids in levels:
+        s0 = child_slot[ids, 0]
+        s1 = child_slot[ids, 1]
+        pre[s0] = pre[ids] + 1
+        pre[s1] = pre[ids] + 1 + size[s0]
+
+    def link_of(slot_ids: np.ndarray, is_leaf: np.ndarray) -> np.ndarray:
+        p = pre[slot_ids]
+        return np.where(is_leaf, ~p, p)
+
+    for ids in levels:
+        s0 = child_slot[ids, 0]
+        s1 = child_slot[ids, 1]
+        miss[s0] = link_of(s1, child_is_leaf[ids, 1])
+        miss[s1] = miss[ids]
+
+    # ---- emit slots ------------------------------------------------------
+    internal_ids = np.concatenate(levels)
+    rows = pre[internal_ids]
+    nodes[rows, 0:3] = sub_min[internal_ids]
+    nodes[rows, 3:6] = sub_max[internal_ids]
+    hit_link = link_of(child_slot[internal_ids, 0], child_is_leaf[internal_ids, 0])
+    nodes[rows, 12] = hit_link.astype(np.int32).view(np.float32)
+    nodes[rows, 13] = miss[internal_ids].astype(np.int32).view(np.float32)
+
+    leaf_rows = pre[leaf_base:]
+    _write_leaf_rows(
+        nodes, leaf_rows, None, v0, e1, e2, normal, leaf_prim, leaf_inst,
+        miss[leaf_base:],
+    )
+
+    root_link = np.int32(0)
+    return _finalize(nodes, root_link, scene_min, scene_max, T, as_numpy)
+
+
+def _write_leaf_rows(nodes, rows, _unused, v0, e1, e2, normal, prim, inst, miss):
+    nodes[rows, 0:3] = v0
+    nodes[rows, 3:6] = e1
+    nodes[rows, 6:9] = e2
+    nodes[rows, 9:12] = normal
+    nodes[rows, 12] = prim.astype(np.int32).view(np.float32)
+    nodes[rows, 13] = miss.astype(np.int32).view(np.float32)
+    nodes[rows, 14] = inst.astype(np.int32).view(np.float32)
 
 
 def _finalize(nodes, root_link, scene_min, scene_max, n_tris, as_numpy) -> BVH:
@@ -209,21 +244,70 @@ def _finalize(nodes, root_link, scene_min, scene_max, n_tris, as_numpy) -> BVH:
     )
 
 
-def bvh_depth_stats(bvh: BVH) -> Tuple[int, float]:
-    """(max_depth, mean_leaf_depth) — tree-quality diagnostics."""
+# ---------------------------------------------------------------------------
+# Host-side validation / diagnostics
+# ---------------------------------------------------------------------------
+
+
+def validate_bvh(bvh: BVH) -> dict:
+    """Walk the threaded links on host; check structural invariants.
+
+    Returns {max_depth, mean_leaf_depth, n_leaves}; raises on broken trees.
+    """
     nodes = np.asarray(bvh.nodes)
+    n_tris = int(np.asarray(bvh.n_tris))
     root = int(np.asarray(bvh.root_link))
-    depth = {root: 0}
-    stack = [root]
+    # 1) preorder walk using hit/miss links (the device traversal with all
+    # boxes "hit"): must visit every slot exactly once
+    seen = np.zeros(nodes.shape[0], bool)
+    link = root
+    steps = 0
+    prim_seen = []
+    while link != int(SENTINEL_LINK):
+        steps += 1
+        if steps > nodes.shape[0] + 2:
+            raise AssertionError("preorder walk longer than slot count")
+        idx = ~link if link < 0 else link
+        if seen[idx]:
+            raise AssertionError(f"slot {idx} visited twice")
+        seen[idx] = True
+        row = nodes[idx]
+        if link < 0:
+            prim_seen.append(int(row[12:13].view(np.int32)[0]))
+            link = int(row[13:14].view(np.int32)[0])
+        else:
+            link = int(row[12:13].view(np.int32)[0])  # hit link = preorder next
+    if not seen.all():
+        raise AssertionError(f"{(~seen).sum()} slots unreachable")
+    if len(prim_seen) != n_tris:
+        raise AssertionError("leaf count != triangle count")
+    # 2) depth stats + box containment via an explicit host stack; the second
+    # child of an internal node is the miss target of its first child
+    stack = [(root, 0)]
     leaf_depths = []
     while stack:
-        link = stack.pop()
-        d = depth[link]
-        if link < 0:
-            leaf_depths.append(d)
+        link, depth = stack.pop()
+        if link == int(SENTINEL_LINK):
             continue
-        links = nodes[link, 12:14].copy().view(np.int32)
-        for child in (int(links[0]), int(links[1])):
-            depth[child] = d + 1
-            stack.append(child)
-    return max(leaf_depths), float(np.mean(leaf_depths))
+        idx = ~link if link < 0 else link
+        row = nodes[idx]
+        if link < 0:
+            leaf_depths.append(depth)
+            continue
+        bmin, bmax = row[0:3], row[3:6]
+        if not (bmin <= bmax + 1e-6).all():
+            raise AssertionError(f"node {link} has inverted box")
+        hit = int(row[12:13].view(np.int32)[0])
+        hidx = ~hit if hit < 0 else hit
+        if hit >= 0:
+            crow = nodes[hidx]
+            if not ((crow[0:3] >= bmin - 1e-4).all() and (crow[3:6] <= bmax + 1e-4).all()):
+                raise AssertionError(f"child box of {link} escapes parent")
+        sib = int(nodes[hidx, 13:14].view(np.int32)[0])
+        stack.append((hit, depth + 1))
+        stack.append((sib, depth + 1))
+    return {
+        "max_depth": max(leaf_depths),
+        "mean_leaf_depth": float(np.mean(leaf_depths)),
+        "n_leaves": len(leaf_depths),
+    }

@@ -316,6 +316,19 @@ class Transform:
     def __getitem__(self, idx) -> "Transform":
         return Transform(rot=self.rot[idx], trans=self.trans[idx])
 
+    def expand_dims(self, axis: int = -1) -> "Transform":
+        """Insert a new batch axis (axis counts within the batch dims)."""
+        a = axis if axis >= 0 else axis - 1
+        return Transform(
+            rot=jnp.expand_dims(self.rot, a), trans=jnp.expand_dims(self.trans, a)
+        )
+
+    def reshape(self, batch_shape: Tuple[int, ...]) -> "Transform":
+        return Transform(
+            rot=self.rot.reshape(batch_shape + (4,)),
+            trans=self.trans.reshape(batch_shape + (3,)),
+        )
+
 
 def transform_stack(transforms) -> Transform:
     """Stack a python list of Transforms along a new leading axis."""

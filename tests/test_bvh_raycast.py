@@ -5,7 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from rmcl_tpu.bvh.builder import build_bvh, bvh_depth_stats
+from rmcl_tpu.bvh.builder import build_bvh, validate_bvh
 from rmcl_tpu.geom.mesh import TriangleMesh, make_box, make_plane, make_room_scene, make_sphere
 from rmcl_tpu.ops.raycast import NO_HIT_T, cast_rays, occluded
 
@@ -199,13 +199,15 @@ def test_bvh_structure_sphere():
     mesh = make_sphere(32, 32)
     bvh = build_bvh(mesh)
     assert bvh.nodes.shape == (2 * mesh.n_faces - 1, 16)
-    max_d, mean_d = bvh_depth_stats(bvh)
-    assert max_d < 40  # sane tree depth for ~2k tris
-    # every leaf contains a distinct prim id
-    nodes = np.asarray(bvh.nodes)
-    leaf_base = mesh.n_faces - 1
-    prim_ids = nodes[leaf_base:, 12].copy().view(np.int32)
-    assert sorted(prim_ids.tolist()) == list(range(mesh.n_faces))
+    stats = validate_bvh(bvh)
+    assert stats["n_leaves"] == mesh.n_faces
+    assert stats["max_depth"] < 40  # sane tree depth for ~2k tris
+
+
+def test_bvh_structure_random(rng):
+    mesh = random_mesh(rng, 333)
+    stats = validate_bvh(build_bvh(mesh))
+    assert stats["n_leaves"] == 333
 
 
 def test_batched_shapes():
