@@ -129,8 +129,12 @@ class CrossStatistics:
         m_mean = jnp.sum(model * w[..., None], axis=-2) / safe_n[..., None]
         dc = (dataset - d_mean[..., None, :]) * w[..., None]
         mc = model - m_mean[..., None, :]
-        # covariance = (1/n) Σ m_c ⊗ d_c  — MXU-friendly as a matmul
-        cov = jnp.einsum("...ni,...nj->...ij", mc, dc) / safe_n[..., None, None]
+        # covariance = (1/n) Σ m_c ⊗ d_c  — MXU-friendly as a matmul.
+        # HIGHEST precision: the 3x3 reduction feeds the Umeyama SVD and the
+        # default TPU matmul precision (bf16 passes) visibly degrades poses.
+        cov = jnp.einsum(
+            "...ni,...nj->...ij", mc, dc, precision=jax.lax.Precision.HIGHEST
+        ) / safe_n[..., None, None]
         empty = n <= 0.0
         zero3 = jnp.zeros_like(d_mean)
         return CrossStatistics(

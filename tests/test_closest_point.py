@@ -1,0 +1,89 @@
+"""Closest-point-on-mesh query tests vs brute-force oracles."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from rmcl_tpu.bvh.builder import build_bvh
+from rmcl_tpu.geom.mesh import make_box, make_sphere
+from rmcl_tpu.ops.closest_point import closest_point_on_triangle, closest_points
+
+
+def brute_force_cp(mesh, queries):
+    tri = mesh.triangles()
+    v0 = jnp.asarray(tri[:, 0])
+    e1 = jnp.asarray(tri[:, 1] - tri[:, 0])
+    e2 = jnp.asarray(tri[:, 2] - tri[:, 0])
+    best_d = np.full(len(queries), np.inf)
+    best_p = np.zeros((len(queries), 3))
+    for i, q in enumerate(queries):
+        p = np.asarray(closest_point_on_triangle(jnp.asarray(q)[None], v0, e1, e2))
+        d = np.linalg.norm(p - q, axis=1)
+        j = d.argmin()
+        best_d[i] = d[j]
+        best_p[i] = p[j]
+    return best_d, best_p
+
+
+def test_closest_point_on_triangle_regions(rng):
+    # triangle in the z=0 plane
+    v0 = jnp.asarray([0.0, 0.0, 0.0])
+    e1 = jnp.asarray([1.0, 0.0, 0.0])
+    e2 = jnp.asarray([0.0, 1.0, 0.0])
+    cases = {
+        (0.25, 0.25, 1.0): (0.25, 0.25, 0.0),  # face
+        (-1.0, -1.0, 0.0): (0.0, 0.0, 0.0),  # vertex A
+        (2.0, -0.5, 0.0): (1.0, 0.0, 0.0),  # vertex B
+        (-0.5, 2.0, 0.0): (0.0, 1.0, 0.0),  # vertex C
+        (0.5, -1.0, 0.0): (0.5, 0.0, 0.0),  # edge AB
+        (-1.0, 0.5, 0.0): (0.0, 0.5, 0.0),  # edge AC
+        (1.0, 1.0, 0.0): (0.5, 0.5, 0.0),  # edge BC
+    }
+    for q, expect in cases.items():
+        p = closest_point_on_triangle(jnp.asarray(q), v0, e1, e2)
+        np.testing.assert_allclose(np.asarray(p), expect, atol=1e-6, err_msg=str(q))
+
+
+def test_closest_point_random_triangles(rng):
+    q = rng.normal(size=(64, 3)).astype(np.float32)
+    v0 = rng.normal(size=(64, 3)).astype(np.float32)
+    e1 = rng.normal(size=(64, 3)).astype(np.float32)
+    e2 = rng.normal(size=(64, 3)).astype(np.float32)
+    p = np.asarray(closest_point_on_triangle(jnp.asarray(q), jnp.asarray(v0), jnp.asarray(e1), jnp.asarray(e2)))
+    d = np.linalg.norm(p - q, axis=1)
+    # oracle: dense barycentric sampling
+    u = np.linspace(0, 1, 60)
+    for i in range(64):
+        uu, vv = np.meshgrid(u, u)
+        m = uu + vv <= 1.0
+        pts = v0[i] + uu[m, None] * e1[i] + vv[m, None] * e2[i]
+        d_ref = np.linalg.norm(pts - q[i], axis=1).min()
+        assert d[i] <= d_ref + 1e-3
+
+
+def test_closest_points_sphere():
+    mesh = make_sphere(48, 48, radius=2.0)
+    bvh = build_bvh(mesh)
+    q = np.asarray([[0.0, 0.0, 0.0], [5.0, 0.0, 0.0], [0.0, 3.0, 0.0]], np.float32)
+    cp = closest_points(bvh, jnp.asarray(q))
+    np.testing.assert_allclose(np.asarray(cp.dist), [2.0, 3.0, 1.0], atol=0.01)
+    assert bool(np.asarray(cp.found).all())
+
+
+def test_closest_points_matches_bruteforce(rng):
+    mesh = make_box((2.0, 3.0, 1.0))
+    bvh = build_bvh(mesh)
+    q = rng.normal(size=(100, 3)).astype(np.float32) * 2
+    cp = closest_points(bvh, jnp.asarray(q))
+    d_ref, p_ref = brute_force_cp(mesh, q)
+    np.testing.assert_allclose(np.asarray(cp.dist), d_ref, rtol=1e-4, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(cp.point), p_ref, atol=1e-4)
+
+
+def test_closest_points_max_dist_gate():
+    mesh = make_sphere(32, 32, radius=1.0)
+    bvh = build_bvh(mesh)
+    q = jnp.asarray([[3.0, 0.0, 0.0]])
+    cp = closest_points(bvh, q, max_dist=1.0)
+    assert not bool(np.asarray(cp.found)[0])
+    cp2 = closest_points(bvh, q, max_dist=2.5)
+    assert bool(np.asarray(cp2.found)[0])

@@ -1,0 +1,188 @@
+"""MICP-L pipeline tests: P2L statistics, single corrections, tracking.
+
+The convergence scenarios mirror the reference benchmark's correctness smoke
+(SURVEY.md §4.4: simulate a scan at a known pose, offset the estimate,
+iterate correction, observe convergence back to the surface)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rmcl_tpu.bvh.builder import build_bvh
+from rmcl_tpu.geom.mesh import make_box, make_room_scene, make_sphere
+from rmcl_tpu.math.se3 import Quaternion, Transform
+from rmcl_tpu.micp.correspondences import Correspondences, find_rcc
+from rmcl_tpu.micp.pipeline import (
+    MICPConfig,
+    MICPSensorConfig,
+    MICPSensorData,
+    correct_once,
+    statistics_p2l,
+)
+from rmcl_tpu.sensors.models import SphericalModel
+from rmcl_tpu.sensors.simulate import simulate
+
+
+def make_sensor_data(bvh, model, true_tsm, tsb=None, config=None):
+    """Dataset = simulated scan at the TRUE pose (static-dataset fixture mode,
+    reference data_source:parameters — MICPSphericalSensorCPU.cpp:53-95)."""
+    hits = simulate(bvh, model, true_tsm)
+    return MICPSensorData(
+        model=model,
+        points=hits.point,
+        mask=hits.hit,
+        tsb=tsb or Transform.identity(),
+        config=config or MICPSensorConfig.create(max_dist=2.0),
+    )
+
+
+def test_statistics_p2l_matches_numpy(rng):
+    n = 200
+    dataset = rng.normal(size=(n, 3)).astype(np.float32)
+    m_pts = rng.normal(size=(n, 3)).astype(np.float32)
+    m_nrm = rng.normal(size=(n, 3)).astype(np.float32)
+    m_nrm /= np.linalg.norm(m_nrm, axis=1, keepdims=True)
+    mask = rng.random(n) > 0.3
+    found = rng.random(n) > 0.2
+    corr = Correspondences(
+        model_points=jnp.asarray(m_pts),
+        model_normals=jnp.asarray(m_nrm),
+        found=jnp.asarray(found),
+    )
+    max_dist = 0.8
+    st = statistics_p2l(
+        Transform.identity(), jnp.asarray(dataset), corr, jnp.asarray(mask), jnp.float32(max_dist)
+    )
+    signed = np.einsum("nj,nj->n", m_nrm, dataset - m_pts)
+    ok = mask & found & (np.abs(signed) <= max_dist)
+    proj = dataset - signed[:, None] * m_nrm
+    assert float(st.n_meas) == ok.sum()
+    np.testing.assert_allclose(st.dataset_mean, dataset[ok].mean(0), atol=1e-5)
+    np.testing.assert_allclose(st.model_mean, proj[ok].mean(0), atol=1e-5)
+
+
+def test_correct_once_translation_offset():
+    bvh = build_bvh(make_sphere(64, 64, radius=5.0))
+    model = SphericalModel.create(width=180, height=8, range_max=20.0)
+    true_pose = Transform.identity()
+    sensor = make_sensor_data(bvh, model, true_pose)
+    # estimate offset by +0.2 z (the reference benchmark's offset)
+    tom = Transform.from_xyz_euler(jnp.asarray([0.0, 0.0, 0.2]), jnp.zeros(3))
+    tbo = Transform.identity()
+    for _ in range(6):
+        tom, stats = correct_once(bvh, [sensor], tom, tbo, jnp.float32(0.0))
+    assert np.linalg.norm(np.asarray(tom.trans)) < 0.01
+    assert float(stats.convergence_progress) > 0.8
+
+
+def test_correct_once_umeyama_reference_parity_solver():
+    """The reference's project-then-Umeyama scheme: converges too, but only
+    along well-observed directions quickly — use wide elevation coverage."""
+    bvh = build_bvh(make_sphere(64, 64, radius=5.0))
+    model = SphericalModel.create(
+        width=120, height=24, theta_min=-1.2, theta_max=1.2, range_max=20.0
+    )
+    sensor = make_sensor_data(bvh, model, Transform.identity())
+    tom = Transform.from_xyz_euler(jnp.asarray([0.0, 0.0, 0.2]), jnp.zeros(3))
+    cfg = MICPConfig(solver="umeyama")
+    for _ in range(10):
+        tom, stats = correct_once(
+            bvh, [sensor], tom, Transform.identity(), jnp.float32(0.0), cfg
+        )
+    assert np.linalg.norm(np.asarray(tom.trans)) < 0.02
+
+
+def test_correct_once_full_6dof_offset():
+    bvh = build_bvh(make_room_scene(n_pillars=4, seed=3))
+    model = SphericalModel.create(
+        width=360, height=16, theta_min=-0.4, theta_max=0.3, range_max=30.0
+    )
+    true_pose = Transform.from_pose_tuple(jnp.asarray([0.5, -0.3, 1.0, 0.0, 0.0, 0.3]))
+    sensor = make_sensor_data(bvh, model, true_pose)
+    guess = Transform.from_pose_tuple(
+        jnp.asarray([0.5 + 0.15, -0.3 - 0.1, 1.0 + 0.1, 0.03, -0.02, 0.3 + 0.08])
+    )
+    tom, tbo = guess, Transform.identity()
+    progress = jnp.float32(0.0)
+    for _ in range(15):
+        tom, stats = correct_once(bvh, [sensor], tom, tbo, progress)
+        progress = stats.convergence_progress
+    err_t = np.linalg.norm(np.asarray(tom.trans) - np.asarray(true_pose.trans))
+    dq = Quaternion.mul(Quaternion.conj(true_pose.rot), tom.rot)
+    err_r = np.linalg.norm(np.asarray(Quaternion.log(dq)))
+    assert err_t < 0.02, err_t
+    assert err_r < 0.01, err_r
+
+
+def test_correct_once_with_nonidentity_frames():
+    """Sensor mounted off the base, odometry not at origin — the full TF
+    chain Tom * Tbo * Tsb (reference correctOnce frame conjugations)."""
+    bvh = build_bvh(make_box((10.0, 8.0, 3.0), (0, 0, 1.5), inward=True))
+    model = SphericalModel.create(width=180, height=6, theta_min=-0.2, theta_max=0.2, range_max=30.0)
+    tsb = Transform.from_pose_tuple(jnp.asarray([0.2, 0.0, 0.5, 0.0, 0.0, 0.1]))
+    tbo = Transform.from_pose_tuple(jnp.asarray([1.0, -0.5, 0.0, 0.0, 0.0, 0.7]))
+    tom_true = Transform.from_pose_tuple(jnp.asarray([0.3, 0.2, 0.0, 0.0, 0.0, -0.2]))
+    tbm_true = tom_true @ tbo
+    sensor = make_sensor_data(
+        bvh, model, tbm_true @ tsb, tsb=tsb, config=MICPSensorConfig.create(max_dist=2.0)
+    )
+    tom = tom_true @ Transform.from_pose_tuple(jnp.asarray([0.1, -0.08, 0.05, 0.0, 0.0, 0.05]))
+    for _ in range(15):
+        tom, stats = correct_once(bvh, [sensor], tom, tbo, jnp.float32(0.0))
+    err = np.linalg.norm(np.asarray(tom.trans) - np.asarray(tom_true.trans))
+    assert err < 0.02, err
+
+
+def test_correct_once_multi_sensor_merge():
+    bvh = build_bvh(make_room_scene(n_pillars=2, seed=5))
+    m1 = SphericalModel.create(width=120, height=4, theta_min=-0.1, theta_max=0.2, range_max=30.0)
+    m2 = SphericalModel.create(width=90, height=6, theta_min=-0.3, theta_max=0.0, range_max=30.0)
+    true_pose = Transform.from_pose_tuple(jnp.asarray([0.2, 0.1, 1.2, 0, 0, 0.5]))
+    s1 = make_sensor_data(bvh, m1, true_pose)
+    s2 = make_sensor_data(bvh, m2, true_pose)
+    tom = true_pose @ Transform.from_pose_tuple(jnp.asarray([0.1, 0.05, -0.06, 0, 0, 0.04]))
+    tbo = Transform.identity()
+    for _ in range(12):
+        tom, stats = correct_once(bvh, [s1, s2], tom, tbo, jnp.float32(0.0))
+    assert np.linalg.norm(np.asarray(tom.trans) - np.asarray(true_pose.trans)) < 0.03
+
+
+def test_correct_once_jit_compatible():
+    bvh = build_bvh(make_sphere(32, 32, radius=4.0))
+    model = SphericalModel.create(width=64, height=4, range_max=20.0)
+    sensor = make_sensor_data(bvh, model, Transform.identity())
+    tom = Transform.from_xyz_euler(jnp.asarray([0.0, 0.0, 0.1]), jnp.zeros(3))
+    f = jax.jit(
+        lambda bvh, sensors, tom, tbo, p: correct_once(bvh, sensors, tom, tbo, p)
+    )
+    tom2, stats = f(bvh, [sensor], tom, Transform.identity(), jnp.float32(0.0))
+    assert np.linalg.norm(np.asarray(tom2.trans)) < np.linalg.norm(np.asarray(tom.trans))
+
+
+def test_correct_once_disable_correction():
+    bvh = build_bvh(make_sphere(32, 32, radius=4.0))
+    model = SphericalModel.create(width=64, height=4, range_max=20.0)
+    sensor = make_sensor_data(bvh, model, Transform.identity())
+    tom = Transform.from_xyz_euler(jnp.asarray([0.0, 0.0, 0.1]), jnp.zeros(3))
+    cfg = MICPConfig(disable_correction=True)
+    tom2, _ = correct_once(bvh, [sensor], tom, Transform.identity(), jnp.float32(0.0), cfg)
+    np.testing.assert_allclose(np.asarray(tom2.trans), np.asarray(tom.trans), atol=1e-7)
+
+
+def test_correct_once_cpc_sensor():
+    """Closest-point correspondences drive convergence too (reference CPC —
+    corr type 'CP', embree-only in the reference)."""
+    bvh = build_bvh(make_sphere(48, 48, radius=5.0))
+    model = SphericalModel.create(width=90, height=6, range_max=20.0)
+    hits = simulate(bvh, model, Transform.identity())
+    sensor = MICPSensorData(
+        model=model,
+        points=hits.point,
+        mask=hits.hit,
+        tsb=Transform.identity(),
+        config=MICPSensorConfig.create(max_dist=1.0, corr_type="CP"),
+    )
+    tom = Transform.from_xyz_euler(jnp.asarray([0.05, 0.0, 0.1]), jnp.zeros(3))
+    for _ in range(10):
+        tom, _ = correct_once(bvh, [sensor], tom, Transform.identity(), jnp.float32(0.0))
+    assert np.linalg.norm(np.asarray(tom.trans)) < 0.01
