@@ -1,0 +1,191 @@
+"""RMCL localization runtime — the RmclNode equivalent.
+
+Host-side orchestration around the pure jitted kernels, replacing the ROS 2
+node (reference rmcl_ros/src/nodes/rmcl_localization.cpp:19-111): the three
+periodic stages (motion update / sensor update / resampling — reference
+timers :82-107), the two re-initialization services
+(``rmcl/global_localization`` + ``rmcl/initial_pose_guess`` :54-77), pose
+induction and map→odom output (:733-795).
+
+Differences by design (SURVEY.md §7.6):
+  * double buffers + cpu/gpu migration (prepareMemory :396-430) collapse to
+    donated device arrays — there is no data_location config;
+  * dynamic particle counts become a fixed capacity + alive mask;
+  * per-stage ROS sub-node parameter groups become the MCLConfig dataclass.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rmcl_tpu.bvh.types import BVH
+from rmcl_tpu.math.se3 import Transform
+from rmcl_tpu.math.stats import sample_pose_gaussian, sample_pose_uniform
+from rmcl_tpu.mcl.motion import MotionUpdateConfig, motion_update
+from rmcl_tpu.mcl.particles import ParticleCloud
+from rmcl_tpu.mcl.resampling import (
+    ResamplerConfig,
+    effective_sample_size,
+    gladiator_resample,
+    residual_resample,
+    systematic_resample,
+)
+from rmcl_tpu.mcl.sensor_update import SensorUpdateConfig, sensor_update
+from rmcl_tpu.mcl.stats import ParticleStats, estimate_stats
+
+Array = jax.Array
+
+_RESAMPLERS: dict[str, Callable] = {
+    "gladiator": gladiator_resample,
+    "residual": residual_resample,
+    "systematic": systematic_resample,
+}
+
+
+@dataclasses.dataclass
+class MCLConfig:
+    """Aggregated per-stage configuration (reference param sub-nodes
+    motion_update/sensor_update/resampling — rmcl_localization.cpp:31-51,
+    defaults :349-386)."""
+
+    n_particles: int = 100_000
+    resampler: str = "gladiator"  # reference `type` param
+    motion: MotionUpdateConfig = dataclasses.field(
+        default_factory=MotionUpdateConfig.create
+    )
+    sensor: SensorUpdateConfig = dataclasses.field(
+        default_factory=SensorUpdateConfig.create
+    )
+    resampling: ResamplerConfig = dataclasses.field(
+        default_factory=ResamplerConfig.create
+    )
+    max_induction_particles: int = 50_000
+    min_particles_for_resample: int = 10  # reference sanity check :633-639
+    seed: int = 0
+
+
+class MCLNode:
+    """Monte-Carlo localization over a mesh map.
+
+    Stages are called explicitly (the caller owns timing — message replay,
+    simulation steps, or real-time loops); each stage is one jit-compiled
+    device program.
+    """
+
+    def __init__(self, bvh: BVH, config: Optional[MCLConfig] = None):
+        self.bvh = bvh
+        self.config = config or MCLConfig()
+        self.key = jax.random.PRNGKey(self.config.seed)
+        self.cloud = ParticleCloud.create(self.config.n_particles)
+        self.tbo_last: Optional[Transform] = None  # odometry bookkeeping
+        self.stamp_last: Optional[float] = None
+        self.motion_updates = 0
+        self.sensor_updates = 0
+
+    # -- services ---------------------------------------------------------
+
+    def _next_key(self) -> Array:
+        self.key, sub = jax.random.split(self.key)
+        return sub
+
+    def initial_pose_guess(
+        self, pose: Transform, covariance6: Array | None = None
+    ) -> None:
+        """Gaussian (re)initialization around a pose guess — the
+        ``rmcl/initial_pose_guess`` service (reference initSamples,
+        rmcl_localization.cpp:165-275: chol(C), x~N(0,I), deform)."""
+        if covariance6 is None:
+            covariance6 = jnp.diag(
+                jnp.asarray([0.25, 0.25, 0.1, 0.01, 0.01, 0.1], jnp.float32)
+            )
+        poses = sample_pose_gaussian(
+            self._next_key(), pose, jnp.asarray(covariance6), self.config.n_particles
+        )
+        self.cloud = ParticleCloud.create(self.config.n_particles).with_poses(poses)
+        self._reset_updaters()
+
+    def global_localization(self, box_min, box_max) -> None:
+        """Uniform re-seeding over a (x,y,z,roll,pitch,yaw) box — the
+        ``rmcl/global_localization`` service (reference initSamplesUniform
+        :277-342)."""
+        poses = sample_pose_uniform(
+            self._next_key(), box_min, box_max, self.config.n_particles
+        )
+        self.cloud = ParticleCloud.create(self.config.n_particles).with_poses(poses)
+        self._reset_updaters()
+
+    def _reset_updaters(self) -> None:
+        self.tbo_last = None
+        self.stamp_last = None
+        self.motion_updates = 0
+        self.sensor_updates = 0
+
+    # -- periodic stages --------------------------------------------------
+
+    def motion_update(self, tbo: Transform, stamp: float) -> None:
+        """Motion stage from the odometry transform base→odom at ``stamp``
+        (reference timer :82-89 → TFMotionUpdaterCPU::update)."""
+        if self.tbo_last is None:
+            self.tbo_last, self.stamp_last = tbo, stamp
+            return
+        dt = stamp - self.stamp_last
+        if dt <= 1e-7:
+            return
+        delta = self.tbo_last.inverse() @ tbo  # T_bnew_bold
+        self.cloud = motion_update(
+            self.cloud,
+            delta,
+            jnp.float32(dt),
+            self.config.motion,
+            bvh=self.bvh if self.config.motion.check_collisions else None,
+        )
+        self.tbo_last, self.stamp_last = tbo, stamp
+        self.motion_updates += 1
+
+    def sensor_update(
+        self, points_s: Array, points_mask: Array, tsb: Transform
+    ) -> None:
+        """Sensor stage on one point-cloud message (reference sensorUpdate
+        :482-549)."""
+        self.cloud = sensor_update(
+            self.bvh,
+            self.cloud,
+            self._next_key(),
+            jnp.asarray(points_s, jnp.float32),
+            jnp.asarray(points_mask, bool),
+            tsb,
+            self.config.sensor,
+        )
+        self.sensor_updates += 1
+
+    def resample(self) -> bool:
+        """Resampling stage; returns False when guarded away (reference
+        resampling tick :554-639: requires ≥1 motion AND sensor update)."""
+        if self.motion_updates < 1 or self.sensor_updates < 1:
+            return False
+        if int(np.asarray(self.cloud.n_alive)) < self.config.min_particles_for_resample:
+            return False
+        fn = _RESAMPLERS[self.config.resampler]
+        self.cloud = fn(self.cloud, self._next_key(), self.config.resampling)
+        return True
+
+    # -- outputs ----------------------------------------------------------
+
+    def estimate(self) -> ParticleStats:
+        return estimate_stats(
+            self.cloud, max_induction_particles=self.config.max_induction_particles
+        )
+
+    def pose_map_odom(self, tbo: Transform) -> Transform:
+        """map→odom output: Tom = Tbm * ~Tbo (reference publishStats :772)."""
+        return estimate_stats(
+            self.cloud, self.config.max_induction_particles
+        ).pose @ tbo.inverse()
+
+    def ess(self) -> float:
+        return float(np.asarray(effective_sample_size(self.cloud)))

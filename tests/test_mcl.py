@@ -1,0 +1,279 @@
+"""RMCL particle filter tests: stage kernels + end-to-end localization."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rmcl_tpu.bvh.builder import build_bvh
+from rmcl_tpu.geom.mesh import make_room_scene
+from rmcl_tpu.math.gaussian import MAX_N_MEAS, Gaussian1D
+from rmcl_tpu.math.se3 import Transform
+from rmcl_tpu.mcl.motion import MotionUpdateConfig, motion_update
+from rmcl_tpu.mcl.node import MCLConfig, MCLNode
+from rmcl_tpu.mcl.particles import ParticleCloud
+from rmcl_tpu.mcl.resampling import (
+    ResamplerConfig,
+    effective_sample_size,
+    gladiator_resample,
+    residual_resample,
+    systematic_resample,
+)
+from rmcl_tpu.mcl.sensor_update import SensorUpdateConfig, sensor_update
+from rmcl_tpu.mcl.stats import estimate_stats
+from rmcl_tpu.sensors.models import SphericalModel
+from rmcl_tpu.sensors.simulate import simulate
+
+
+def make_scan(bvh, pose_bm, width=180, height=8):
+    model = SphericalModel.create(
+        width=width, height=height, theta_min=-0.3, theta_max=0.2, range_max=30.0
+    )
+    hits = simulate(bvh, model, pose_bm)
+    return hits.point, hits.hit
+
+
+# --- motion update ----------------------------------------------------------
+
+
+def test_motion_update_applies_delta():
+    cloud = ParticleCloud.create(64)
+    delta = Transform.from_pose_tuple(jnp.asarray([0.1, 0.0, 0.0, 0.0, 0.0, 0.05]))
+    out = motion_update(cloud, delta, jnp.float32(0.1), MotionUpdateConfig.create())
+    np.testing.assert_allclose(np.asarray(out.poses.trans[:, 0]), 0.1, atol=1e-6)
+
+
+def test_motion_update_forget():
+    cloud = ParticleCloud.create(8)
+    cloud = ParticleCloud(
+        poses=cloud.poses,
+        likelihood=Gaussian1D(
+            mean=jnp.ones(8), sigma=jnp.zeros(8), n_meas=jnp.full(8, 100.0)
+        ),
+        state_sigma=cloud.state_sigma,
+        alive=cloud.alive,
+    )
+    delta = Transform.from_pose_tuple(jnp.asarray([1.0, 0.0, 0.0, 0, 0, 0]))
+    cfg = MotionUpdateConfig.create(forget_rate=0.5, forget_rate_per_second=0.1)
+    out = motion_update(cloud, delta, jnp.float32(1.0), cfg)
+    # forget = (1-0.5^1) * (1-0.9^1) = 0.5 * 0.1 = 0.05 -> n_meas 95
+    np.testing.assert_allclose(np.asarray(out.likelihood.n_meas), 95.0, rtol=1e-5)
+
+
+def test_motion_update_collision_kill():
+    bvh = build_bvh(make_room_scene(n_pillars=0, seed=0))  # 10x8x3 room
+    cloud = ParticleCloud.create(2)
+    # particle 0 crosses the +x wall (room is 10 wide → wall at x=5)
+    poses = Transform(
+        rot=jnp.asarray([[1.0, 0, 0, 0], [1.0, 0, 0, 0]]),
+        trans=jnp.asarray([[4.9, 0.0, 1.0], [0.0, 0.0, 1.0]]),
+    )
+    cloud = cloud.with_poses(poses)
+    delta = Transform.from_pose_tuple(jnp.asarray([0.3, 0.0, 0.0, 0, 0, 0]))
+    cfg = MotionUpdateConfig.create(check_collisions=True)
+    out = motion_update(cloud, delta, jnp.float32(0.1), cfg, bvh=bvh)
+    lik = np.asarray(out.likelihood.mean)
+    n = np.asarray(out.likelihood.n_meas)
+    assert lik[0] == 0.0 and n[0] == MAX_N_MEAS
+    assert lik[1] > 0.0
+
+
+# --- sensor update ----------------------------------------------------------
+
+
+def test_sensor_update_favors_true_pose(key):
+    bvh = build_bvh(make_room_scene(n_pillars=3, seed=2))
+    true_pose = Transform.from_pose_tuple(jnp.asarray([0.5, -0.5, 1.0, 0, 0, 0.4]))
+    points, mask = make_scan(bvh, true_pose)
+
+    # cloud: particle 0 at the true pose, others random
+    n = 256
+    rng = np.random.default_rng(0)
+    trans = rng.uniform([-4, -3, 0.5], [4, 3, 1.5], (n, 3)).astype(np.float32)
+    yaw = rng.uniform(-np.pi, np.pi, n).astype(np.float32)
+    poses = Transform.from_xyz_euler(
+        jnp.asarray(trans), jnp.stack([jnp.zeros(n), jnp.zeros(n), jnp.asarray(yaw)], -1)
+    )
+    poses = Transform(
+        rot=poses.rot.at[0].set(true_pose.rot), trans=poses.trans.at[0].set(true_pose.trans)
+    )
+    cloud = ParticleCloud.create(n).with_poses(poses)
+    cfg = SensorUpdateConfig.create(samples=64, dist_sigma=0.5)
+    out = sensor_update(bvh, cloud, key, points, mask, Transform.identity(), cfg)
+    lik = np.asarray(out.likelihood.mean)
+    assert lik[0] >= np.percentile(lik, 99)
+    assert (np.asarray(out.likelihood.n_meas) > 0).all()
+
+
+def test_sensor_update_nmeas_clamp(key):
+    bvh = build_bvh(make_room_scene(n_pillars=0, seed=0))
+    points, mask = make_scan(bvh, Transform.identity(), width=32, height=2)
+    cloud = ParticleCloud.create(4)
+    cloud = ParticleCloud(
+        poses=cloud.poses,
+        likelihood=Gaussian1D(
+            mean=jnp.ones(4), sigma=jnp.zeros(4), n_meas=jnp.full(4, MAX_N_MEAS)
+        ),
+        state_sigma=cloud.state_sigma,
+        alive=cloud.alive,
+    )
+    out = sensor_update(
+        bvh, cloud, key, points, mask, Transform.identity(), SensorUpdateConfig.create(samples=16)
+    )
+    assert (np.asarray(out.likelihood.n_meas) <= MAX_N_MEAS).all()
+
+
+def test_sensor_update_cpc_metric(key):
+    bvh = build_bvh(make_room_scene(n_pillars=2, seed=7))
+    true_pose = Transform.from_pose_tuple(jnp.asarray([0.0, 0.0, 1.0, 0, 0, 0]))
+    points, mask = make_scan(bvh, true_pose)
+    n = 64
+    rng = np.random.default_rng(1)
+    trans = rng.uniform([-3, -2, 0.8], [3, 2, 1.2], (n, 3)).astype(np.float32)
+    poses = Transform.from_xyz_euler(jnp.asarray(trans), jnp.zeros((n, 3)))
+    poses = Transform(
+        rot=poses.rot.at[0].set(true_pose.rot), trans=poses.trans.at[0].set(true_pose.trans)
+    )
+    cloud = ParticleCloud.create(n).with_poses(poses)
+    cfg = SensorUpdateConfig.create(samples=48, dist_sigma=0.5, correspondence_type="CP")
+    out = sensor_update(bvh, cloud, key, points, mask, Transform.identity(), cfg)
+    lik = np.asarray(out.likelihood.mean)
+    assert lik[0] >= np.percentile(lik, 95)
+
+
+# --- resampling -------------------------------------------------------------
+
+
+def _weighted_cloud(n, weights, rng):
+    cloud = ParticleCloud.create(n)
+    trans = rng.normal(size=(n, 3)).astype(np.float32)
+    cloud = cloud.with_poses(Transform.from_xyz_euler(jnp.asarray(trans), jnp.zeros((n, 3))))
+    return ParticleCloud(
+        poses=cloud.poses,
+        likelihood=Gaussian1D(
+            mean=jnp.asarray(weights, jnp.float32),
+            sigma=jnp.zeros(n),
+            n_meas=jnp.full(n, 50.0),
+        ),
+        state_sigma=cloud.state_sigma,
+        alive=cloud.alive,
+    )
+
+
+def test_gladiator_resample_improves_weights(key, rng):
+    n = 4096
+    w = rng.random(n).astype(np.float32) ** 3
+    cloud = _weighted_cloud(n, w, rng)
+    out = gladiator_resample(cloud, key, ResamplerConfig.create())
+    assert float(jnp.mean(out.likelihood.mean)) > float(jnp.mean(cloud.likelihood.mean))
+    # winners keep their pose; duels only copy existing hypotheses + noise
+    assert out.capacity == n
+
+
+def test_systematic_resample_distribution(key, rng):
+    n = 8192
+    w = np.zeros(n, np.float32)
+    w[: n // 4] = 3.0  # first quarter has 3x weight
+    w[n // 4 :] = 1.0
+    cloud = _weighted_cloud(n, w, rng)
+    out = systematic_resample(cloud, key, ResamplerConfig.create(min_noise_t=(0, 0, 0), min_noise_r=(0, 0, 0)))
+    # expected fraction of copies from the first quarter: 3/(3+3) = 0.5
+    x0 = np.asarray(cloud.poses.trans[: n // 4, 0])
+    copies = np.isin(np.round(np.asarray(out.poses.trans[:, 0]), 5), np.round(x0, 5))
+    assert abs(copies.mean() - 0.5) < 0.03
+
+
+def test_residual_resample_distribution(key, rng):
+    n = 8192
+    w = rng.random(n).astype(np.float32) ** 2
+    cloud = _weighted_cloud(n, w, rng)
+    out = residual_resample(cloud, key, ResamplerConfig.create(min_noise_t=(0, 0, 0), min_noise_r=(0, 0, 0)))
+    # high-weight particles must be copied more often: correlation check
+    src_x = np.asarray(cloud.poses.trans[:, 0])
+    out_x = np.asarray(out.poses.trans[:, 0])
+    counts = np.asarray([(np.abs(out_x - x) < 1e-6).sum() for x in src_x[:200]])
+    corr = np.corrcoef(w[:200], counts)[0, 1]
+    assert corr > 0.9
+
+
+def test_effective_sample_size(rng, key):
+    n = 1000
+    uniform = _weighted_cloud(n, np.ones(n, np.float32), rng)
+    np.testing.assert_allclose(float(effective_sample_size(uniform)), n, rtol=1e-4)
+    degenerate = np.zeros(n, np.float32)
+    degenerate[0] = 1.0
+    assert float(effective_sample_size(_weighted_cloud(n, degenerate, rng))) < 1.5
+
+
+# --- end-to-end global localization ----------------------------------------
+
+
+def test_mcl_node_global_localization():
+    """Kidnapped-robot: uniform seeding, a few static sensor updates +
+    resamples concentrate the cloud near the true pose."""
+    bvh = build_bvh(make_room_scene(n_pillars=4, seed=11))
+    true_pose = Transform.from_pose_tuple(jnp.asarray([1.0, -0.8, 1.0, 0, 0, 0.9]))
+    points, mask = make_scan(bvh, true_pose, width=360, height=12)
+
+    cfg = MCLConfig(
+        n_particles=4096,
+        resampler="gladiator",
+        sensor=SensorUpdateConfig.create(samples=64, dist_sigma=0.25),
+        resampling=ResamplerConfig.create(
+            min_noise_t=(0.05, 0.05, 0.02), min_noise_r=(0.005, 0.005, 0.02)
+        ),
+        seed=3,
+    )
+    node = MCLNode(bvh, cfg)
+    node.global_localization([-4.5, -3.5, 0.9, 0, 0, -3.14], [4.5, 3.5, 1.1, 0, 0, 3.14])
+
+    tbo = Transform.identity()
+    for i in range(20):
+        node.motion_update(tbo, stamp=float(i) * 0.1)
+        node.sensor_update(points, mask, Transform.identity())
+        node.resample()
+
+    stats = node.estimate()
+    err = np.linalg.norm(np.asarray(stats.pose.trans) - np.asarray(true_pose.trans))
+    assert err < 0.3, err
+    # tight cluster: translation covariance small
+    assert float(jnp.trace(stats.covariance[:3, :3])) < 0.3
+
+
+def test_mcl_node_tracking_with_motion():
+    """Track a moving robot: motion updates shift particles, sensor updates
+    keep them locked."""
+    bvh = build_bvh(make_room_scene(n_pillars=3, seed=21))
+    cfg = MCLConfig(
+        n_particles=2048,
+        sensor=SensorUpdateConfig.create(samples=48, dist_sigma=0.3),
+        resampling=ResamplerConfig.create(
+            min_noise_t=(0.03, 0.03, 0.01), min_noise_r=(0.003, 0.003, 0.01)
+        ),
+        seed=5,
+    )
+    node = MCLNode(bvh, cfg)
+    start = Transform.from_pose_tuple(jnp.asarray([0.0, 0.0, 1.0, 0, 0, 0.0]))
+    node.initial_pose_guess(start, jnp.diag(jnp.asarray([0.04, 0.04, 0.01, 1e-4, 1e-4, 0.01])))
+
+    # robot drives +x at 0.5 m per step, odometry is exact here
+    for i in range(8):
+        t = 0.5 * (i + 1)
+        tbo = Transform.from_pose_tuple(jnp.asarray([t, 0.0, 1.0, 0, 0, 0]))
+        true_bm = tbo  # map == odom in this scenario
+        points, mask = make_scan(bvh, true_bm)
+        node.motion_update(tbo, stamp=float(i) * 0.1)
+        node.sensor_update(points, mask, Transform.identity())
+        node.resample()
+
+    stats = node.estimate()
+    err = np.linalg.norm(np.asarray(stats.pose.trans) - np.asarray([4.0, 0.0, 1.0]))
+    assert err < 0.25, err
+
+
+def test_estimate_stats_fields(rng, key):
+    n = 512
+    cloud = _weighted_cloud(n, rng.random(n).astype(np.float32), rng)
+    st = estimate_stats(cloud)
+    assert st.covariance.shape == (6, 6)
+    assert float(st.likelihood_min) <= float(st.likelihood_mean) <= float(st.likelihood_max)
+    assert (np.asarray(st.trans_bb_min) <= np.asarray(st.trans_bb_max)).all()
