@@ -1,0 +1,220 @@
+"""Sharded execution of the MICP and MCL pipelines.
+
+Mapping of the reference's parallelism inventory (SURVEY.md §2.10) onto a
+TPU device mesh:
+
+  P1 (rays)      → sensor pixels sharded over the ``rays`` axis; the P2L /
+                   GN statistics reductions are commutative monoids, so XLA
+                   partitions the einsums and inserts the ``psum`` over ICI
+                   automatically under jit-with-shardings.
+  P2 (particles) → particle arrays sharded; the per-particle sensor update
+                   is purely local; resampling needs cross-particle
+                   communication — the gladiator tournament picks enemies
+                   *within the local shard* plus a ``ppermute`` rotation of
+                   a candidate block so hypotheses still mix globally
+                   (per-shard duels keep the reference's local-random
+                   semantics — SURVEY.md §7 hard part 3).
+  P5 (comm)      → psum/all_gather/ppermute over ICI replace the reference's
+                   intra-process shared memory.
+
+The BVH is replicated on every device (spatial partitioning is future work).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from rmcl_tpu.bvh.types import BVH
+from rmcl_tpu.math.se3 import Transform
+from rmcl_tpu.mcl.particles import ParticleCloud
+from rmcl_tpu.mcl.resampling import ResamplerConfig, _perturb_poses
+from rmcl_tpu.mcl.sensor_update import SensorUpdateConfig, sensor_update
+from rmcl_tpu.micp.pipeline import MICPConfig, MICPSensorData, MICPStats, correct_once
+from rmcl_tpu.parallel.mesh import RAY_AXIS, put_replicated, put_sharded, replicated, shard_rays
+
+Array = jax.Array
+
+
+# ---------------------------------------------------------------------------
+# MICP: data-parallel rays via jit + shardings (auto-SPMD)
+# ---------------------------------------------------------------------------
+
+
+def shard_sensor_data(sensors: Sequence[MICPSensorData], mesh: Mesh):
+    """Place sensor point/mask arrays sharded over rays; models and frames
+    replicated. Ray counts must divide the mesh size (pad upstream)."""
+    out = []
+    for s in sensors:
+        out.append(
+            MICPSensorData(
+                model=put_replicated(s.model, mesh),
+                points=jax.device_put(s.points, shard_rays(mesh)),
+                mask=jax.device_put(s.mask, shard_rays(mesh)),
+                tsb=put_replicated(s.tsb, mesh),
+                config=put_replicated(s.config, mesh),
+            )
+        )
+    return out
+
+
+def sharded_correct_once(
+    bvh: BVH,
+    sensors: Sequence[MICPSensorData],
+    tom: Transform,
+    tbo: Transform,
+    convergence_progress: Array,
+    mesh: Mesh,
+    config: MICPConfig = MICPConfig(),
+    chunk_size: int = 1 << 30,
+) -> Tuple[Transform, MICPStats]:
+    """correct_once under automatic SPMD partitioning.
+
+    Inputs must be placed by :func:`shard_sensor_data` /
+    :func:`rmcl_tpu.parallel.mesh.put_replicated`. The ray-parallel
+    reductions partition along the ray axis; XLA inserts the psum for the
+    merged statistics (replacing the reference's ``Cmerged += Cs`` loop,
+    micp_localization.cpp:936-937). chunk_size defaults to "no chunking"
+    because the per-device ray count is already mesh-divided.
+    """
+    bvh = put_replicated(bvh, mesh)
+    f = jax.jit(partial(correct_once, config=config, chunk_size=chunk_size))
+    return f(bvh, sensors, tom, tbo, convergence_progress)
+
+
+# ---------------------------------------------------------------------------
+# MCL: particle-parallel via shard_map
+# ---------------------------------------------------------------------------
+
+
+def shard_cloud(cloud: ParticleCloud, mesh: Mesh) -> ParticleCloud:
+    return put_sharded(cloud, mesh)
+
+
+def sharded_sensor_update(
+    bvh: BVH,
+    cloud: ParticleCloud,
+    key: Array,
+    points_s: Array,
+    points_mask: Array,
+    tsb: Transform,
+    config: SensorUpdateConfig,
+    mesh: Mesh,
+    chunk_size: int = 1 << 30,
+) -> ParticleCloud:
+    """Particle-sharded sensor update. The measurement cloud and the sampled
+    beams are replicated (every device scores the SAME beams, like the
+    reference's broadcast of each sampled beam to all particles —
+    PCDSensorUpdaterEmbree.cpp:330-341)."""
+    bvh_r = put_replicated(bvh, mesh)
+
+    def local(bvh, cloud, key, pts, msk, tsb):
+        # same key on every shard → identical beam sample (replicated)
+        return sensor_update(bvh, cloud, key, pts, msk, tsb, config, chunk_size=chunk_size)
+
+    f = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(), P(RAY_AXIS), P(), P(), P(), P()),
+        out_specs=P(RAY_AXIS),
+        check_vma=False,
+    )
+    return f(bvh_r, cloud, key, points_s, points_mask, tsb)
+
+
+def sharded_gladiator_resample(
+    cloud: ParticleCloud,
+    key: Array,
+    config: ResamplerConfig,
+    mesh: Mesh,
+    exchange: bool = True,
+) -> ParticleCloud:
+    """Tournament resampling with per-shard duels + neighbor exchange.
+
+    Each device duels locally (keeps the reference's local-random pairing,
+    GladiatorResamplerCPU.cpp:112-175, without cross-chip gathers); when
+    ``exchange`` is set, every device additionally receives a rotated block
+    of enemy candidates from its ring neighbor via ``ppermute``, so strong
+    hypotheses propagate across shards over successive resampling ticks.
+    """
+    n_dev = mesh.devices.size
+
+    def local(cloud: ParticleCloud, key: Array) -> ParticleCloud:
+        n = cloud.alive.shape[0]  # local shard size
+        my = jax.lax.axis_index(RAY_AXIS)
+        key = jax.random.fold_in(key, my)
+        k_enemy, k_noise, k_pick = jax.random.split(key, 3)
+
+        L_self = cloud.likelihood.mean
+        if exchange and n_dev > 1:
+            # rotate a candidate block (poses + likelihood) from the left
+            # ring neighbor
+            perm = [(i, (i + 1) % n_dev) for i in range(n_dev)]
+            cand = jax.tree.map(
+                lambda x: jax.lax.ppermute(x, RAY_AXIS, perm), cloud
+            )
+            pool = jax.tree.map(
+                lambda a, b: jnp.concatenate([a, b], axis=0), cloud, cand
+            )
+            pool_n = 2 * n
+        else:
+            pool = cloud
+            pool_n = n
+
+        enemy = jax.random.randint(k_enemy, (n,), 0, pool_n)
+        L_pool = pool.likelihood.mean
+        L_enemy = jnp.take(L_pool, enemy)
+        lose = L_enemy > L_self
+
+        idx_self = jnp.arange(n)
+        src = jnp.where(lose, enemy, idx_self)
+        take = lambda x: jnp.take(x, src, axis=0)
+        poses_src = Transform(rot=take(pool.poses.rot), trans=take(pool.poses.trans))
+        lik_src = jax.tree.map(take, pool.likelihood)
+
+        perturbed, trans_d2, rot_d = _perturb_poses(k_noise, poses_src, config.min_noise)
+        poses_new = Transform(
+            rot=jnp.where(lose[:, None], perturbed.rot, poses_src.rot),
+            trans=jnp.where(lose[:, None], perturbed.trans, poses_src.trans),
+        )
+        forget_space = 1.0 - jnp.power(1.0 - config.likelihood_forget_per_meter, trans_d2)
+        forget_rot = 1.0 - jnp.power(1.0 - config.likelihood_forget_per_radian, rot_d)
+        forget = jnp.where(lose, jnp.maximum(forget_space, forget_rot), 0.0)
+        return dataclasses.replace(
+            cloud,
+            poses=poses_new,
+            likelihood=lik_src.forget(forget),
+            state_sigma=take(pool.state_sigma),
+            alive=take(pool.alive),
+        )
+
+    f = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(RAY_AXIS), P()),
+        out_specs=P(RAY_AXIS),
+        check_vma=False,
+    )
+    return f(cloud, key)
+
+
+def psum_likelihood_stats(cloud: ParticleCloud, mesh: Mesh):
+    """Global likelihood sum/max over a sharded cloud (replaces the CUDA
+    block reduction ``simple_stats_kernel`` — reference resampling.cu:41-92)."""
+
+    def local(cloud):
+        w = jnp.where(cloud.alive, cloud.likelihood.mean, 0.0)
+        s = jax.lax.psum(jnp.sum(w), RAY_AXIS)
+        m = jax.lax.pmax(jnp.max(w), RAY_AXIS)
+        return s, m
+
+    f = jax.shard_map(
+        local, mesh=mesh, in_specs=(P(RAY_AXIS),), out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return f(cloud)

@@ -1,0 +1,157 @@
+"""Multi-device tests on the virtual 8-device CPU mesh.
+
+Validates the P1 (rays) and P2 (particles) sharding mappings of
+SURVEY.md §2.10: sharded results must match single-device results (exactly
+for ray-parallel reductions up to float reassociation; statistically for the
+per-shard resampling variant).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rmcl_tpu.bvh.builder import build_bvh
+from rmcl_tpu.geom.mesh import make_room_scene, make_sphere
+from rmcl_tpu.math.gaussian import Gaussian1D
+from rmcl_tpu.math.se3 import Transform
+from rmcl_tpu.mcl.particles import ParticleCloud
+from rmcl_tpu.mcl.resampling import ResamplerConfig
+from rmcl_tpu.mcl.sensor_update import SensorUpdateConfig, sensor_update
+from rmcl_tpu.micp.pipeline import MICPSensorConfig, MICPSensorData, correct_once
+from rmcl_tpu.ops.raycast import cast_rays
+from rmcl_tpu.parallel.mesh import make_mesh, put_replicated, put_sharded, shard_rays
+from rmcl_tpu.parallel.sharded import (
+    psum_likelihood_stats,
+    shard_sensor_data,
+    sharded_correct_once,
+    sharded_gladiator_resample,
+    sharded_sensor_update,
+)
+from rmcl_tpu.sensors.models import SphericalModel
+from rmcl_tpu.sensors.simulate import simulate
+
+
+@pytest.fixture(scope="module")
+def mesh8():
+    assert jax.device_count() >= 8, "conftest must provide 8 CPU devices"
+    return make_mesh(8)
+
+
+def test_cast_rays_sharded_matches_single(mesh8, rng):
+    mesh = make_sphere(48, 48, radius=3.0)
+    bvh = build_bvh(mesh)
+    n = 4096
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o = rng.uniform(-1, 1, size=(n, 3)).astype(np.float32)
+
+    ref = cast_rays(bvh, jnp.asarray(o), jnp.asarray(d))
+
+    bvh_r = put_replicated(bvh, mesh8)
+    o_s = jax.device_put(jnp.asarray(o), shard_rays(mesh8))
+    d_s = jax.device_put(jnp.asarray(d), shard_rays(mesh8))
+    out = cast_rays(bvh_r, o_s, d_s, chunk_size=n)
+    np.testing.assert_allclose(np.asarray(out.t), np.asarray(ref.t), rtol=1e-5)
+    np.testing.assert_array_equal(np.asarray(out.prim_id), np.asarray(ref.prim_id))
+
+
+def test_sharded_correct_once_matches_single(mesh8):
+    bvh = build_bvh(make_room_scene(n_pillars=3, seed=4))
+    model = SphericalModel.create(
+        width=256, height=8, theta_min=-0.3, theta_max=0.2, range_max=30.0
+    )
+    true_pose = Transform.from_pose_tuple(jnp.asarray([0.4, -0.2, 1.0, 0, 0, 0.3]))
+    hits = simulate(bvh, model, true_pose)
+    sensor = MICPSensorData(
+        model=model,
+        points=hits.point,
+        mask=hits.hit,
+        tsb=Transform.identity(),
+        config=MICPSensorConfig.create(max_dist=2.0),
+    )
+    tom = true_pose @ Transform.from_pose_tuple(jnp.asarray([0.08, -0.05, 0.04, 0, 0, 0.04]))
+    tbo = Transform.identity()
+
+    tom_ref, stats_ref = correct_once(bvh, [sensor], tom, tbo, jnp.float32(0.0))
+
+    sensors_s = shard_sensor_data([sensor], mesh8)
+    tom_s, stats_s = sharded_correct_once(
+        bvh, sensors_s, put_replicated(tom, mesh8), put_replicated(tbo, mesh8),
+        jnp.float32(0.0), mesh8,
+    )
+    np.testing.assert_allclose(np.asarray(tom_s.trans), np.asarray(tom_ref.trans), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(tom_s.rot), np.asarray(tom_ref.rot), atol=1e-4)
+    np.testing.assert_allclose(
+        float(stats_s.valid_matches), float(stats_ref.valid_matches), rtol=1e-5
+    )
+
+
+def test_sharded_sensor_update_matches_single(mesh8, key):
+    bvh = build_bvh(make_room_scene(n_pillars=2, seed=9))
+    true_pose = Transform.from_pose_tuple(jnp.asarray([0.0, 0.0, 1.0, 0, 0, 0]))
+    model = SphericalModel.create(width=128, height=4, theta_min=-0.2, theta_max=0.2, range_max=30.0)
+    hits = simulate(bvh, model, true_pose)
+
+    n = 1024
+    rng = np.random.default_rng(0)
+    trans = rng.uniform([-3, -2, 0.8], [3, 2, 1.2], (n, 3)).astype(np.float32)
+    cloud = ParticleCloud.create(n).with_poses(
+        Transform.from_xyz_euler(jnp.asarray(trans), jnp.zeros((n, 3)))
+    )
+    cfg = SensorUpdateConfig.create(samples=32, dist_sigma=0.5)
+
+    ref = sensor_update(bvh, cloud, key, hits.point, hits.hit, Transform.identity(), cfg)
+
+    cloud_s = put_sharded(cloud, mesh8)
+    out = sharded_sensor_update(
+        bvh, cloud_s, key, hits.point, hits.hit, Transform.identity(), cfg, mesh8
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.likelihood.mean), np.asarray(ref.likelihood.mean), rtol=2e-4, atol=1e-6
+    )
+
+
+def test_sharded_gladiator_mixes_across_shards(mesh8, key, rng):
+    n = 2048
+    # one super-strong hypothesis lives in shard 0; exchange must let it
+    # spread to other shards over repeated resampling
+    w = np.full(n, 0.01, np.float32)
+    w[3] = 10.0
+    trans = rng.normal(size=(n, 3)).astype(np.float32)
+    cloud = ParticleCloud.create(n).with_poses(
+        Transform.from_xyz_euler(jnp.asarray(trans), jnp.zeros((n, 3)))
+    )
+    cloud = dataclasses.replace(
+        cloud,
+        likelihood=Gaussian1D(
+            mean=jnp.asarray(w), sigma=jnp.zeros(n), n_meas=jnp.full(n, 10.0)
+        ),
+    )
+    cloud_s = put_sharded(cloud, mesh8)
+    cfg = ResamplerConfig.create(min_noise_t=(0.001, 0.001, 0.001), min_noise_r=(1e-4, 1e-4, 1e-4))
+    k = key
+    for i in range(16):
+        k, sub = jax.random.split(k)
+        cloud_s = sharded_gladiator_resample(cloud_s, sub, cfg, mesh8)
+    x_target = trans[3, 0]
+    frac_near = float(jnp.mean(jnp.abs(cloud_s.poses.trans[:, 0] - x_target) < 0.1))
+    assert frac_near > 0.5, frac_near  # strong hypothesis dominates the cloud
+    # and it must have reached the other shards (ring is one hop per round)
+    second_half = np.asarray(cloud_s.poses.trans[n // 2 :, 0])
+    assert (np.abs(second_half - x_target) < 0.1).mean() > 0.2
+
+
+def test_psum_likelihood_stats(mesh8, rng):
+    n = 512
+    w = rng.random(n).astype(np.float32)
+    cloud = ParticleCloud.create(n)
+    cloud = dataclasses.replace(
+        cloud,
+        likelihood=Gaussian1D(mean=jnp.asarray(w), sigma=jnp.zeros(n), n_meas=jnp.ones(n)),
+    )
+    s, m = psum_likelihood_stats(put_sharded(cloud, mesh8), mesh8)
+    np.testing.assert_allclose(float(s), w.sum(), rtol=1e-5)
+    np.testing.assert_allclose(float(m), w.max(), rtol=1e-6)
