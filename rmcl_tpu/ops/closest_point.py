@@ -101,46 +101,104 @@ def _dist2_point_aabb(q, bmin, bmax):
 
 def _query_batch(nodes, root_link, q, max_d2):
     """Hand-batched stackless closest-point traversal. Returns
-    (best_d2, best_point, best_slot)."""
+    (best_d2, best_point, best_slot).
+
+    Same (R,)-scalar-plane layout discipline as the ray caster (see
+    rmcl_tpu.ops.raycast._traverse_batch): full-lane VPU utilization."""
     R = q.shape[0]
+    W = [nodes[:, k] for k in range(14)]
+    qx, qy, qz = q[:, 0], q[:, 1], q[:, 2]
 
     def cond(state):
         return jnp.any(state[0] != _SENT)
 
     def body(state):
-        cur, best_d2, best_point, best_slot = state
+        cur, best_d2, bx, by, bz, best_slot = state
         active = cur != _SENT
         is_leaf = cur < 0
         idx = jnp.where(is_leaf, ~cur, cur)
         idx = jnp.where(active, idx, 0)
-        slot = jnp.take(nodes, idx, axis=0)
+        w = [jnp.take(Wk, idx) for Wk in W]
+        ax, ay, az = w[0], w[1], w[2]
+        abx, aby, abz = w[3], w[4], w[5]
+        acx, acy, acz = w[6], w[7], w[8]
 
-        # leaf: exact point-triangle distance
-        p_tri = closest_point_on_triangle(q, slot[:, 0:3], slot[:, 3:6], slot[:, 6:9])
-        d2_tri = jnp.sum((q - p_tri) ** 2, -1)
+        # ---- leaf: closest point on triangle (Ericson, scalar form) -----
+        apx, apy, apz = qx - ax, qy - ay, qz - az
+        d1 = abx * apx + aby * apy + abz * apz
+        d2 = acx * apx + acy * apy + acz * apz
+        bpx, bpy, bpz = apx - abx, apy - aby, apz - abz
+        d3 = abx * bpx + aby * bpy + abz * bpz
+        d4 = acx * bpx + acy * bpy + acz * bpz
+        cpx, cpy, cpz = apx - acx, apy - acy, apz - acz
+        d5 = abx * cpx + aby * cpy + abz * cpz
+        d6 = acx * cpx + acy * cpy + acz * cpz
+
+        va = d3 * d6 - d5 * d4
+        vb = d5 * d2 - d1 * d6
+        vc = d1 * d4 - d3 * d2
+        denom_face = jnp.maximum(va + vb + vc, 1e-30)
+        v_face = vb / denom_face
+        w_face = vc / denom_face
+
+        def safe_div(a, b):
+            return a / jnp.where(jnp.abs(b) > 1e-30, b, 1e-30)
+
+        v_ab = jnp.clip(safe_div(d1, d1 - d3), 0.0, 1.0)
+        w_ac = jnp.clip(safe_div(d2, d2 - d6), 0.0, 1.0)
+        t_bc = jnp.clip(safe_div(d4 - d3, (d4 - d3) + (d5 - d6)), 0.0, 1.0)
+
+        in_a = (d1 <= 0) & (d2 <= 0)
+        in_b = (d3 >= 0) & (d4 <= d3)
+        in_c = (d6 >= 0) & (d5 <= d6)
+        no_vert = ~in_a & ~in_b & ~in_c
+        in_ab = no_vert & (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+        in_ac = no_vert & (vb <= 0) & (d2 >= 0) & (d6 <= 0)
+        in_bc = no_vert & (va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0)
+
+        v = jnp.where(in_a | in_c, 0.0, jnp.where(in_b, 1.0, v_face))
+        ww = jnp.where(in_a | in_b, 0.0, jnp.where(in_c, 1.0, w_face))
+        v = jnp.where(in_ab, v_ab, v)
+        ww = jnp.where(in_ab, 0.0, ww)
+        v = jnp.where(in_ac, 0.0, v)
+        ww = jnp.where(in_ac, w_ac, ww)
+        v = jnp.where(in_bc, 1.0 - t_bc, v)
+        ww = jnp.where(in_bc, t_bc, ww)
+
+        px = ax + v * abx + ww * acx
+        py = ay + v * aby + ww * acy
+        pz = az + v * abz + ww * acz
+        d2_tri = (qx - px) ** 2 + (qy - py) ** 2 + (qz - pz) ** 2
         leaf_better = is_leaf & active & (d2_tri < best_d2)
         best_d2 = jnp.where(leaf_better, d2_tri, best_d2)
-        best_point = jnp.where(leaf_better[..., None], p_tri, best_point)
+        bx = jnp.where(leaf_better, px, bx)
+        by = jnp.where(leaf_better, py, by)
+        bz = jnp.where(leaf_better, pz, bz)
         best_slot = jnp.where(leaf_better, idx, best_slot)
 
-        # internal: box distance prune
-        d2_box = _dist2_point_aabb(q, slot[:, 0:3], slot[:, 3:6])
+        # ---- internal: point-to-AABB distance prune ---------------------
+        cx = jnp.clip(qx, w[0], w[3]) - qx
+        cy = jnp.clip(qy, w[1], w[4]) - qy
+        cz = jnp.clip(qz, w[2], w[5]) - qz
+        d2_box = cx * cx + cy * cy + cz * cz
         descend = (~is_leaf) & (d2_box < best_d2)
 
-        hit_link = jax.lax.bitcast_convert_type(slot[:, 12], jnp.int32)
-        miss_link = jax.lax.bitcast_convert_type(slot[:, 13], jnp.int32)
+        hit_link = jax.lax.bitcast_convert_type(w[12], jnp.int32)
+        miss_link = jax.lax.bitcast_convert_type(w[13], jnp.int32)
         cur_next = jnp.where(descend, hit_link, miss_link)
         cur_next = jnp.where(active, cur_next, _SENT)
-        return cur_next, best_d2, best_point, best_slot
+        return cur_next, best_d2, bx, by, bz, best_slot
 
     init = (
         jnp.broadcast_to(root_link, (R,)).astype(jnp.int32),
         max_d2,
-        jnp.zeros((R, 3), jnp.float32),
+        jnp.zeros((R,), jnp.float32),
+        jnp.zeros((R,), jnp.float32),
+        jnp.zeros((R,), jnp.float32),
         jnp.full((R,), -1, jnp.int32),
     )
-    _, best_d2, best_point, best_slot = jax.lax.while_loop(cond, body, init)
-    return best_d2, best_point, best_slot
+    _, best_d2, bx, by, bz, best_slot = jax.lax.while_loop(cond, body, init)
+    return best_d2, jnp.stack([bx, by, bz], axis=-1), best_slot
 
 
 @partial(jax.jit, static_argnames=("chunk_size",))

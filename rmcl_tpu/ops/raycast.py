@@ -73,10 +73,24 @@ def _traverse_batch(nodes, root_link, o, d, t_min, t_max):
 
     o, d: (R, 3); t_min, t_max: (R,). Returns (t_best, best_slot) with
     best_slot == -1 on miss. All loop state is (R,) registers.
+
+    LAYOUT NOTE (load-bearing for TPU): every array inside the loop is
+    (R,)-shaped — ray components are split into scalar planes and node words
+    are gathered from 16 separate (N,) planes. (R,3)/(R,16)-shaped
+    intermediates use only 3/128 or 16/128 vector lanes and profile ~40x
+    slower on v5e; the transpose of `nodes` below is a one-time cost.
     """
-    safe_d = jnp.where(jnp.abs(d) > 1e-20, d, 1e-20)
-    inv_d = 1.0 / safe_d
     R = o.shape[0]
+    # 16 word planes (N,) — full-lane gathers inside the loop
+    W = [nodes[:, k] for k in range(14)]
+
+    ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
+    dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
+
+    def safe_inv(v):
+        return 1.0 / jnp.where(jnp.abs(v) > 1e-20, v, 1e-20)
+
+    ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
 
     def cond(state):
         cur, _, _ = state
@@ -84,23 +98,28 @@ def _traverse_batch(nodes, root_link, o, d, t_min, t_max):
 
     def body(state):
         cur, t_best, best_slot = state
+        active = cur != _SENT
         is_leaf = cur < 0
         idx = jnp.where(is_leaf, ~cur, cur)
-        idx = jnp.where(cur == _SENT, 0, idx)
-        slot = jnp.take(nodes, idx, axis=0)  # (R, 16) — one 64B gather/lane
+        idx = jnp.where(active, idx, 0)
+        w = [jnp.take(Wk, idx) for Wk in W]
 
         # -- leaf interpretation: inline triangle (Möller–Trumbore) -------
-        v0 = slot[:, 0:3]
-        e1 = slot[:, 3:6]
-        e2 = slot[:, 6:9]
-        pvec = jnp.cross(d, e2)
-        det = jnp.sum(e1 * pvec, axis=-1)
+        v0x, v0y, v0z = w[0], w[1], w[2]
+        e1x, e1y, e1z = w[3], w[4], w[5]
+        e2x, e2y, e2z = w[6], w[7], w[8]
+        pvx = dy * e2z - dz * e2y
+        pvy = dz * e2x - dx * e2z
+        pvz = dx * e2y - dy * e2x
+        det = e1x * pvx + e1y * pvy + e1z * pvz
         inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-        tvec = o - v0
-        u = jnp.sum(tvec * pvec, axis=-1) * inv_det
-        qvec = jnp.cross(tvec, e1)
-        v = jnp.sum(d * qvec, axis=-1) * inv_det
-        t_tri = jnp.sum(e2 * qvec, axis=-1) * inv_det
+        tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+        u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+        qvx = tvy * e1z - tvz * e1y
+        qvy = tvz * e1x - tvx * e1z
+        qvz = tvx * e1y - tvy * e1x
+        v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+        t_tri = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
         eps = 1e-7
         tri_ok = (
             (jnp.abs(det) > 1e-12)
@@ -110,32 +129,43 @@ def _traverse_batch(nodes, root_link, o, d, t_min, t_max):
             & (t_tri > t_min)
             & (t_tri < t_best)
         )
-        leaf_hit = is_leaf & tri_ok
+        leaf_hit = is_leaf & tri_ok & active
         t_best = jnp.where(leaf_hit, t_tri, t_best)
         best_slot = jnp.where(leaf_hit, idx, best_slot)
 
         # -- internal interpretation: own AABB slab test ------------------
-        tb0 = (slot[:, 0:3] - o) * inv_d
-        tb1 = (slot[:, 3:6] - o) * inv_d
-        t_near = jnp.max(jnp.minimum(tb0, tb1), axis=-1)
-        t_far = jnp.min(jnp.maximum(tb0, tb1), axis=-1)
+        # (w[0:3] = bmin, w[3:6] = bmax for internal slots)
+        tx0 = (v0x - ox) * ix
+        tx1 = (e1x - ox) * ix
+        ty0 = (v0y - oy) * iy
+        ty1 = (e1y - oy) * iy
+        tz0 = (v0z - oz) * iz
+        tz1 = (e1z - oz) * iz
+        t_near = jnp.maximum(
+            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+            jnp.minimum(tz0, tz1),
+        )
+        t_far = jnp.minimum(
+            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+            jnp.maximum(tz0, tz1),
+        )
         box_hit = (t_near <= t_far) & (t_far >= t_min) & (t_near <= t_best)
 
-        hit_link = _bitcast_i32(slot[:, 12])
-        miss_link = _bitcast_i32(slot[:, 13])
+        hit_link = _bitcast_i32(w[12])
+        miss_link = _bitcast_i32(w[13])
         descend = box_hit & ~is_leaf
         cur_next = jnp.where(descend, hit_link, miss_link)
-        cur_next = jnp.where(cur == _SENT, _SENT, cur_next)
+        cur_next = jnp.where(active, cur_next, _SENT)
         return cur_next, t_best, best_slot
 
-    init = (
+    cur0 = jnp.where(
+        t_max > t_min,
         jnp.broadcast_to(root_link, (R,)).astype(jnp.int32),
-        t_max,
-        jnp.full((R,), -1, jnp.int32),
+        _SENT,
     )
-    # rays whose t_max <= t_min can never hit; skip traversal for them
-    cur0 = jnp.where(t_max > t_min, init[0], _SENT)
-    _, t_best, best_slot = jax.lax.while_loop(cond, body, (cur0, init[1], init[2]))
+    _, t_best, best_slot = jax.lax.while_loop(
+        cond, body, (cur0, t_max, jnp.full((R,), -1, jnp.int32))
+    )
     return t_best, best_slot
 
 
