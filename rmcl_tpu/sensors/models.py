@@ -50,10 +50,10 @@ class SphericalModel:
     steps (reference rmcl_msgs/msg/ScanInfo.msg:1-14: phi_min/phi_inc theta_
     min/theta_inc + range limits)."""
 
-    phi_min: Array  # azimuth start (rad)
-    phi_inc: Array  # azimuth increment
-    theta_min: Array  # elevation start
-    theta_inc: Array  # elevation increment
+    theta_min: Array  # horizontal / azimuth start (rad) — width axis
+    theta_inc: Array  # azimuth increment
+    phi_min: Array  # vertical / elevation start — height axis
+    phi_inc: Array  # elevation increment
     range: RangeInterval
     width: int = dataclasses.field(metadata=dict(static=True))
     height: int = dataclasses.field(metadata=dict(static=True))
@@ -62,26 +62,31 @@ class SphericalModel:
     def create(
         width: int,
         height: int,
-        phi_min: float = -3.14159265,
-        phi_max: float = 3.14159265,
-        theta_min: float = -0.2617994,  # -15 deg (VLP-16)
-        theta_max: float = 0.2617994,
+        theta_min: float = -3.14159265,
+        theta_max: float = 3.14159265,
+        phi_min: float = -0.2617994,  # -15 deg (VLP-16)
+        phi_max: float = 0.2617994,
         range_min: float = 0.1,
         range_max: float = 130.0,
-        phi_endpoint: bool = False,
-        theta_endpoint: bool = True,
+        theta_endpoint: bool = False,
+        phi_endpoint: bool = True,
     ) -> "SphericalModel":
-        phi_inc = (phi_max - phi_min) / (width - 1 if phi_endpoint and width > 1 else width)
-        theta_inc = (
-            (theta_max - theta_min) / (height - 1 if theta_endpoint and height > 1 else height)
+        """Angle naming follows rmagine / rmcl_msgs ScanInfo.msg: theta is
+        the horizontal azimuth (width axis), phi the vertical elevation
+        (height axis)."""
+        theta_inc = (theta_max - theta_min) / (
+            width - 1 if theta_endpoint and width > 1 else width
+        )
+        phi_inc = (
+            (phi_max - phi_min) / (height - 1 if phi_endpoint and height > 1 else height)
             if height > 1
             else 0.0
         )
         return SphericalModel(
-            phi_min=jnp.float32(phi_min),
-            phi_inc=jnp.float32(phi_inc),
             theta_min=jnp.float32(theta_min),
             theta_inc=jnp.float32(theta_inc),
+            phi_min=jnp.float32(phi_min),
+            phi_inc=jnp.float32(phi_inc),
             range=RangeInterval.of(range_min, range_max),
             width=width,
             height=height,
@@ -98,25 +103,25 @@ class SphericalModel:
         return self.width * self.height
 
     def angles(self) -> Tuple[Array, Array]:
-        """(phi[w], theta[h]) grids."""
+        """(theta[width] azimuth, phi[height] elevation) grids."""
         w = jnp.arange(self.width, dtype=jnp.float32)
         h = jnp.arange(self.height, dtype=jnp.float32)
-        return self.phi_min + w * self.phi_inc, self.theta_min + h * self.theta_inc
+        return self.theta_min + w * self.theta_inc, self.phi_min + h * self.phi_inc
 
     def rays(self) -> Tuple[Array, Array]:
         """Sensor-frame ray bundle: origins (N,3) zeros, dirs (N,3).
 
         Pixel order: row-major (height, width) → id = v*width + u, matching
         the reference's getBufferId."""
-        phi, theta = self.angles()
-        ph = phi[None, :]  # (1, W)
-        th = theta[:, None]  # (H, 1)
-        ct = jnp.cos(th)
+        theta, phi = self.angles()
+        az = theta[None, :]  # (1, W) azimuth
+        el = phi[:, None]  # (H, 1) elevation
+        ce = jnp.cos(el)
         dirs = jnp.stack(
             [
-                jnp.broadcast_to(ct * jnp.cos(ph), (self.height, self.width)),
-                jnp.broadcast_to(ct * jnp.sin(ph), (self.height, self.width)),
-                jnp.broadcast_to(jnp.sin(th), (self.height, self.width)),
+                jnp.broadcast_to(ce * jnp.cos(az), (self.height, self.width)),
+                jnp.broadcast_to(ce * jnp.sin(az), (self.height, self.width)),
+                jnp.broadcast_to(jnp.sin(el) * jnp.ones_like(az), (self.height, self.width)),
             ],
             axis=-1,
         ).reshape(-1, 3)

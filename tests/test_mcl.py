@@ -26,7 +26,7 @@ from rmcl_tpu.sensors.simulate import simulate
 
 def make_scan(bvh, pose_bm, width=180, height=8):
     model = SphericalModel.create(
-        width=width, height=height, theta_min=-0.3, theta_max=0.2, range_max=30.0
+        width=width, height=height, phi_min=-0.3, phi_max=0.2, range_max=30.0
     )
     hits = simulate(bvh, model, pose_bm)
     return hits.point, hits.hit

@@ -80,7 +80,7 @@ def test_correct_once_umeyama_reference_parity_solver():
     along well-observed directions quickly — use wide elevation coverage."""
     bvh = build_bvh(make_sphere(64, 64, radius=5.0))
     model = SphericalModel.create(
-        width=120, height=24, theta_min=-1.2, theta_max=1.2, range_max=20.0
+        width=120, height=24, phi_min=-1.2, phi_max=1.2, range_max=20.0
     )
     sensor = make_sensor_data(bvh, model, Transform.identity())
     tom = Transform.from_xyz_euler(jnp.asarray([0.0, 0.0, 0.2]), jnp.zeros(3))
@@ -95,7 +95,7 @@ def test_correct_once_umeyama_reference_parity_solver():
 def test_correct_once_full_6dof_offset():
     bvh = build_bvh(make_room_scene(n_pillars=4, seed=3))
     model = SphericalModel.create(
-        width=360, height=16, theta_min=-0.4, theta_max=0.3, range_max=30.0
+        width=360, height=16, phi_min=-0.4, phi_max=0.3, range_max=30.0
     )
     true_pose = Transform.from_pose_tuple(jnp.asarray([0.5, -0.3, 1.0, 0.0, 0.0, 0.3]))
     sensor = make_sensor_data(bvh, model, true_pose)
@@ -118,7 +118,7 @@ def test_correct_once_with_nonidentity_frames():
     """Sensor mounted off the base, odometry not at origin — the full TF
     chain Tom * Tbo * Tsb (reference correctOnce frame conjugations)."""
     bvh = build_bvh(make_box((10.0, 8.0, 3.0), (0, 0, 1.5), inward=True))
-    model = SphericalModel.create(width=180, height=6, theta_min=-0.2, theta_max=0.2, range_max=30.0)
+    model = SphericalModel.create(width=180, height=6, phi_min=-0.2, phi_max=0.2, range_max=30.0)
     tsb = Transform.from_pose_tuple(jnp.asarray([0.2, 0.0, 0.5, 0.0, 0.0, 0.1]))
     tbo = Transform.from_pose_tuple(jnp.asarray([1.0, -0.5, 0.0, 0.0, 0.0, 0.7]))
     tom_true = Transform.from_pose_tuple(jnp.asarray([0.3, 0.2, 0.0, 0.0, 0.0, -0.2]))
@@ -135,8 +135,8 @@ def test_correct_once_with_nonidentity_frames():
 
 def test_correct_once_multi_sensor_merge():
     bvh = build_bvh(make_room_scene(n_pillars=2, seed=5))
-    m1 = SphericalModel.create(width=120, height=4, theta_min=-0.1, theta_max=0.2, range_max=30.0)
-    m2 = SphericalModel.create(width=90, height=6, theta_min=-0.3, theta_max=0.0, range_max=30.0)
+    m1 = SphericalModel.create(width=120, height=4, phi_min=-0.1, phi_max=0.2, range_max=30.0)
+    m2 = SphericalModel.create(width=90, height=6, phi_min=-0.3, phi_max=0.0, range_max=30.0)
     true_pose = Transform.from_pose_tuple(jnp.asarray([0.2, 0.1, 1.2, 0, 0, 0.5]))
     s1 = make_sensor_data(bvh, m1, true_pose)
     s2 = make_sensor_data(bvh, m2, true_pose)

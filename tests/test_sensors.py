@@ -89,7 +89,7 @@ def test_simulate_respects_range_limits():
 def test_simulate_batched_poses_sensor_frame():
     mesh = make_box((8.0, 8.0, 4.0), inward=True)
     bvh = build_bvh(mesh)
-    model = SphericalModel.create(width=64, height=4, theta_min=0.0, theta_max=0.0, range_max=50.0)
+    model = SphericalModel.create(width=64, height=4, phi_min=0.0, phi_max=0.0, range_max=50.0)
     # two poses: identity and shifted +1m in x: sensor-frame geometry differs
     poses = Transform(
         rot=jnp.asarray([[1.0, 0, 0, 0], [1.0, 0, 0, 0]]),

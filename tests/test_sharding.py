@@ -61,7 +61,7 @@ def test_cast_rays_sharded_matches_single(mesh8, rng):
 def test_sharded_correct_once_matches_single(mesh8):
     bvh = build_bvh(make_room_scene(n_pillars=3, seed=4))
     model = SphericalModel.create(
-        width=256, height=8, theta_min=-0.3, theta_max=0.2, range_max=30.0
+        width=256, height=8, phi_min=-0.3, phi_max=0.2, range_max=30.0
     )
     true_pose = Transform.from_pose_tuple(jnp.asarray([0.4, -0.2, 1.0, 0, 0, 0.3]))
     hits = simulate(bvh, model, true_pose)
@@ -92,7 +92,7 @@ def test_sharded_correct_once_matches_single(mesh8):
 def test_sharded_sensor_update_matches_single(mesh8, key):
     bvh = build_bvh(make_room_scene(n_pillars=2, seed=9))
     true_pose = Transform.from_pose_tuple(jnp.asarray([0.0, 0.0, 1.0, 0, 0, 0]))
-    model = SphericalModel.create(width=128, height=4, theta_min=-0.2, theta_max=0.2, range_max=30.0)
+    model = SphericalModel.create(width=128, height=4, phi_min=-0.2, phi_max=0.2, range_max=30.0)
     hits = simulate(bvh, model, true_pose)
 
     n = 1024
