@@ -1,0 +1,139 @@
+"""Two-level triangle binning for the dense (gather-free) ray caster.
+
+Motivation (measured on the target TPU runtime): per-ray BVH pointer chasing
+costs one ~10ns-class gather per node visit and is capped around ~100M
+gathers/s, while dense VPU/MXU math streams at Tflops. The dense engine
+therefore trades pointer chasing for brute-force triangle tests inside
+Morton-coherent bins:
+
+  level 0: "supers"  — groups of S bins        (n_super, 6) AABBs
+  level 1: "bins"    — B Morton-contiguous tris (n_bins, 6) AABBs
+  payload:             packed triangle data     (n_bins, B, 12)
+                       [v0(3), e1(3), e2(3), geometric normal(3)]
+                       + prim/inst ids          (n_bins, B) int32
+
+Rays are culled per *block* (conservative interval frustum) against supers
+and bins; surviving (block, bin) pairs are tested densely — full vector
+lanes, streaming memory, no data-dependent loops.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rmcl_tpu.bvh.builder import morton_codes_3d
+from rmcl_tpu.geom.mesh import TriangleMesh
+
+Array = jax.Array
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class TriangleBins:
+    tri: Array  # (n_bins, B, 12) packed triangle data
+    prim_id: Array  # (n_bins, B) int32 (-1 for padding)
+    inst_id: Array  # (n_bins, B) int32
+    bin_aabb: Array  # (n_bins, 6) [min(3), max(3)]
+    super_aabb: Array  # (n_super, 6)
+    bins_per_super: int = dataclasses.field(metadata=dict(static=True))
+    aabb_min: Array = None  # (3,) scene bounds
+    aabb_max: Array = None
+
+    @property
+    def n_bins(self) -> int:
+        return self.tri.shape[0]
+
+    @property
+    def bin_size(self) -> int:
+        return self.tri.shape[1]
+
+    @property
+    def n_super(self) -> int:
+        return self.super_aabb.shape[0]
+
+    def nbytes(self) -> int:
+        return int(self.tri.size + self.prim_id.size + self.inst_id.size) * 4
+
+
+def build_bins(
+    mesh: TriangleMesh,
+    bin_size: int = 128,
+    bins_per_super: int = 64,
+    prim_ids: np.ndarray | None = None,
+    inst_ids: np.ndarray | None = None,
+) -> TriangleBins:
+    """Build Morton-ordered triangle bins (host, vectorized numpy)."""
+    tri = mesh.triangles().astype(np.float32)
+    T = tri.shape[0]
+    if prim_ids is None:
+        prim_ids = np.arange(T, dtype=np.int32)
+    if inst_ids is None:
+        inst_ids = np.zeros(T, dtype=np.int32)
+
+    prim_min = tri.min(axis=1)
+    prim_max = tri.max(axis=1)
+    centroid = 0.5 * (prim_min + prim_max)
+    scene_min = prim_min.min(axis=0)
+    scene_max = prim_max.max(axis=0)
+    extent = np.maximum(scene_max - scene_min, 1e-12)
+
+    order = np.argsort(
+        morton_codes_3d((centroid - scene_min) / extent), kind="stable"
+    )
+    tri = tri[order]
+    prim_min = prim_min[order]
+    prim_max = prim_max[order]
+    prim_ids = prim_ids[order]
+    inst_ids = inst_ids[order]
+
+    B = bin_size
+    n_bins = (T + B - 1) // B
+    pad = n_bins * B - T
+    if pad:
+        # degenerate padding triangles: zero edges -> det == 0, never hit;
+        # their AABB collapses onto the last real triangle's corner
+        tri = np.concatenate([tri, np.repeat(tri[-1:, :1], pad, 0).repeat(3, 1)], 0)
+        prim_min = np.concatenate([prim_min, np.repeat(prim_min[-1:], pad, 0)], 0)
+        prim_max = np.concatenate([prim_max, np.repeat(prim_min[-1:], pad, 0)], 0)
+        prim_ids = np.concatenate([prim_ids, np.full(pad, -1, np.int32)])
+        inst_ids = np.concatenate([inst_ids, np.zeros(pad, np.int32)])
+
+    v0 = tri[:, 0]
+    e1 = tri[:, 1] - tri[:, 0]
+    e2 = tri[:, 2] - tri[:, 0]
+    normal = np.cross(e1, e2)
+    norm_len = np.linalg.norm(normal, axis=1, keepdims=True)
+    normal = normal / np.maximum(norm_len, 1e-20)
+    packed = np.concatenate([v0, e1, e2, normal], axis=1).astype(np.float32)
+    packed = packed.reshape(n_bins, B, 12)
+
+    bin_min = prim_min.reshape(n_bins, B, 3).min(axis=1)
+    bin_max = prim_max.reshape(n_bins, B, 3).max(axis=1)
+    bin_aabb = np.concatenate([bin_min, bin_max], axis=1)
+
+    S = bins_per_super
+    n_super = (n_bins + S - 1) // S
+    spad = n_super * S - n_bins
+    if spad:
+        bm = np.concatenate([bin_min, np.repeat(bin_min[-1:], spad, 0)], 0)
+        bM = np.concatenate([bin_max, np.repeat(bin_min[-1:], spad, 0)], 0)
+    else:
+        bm, bM = bin_min, bin_max
+    super_min = bm.reshape(n_super, S, 3).min(axis=1)
+    super_max = bM.reshape(n_super, S, 3).max(axis=1)
+    super_aabb = np.concatenate([super_min, super_max], axis=1)
+
+    return TriangleBins(
+        tri=jnp.asarray(packed),
+        prim_id=jnp.asarray(prim_ids.reshape(n_bins, B)),
+        inst_id=jnp.asarray(inst_ids.reshape(n_bins, B)),
+        bin_aabb=jnp.asarray(bin_aabb.astype(np.float32)),
+        super_aabb=jnp.asarray(super_aabb.astype(np.float32)),
+        bins_per_super=S,
+        aabb_min=jnp.asarray(scene_min.astype(np.float32)),
+        aabb_max=jnp.asarray(scene_max.astype(np.float32)),
+    )

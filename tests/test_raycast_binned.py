@@ -1,0 +1,138 @@
+"""Dense binned caster: parity against the exact BVH traversal."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rmcl_tpu.bvh.bins import build_bins
+from rmcl_tpu.bvh.builder import build_bvh
+from rmcl_tpu.geom.mesh import make_box, make_room_scene, make_sphere
+from rmcl_tpu.ops.raycast import NO_HIT_T, cast_rays
+from rmcl_tpu.ops.raycast_binned import cast_rays_binned, direction_major_order
+
+
+def assert_hits_match(binned, exact, rtol=1e-4, atol=1e-4, allow_miss_frac=0.0):
+    hb = np.asarray(binned.hit)
+    he = np.asarray(exact.hit)
+    mismatched = (hb != he).mean()
+    assert mismatched <= allow_miss_frac, f"hit mismatch {mismatched:.4f}"
+    both = hb & he
+    np.testing.assert_allclose(
+        np.asarray(binned.t)[both], np.asarray(exact.t)[both], rtol=rtol, atol=atol
+    )
+    pid_match = (np.asarray(binned.prim_id)[both] == np.asarray(exact.prim_id)[both]).mean()
+    assert pid_match > 0.99, pid_match
+
+
+def test_binned_sphere_from_center(rng):
+    mesh = make_sphere(64, 64, radius=3.0)
+    bins = build_bins(mesh, bin_size=64, bins_per_super=16)
+    bvh = build_bvh(mesh)
+    # scan-grid-like coherent rays
+    az = np.linspace(-np.pi, np.pi, 256, endpoint=False)
+    el = np.linspace(-0.3, 0.3, 8)
+    A, E = np.meshgrid(az, el, indexing="ij")
+    d = np.stack([np.cos(E) * np.cos(A), np.cos(E) * np.sin(A), np.sin(E)], -1).reshape(-1, 3).astype(np.float32)
+    o = np.zeros_like(d)
+    exact = cast_rays(bvh, jnp.asarray(o), jnp.asarray(d))
+    binned = cast_rays_binned(bins, jnp.asarray(o), jnp.asarray(d))
+    assert_hits_match(binned, exact)
+
+
+def test_binned_room_scene(rng):
+    mesh = make_room_scene(n_pillars=4, seed=3)
+    bins = build_bins(mesh, bin_size=32, bins_per_super=8)
+    bvh = build_bvh(mesh)
+    az = np.linspace(-np.pi, np.pi, 360, endpoint=False)
+    el = np.linspace(-0.4, 0.3, 8)
+    A, E = np.meshgrid(az, el, indexing="ij")
+    d = np.stack([np.cos(E) * np.cos(A), np.cos(E) * np.sin(A), np.sin(E)], -1).reshape(-1, 3).astype(np.float32)
+    o = np.broadcast_to(np.asarray([0.5, -0.3, 1.0], np.float32), d.shape).copy()
+    exact = cast_rays(bvh, jnp.asarray(o), jnp.asarray(d))
+    binned = cast_rays_binned(bins, jnp.asarray(o), jnp.asarray(d))
+    assert_hits_match(binned, exact)
+
+
+def test_binned_random_rays_box(rng):
+    mesh = make_box((4.0, 3.0, 2.0))
+    bins = build_bins(mesh, bin_size=8, bins_per_super=4)
+    bvh = build_bvh(mesh)
+    d = rng.normal(size=(512, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o = rng.uniform(-4, 4, size=(512, 3)).astype(np.float32)
+    exact = cast_rays(bvh, jnp.asarray(o), jnp.asarray(d))
+    binned = cast_rays_binned(bins, jnp.asarray(o), jnp.asarray(d), block_size=32)
+    assert_hits_match(binned, exact)
+
+
+def test_binned_t_gates():
+    mesh = make_sphere(32, 32, radius=2.0)
+    bins = build_bins(mesh, bin_size=32, bins_per_super=8)
+    o = jnp.zeros((64, 3))
+    d = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (64, 3))
+    h1 = cast_rays_binned(bins, o, d)
+    np.testing.assert_allclose(np.asarray(h1.t), 2.0, atol=0.01)
+    h2 = cast_rays_binned(bins, o, d, t_max=1.0)
+    assert not bool(np.asarray(h2.hit).any())
+    h3 = cast_rays_binned(bins, o, d, t_min=3.0, t_max=10.0)
+    assert not bool(np.asarray(h3.hit).any())
+
+
+def test_binned_normals_flip():
+    mesh = make_sphere(32, 32, radius=2.0)
+    bins = build_bins(mesh, bin_size=32, bins_per_super=8)
+    d = jnp.broadcast_to(jnp.asarray([1.0, 0.0, 0.0]), (8, 3))
+    h = cast_rays_binned(bins, jnp.zeros((8, 3)), d)
+    cos = np.einsum("nj,nj->n", np.asarray(h.normal), np.asarray(d))
+    assert (cos < -0.9).all()
+
+
+def test_binned_gradients(rng):
+    mesh = make_sphere(48, 48, radius=2.0)
+    bins = build_bins(mesh, bin_size=32, bins_per_super=8)
+    d = jnp.broadcast_to(jnp.asarray([0.70710678, 0.70710678, 0.0]), (4, 3))
+
+    def f(o):
+        return cast_rays_binned(bins, o, d).t.sum()
+
+    o0 = jnp.asarray(np.tile([[0.1, -0.2, 0.05]], (4, 1)).astype(np.float32))
+    g = jax.grad(f)(o0)
+    eps = 1e-3
+    for axis in range(3):
+        delta = np.zeros((4, 3), np.float32)
+        delta[:, axis] = eps
+        fd = (float(f(o0 + delta)) - float(f(o0 - delta))) / (2 * eps)
+        np.testing.assert_allclose(np.asarray(g)[:, axis].sum(), fd, atol=5e-2)
+
+
+def test_direction_major_order():
+    perm, inv = direction_major_order(3, 4)
+    x = jnp.arange(12)
+    xp = x[perm]
+    np.testing.assert_array_equal(np.asarray(xp[inv]), np.asarray(x))
+    # direction-major: first 3 entries are ray 0 of each pose: 0, 4, 8
+    np.testing.assert_array_equal(np.asarray(xp[:3]), [0, 4, 8])
+
+
+def test_binned_matches_traversal_pose_sweep(rng):
+    """The benchmark pattern: many poses x one scan grid, direction-major."""
+    mesh = make_sphere(64, 64, radius=20.0)
+    bins = build_bins(mesh, bin_size=64, bins_per_super=16)
+    bvh = build_bvh(mesh)
+    n_poses, n_dirs = 8, 512
+    az = np.linspace(-np.pi, np.pi, n_dirs, endpoint=False)
+    d1 = np.stack([np.cos(az), np.sin(az), np.zeros_like(az)], -1).astype(np.float32)
+    origins = rng.uniform(-2, 2, size=(n_poses, 1, 3)).astype(np.float32)
+    o = np.broadcast_to(origins, (n_poses, n_dirs, 3)).reshape(-1, 3)
+    d = np.broadcast_to(d1[None], (n_poses, n_dirs, 3)).reshape(-1, 3)
+    perm, inv = direction_major_order(n_poses, n_dirs)
+    exact = cast_rays(bvh, jnp.asarray(o), jnp.asarray(d))
+    binned_p = cast_rays_binned(
+        bins, jnp.asarray(o)[perm], jnp.asarray(d)[perm], block_size=64
+    )
+    t_binned = np.asarray(binned_p.t[inv])
+    np.testing.assert_allclose(
+        t_binned[np.asarray(exact.hit)], np.asarray(exact.t)[np.asarray(exact.hit)],
+        rtol=1e-4, atol=1e-4,
+    )
