@@ -6,6 +6,9 @@ spherical model (900x16 = 14,400 rays/pose), N poses corrected at once
 against a synthetic ~1M-face sphere; one "correction" = full
 simulate → masked P2L reduce → SE(3) solve for all poses.
 
+Engine: the dense binned ray caster (rmcl_tpu.ops.raycast_binned) with
+direction-major ray ordering — the TPU-native path.
+
 Metric: correspondence rays/second for the full correction iteration.
 vs_baseline: ratio against the reference's Embree desktop-CPU number at
 1M faces (71.6 M corr-rays/s — lidar_corrector_embree_benchmark.cpp:146).
@@ -29,74 +32,78 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from rmcl_tpu.bvh.builder import build_bvh
+    from rmcl_tpu.bvh.bins import build_bins
     from rmcl_tpu.geom.mesh import make_sphere
     from rmcl_tpu.math.gaussian import CrossStatistics
     from rmcl_tpu.math.se3 import Transform
-    from rmcl_tpu.micp.pipeline import (
-        MICPConfig,
-        MICPSensorConfig,
-        MICPSensorData,
-        correct_once,
-    )
+    from rmcl_tpu.math.stats import umeyama_transform
+    from rmcl_tpu.ops.raycast_binned import cast_rays_binned, direction_major_order
     from rmcl_tpu.sensors.models import SphericalModel
-    from rmcl_tpu.sensors.simulate import simulate
 
     faces = int(os.environ.get("BENCH_FACES", 1_000_000))
-    n_poses = int(os.environ.get("BENCH_POSES", 50))
+    n_poses = int(os.environ.get("BENCH_POSES", 256))
     iters = int(os.environ.get("BENCH_ITERS", 3))
 
     n = int(np.sqrt(faces / 2))
     mesh = make_sphere(n, n, radius=50.0)
-    bvh = build_bvh(mesh)
+    bins = build_bins(mesh)
 
     model = SphericalModel.vlp16(width=900)  # 900 x 16 = 14,400 rays/pose
-    rays_per_pose = model.n_rays
+    n_dirs = model.n_rays
+    _, dirs_s = model.rays()  # (n_dirs, 3) sensor frame
 
-    # poses near the center (reference offsets poses by +0.2 z; exact values
-    # don't change the workload)
     rng = np.random.default_rng(0)
-    trans = rng.uniform(-5, 5, size=(n_poses, 3)).astype(np.float32)
-    poses = Transform.from_xyz_euler(jnp.asarray(trans), jnp.zeros((n_poses, 3)))
+    trans_true = rng.uniform(-5, 5, size=(n_poses, 3)).astype(np.float32)
+    perm, inv = direction_major_order(n_poses, n_dirs)
 
-    # dataset scans at the true poses (one-time)
-    hits = simulate(bvh, model, poses)
-    offset = Transform.from_xyz_euler(
-        jnp.asarray([0.0, 0.0, 0.2]), jnp.zeros(3)
-    )
+    def cast_sweep(bins, trans, dirs):
+        """Closest-hit for all poses x all scan dirs (identity rotations,
+        like the reference benchmark's +z-offset pose sweep)."""
+        o = jnp.broadcast_to(trans[:, None, :], (n_poses, n_dirs, 3)).reshape(-1, 3)
+        d = jnp.broadcast_to(dirs[None], (n_poses, n_dirs, 3)).reshape(-1, 3)
+        hits = cast_rays_binned(bins, o[perm], d[perm])
+        return (
+            hits.t[inv].reshape(n_poses, n_dirs),
+            hits.point[inv].reshape(n_poses, n_dirs, 3),
+            hits.normal[inv].reshape(n_poses, n_dirs, 3),
+            hits.hit[inv].reshape(n_poses, n_dirs),
+        )
 
-    def correction(bvh, points, mask, poses_est):
-        """One full correction for all poses: simulate → P2L reduce → solve.
-        vmapped over poses (batched pose Transform)."""
-        sim = simulate(bvh, model, poses_est)
-        d = points
-        nrm = sim.normal
-        signed = jnp.sum(nrm * (d - sim.point), axis=-1)
-        ok = mask & sim.hit & (jnp.abs(signed) <= 2.0)
-        proj = d - signed[..., None] * nrm
-        stats = CrossStatistics.from_masked_points(d, proj, ok)
-        from rmcl_tpu.math.stats import umeyama_transform
+    @jax.jit
+    def make_dataset(bins, trans, dirs):
+        t, point, normal, hit = cast_sweep(bins, trans, dirs)
+        return point, hit  # map-frame scan points per pose
 
+    @jax.jit
+    def correction(bins, data_points, data_mask, trans_est, dirs):
+        """One full correction for all poses: simulate → P2L reduce → solve
+        (the reference's benchmark iteration)."""
+        _, sim_p, sim_n, sim_hit = cast_sweep(bins, trans_est, dirs)
+        d_map = data_points  # dataset fixed in map frame (captured at truth)
+        signed = jnp.sum(sim_n * (d_map - sim_p), axis=-1)
+        ok = data_mask & sim_hit & (jnp.abs(signed) <= 2.0)
+        proj = d_map - signed[..., None] * sim_n
+        stats = CrossStatistics.from_masked_points(d_map, proj, ok)
         delta = umeyama_transform(stats)
-        return (poses_est @ delta).normalized()
+        return delta.trans, stats.n_meas
 
-    f = jax.jit(correction)
-    poses_est = Transform(
-        rot=jnp.broadcast_to(offset.rot, (n_poses, 4)) * 0 + poses.rot,
-        trans=poses.trans + offset.trans,
-    )
+    dirs_j = jnp.asarray(dirs_s)
+    trans_j = jnp.asarray(trans_true)
+    data_points, data_mask = make_dataset(bins, trans_j, dirs_j)
+    jax.block_until_ready(data_points)
 
-    out = f(bvh, hits.point, hits.hit, poses_est)
-    jax.block_until_ready(out.trans)
+    trans_est = trans_j + jnp.asarray([0.0, 0.0, 0.2])  # reference's offset
+    out = correction(bins, data_points, data_mask, trans_est, dirs_j)
+    jax.block_until_ready(out[0])
 
     times = []
     for _ in range(iters):
         t0 = time.time()
-        out = f(bvh, hits.point, hits.hit, poses_est)
-        jax.block_until_ready(out.trans)
+        out = correction(bins, data_points, data_mask, trans_est, dirs_j)
+        jax.block_until_ready(out[0])
         times.append(time.time() - t0)
     best = min(times)
-    total_rays = n_poses * rays_per_pose
+    total_rays = n_poses * n_dirs
     value = total_rays / best
 
     print(

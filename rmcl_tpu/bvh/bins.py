@@ -61,7 +61,7 @@ class TriangleBins:
 
 def build_bins(
     mesh: TriangleMesh,
-    bin_size: int = 128,
+    bin_size: int = 64,
     bins_per_super: int = 64,
     prim_ids: np.ndarray | None = None,
     inst_ids: np.ndarray | None = None,

@@ -13,9 +13,9 @@ pointer chasing at all:
      interval-arithmetic frustum test (never false-culls);
   3. the surviving ≤ c_bin candidate bins are brute-force intersected:
      (rays x bin triangles) Möller–Trumbore on full vector lanes;
-  4. the winning triangle's shading payload (normal, plane offset, ids) is
-     extracted with a masked matmul reduction — no per-ray gather even for
-     outputs.
+  4. only (best t, best triangle ref) are carried through the loop; the
+     winning triangle's shading payload (normal, plane offset, ids) is
+     fetched with a single batched gather at the end.
 
 Correctness note: candidate lists are truncated to the static budgets
 (c_super, c_bin). Budgets are generous and validated by the parity tests;
@@ -75,10 +75,17 @@ def _block_box_test(o_lo, o_hi, d_lo, d_hi, t_hi, bmin, bmax):
     t1_lo, t1_hi = _interval_div(n1_lo, n1_hi, d_lo, d_hi)
     entry_lo = jnp.minimum(t0_lo, t1_lo)  # min possible entry per axis
     exit_hi = jnp.maximum(t0_hi, t1_hi)  # max possible exit per axis
+    # axis-parallel blocks (direction exactly 0 on an axis, e.g. sin(0) rays
+    # in scan grids): rays never move along that axis, so the box must
+    # overlap the origin interval there
+    parallel = (d_lo == 0.0) & (d_hi == 0.0)
+    par_hit = (bmax >= o_lo) & (bmin <= o_hi)
+    entry_lo = jnp.where(parallel, jnp.where(par_hit, -_BIG, _BIG), entry_lo)
+    exit_hi = jnp.where(parallel, jnp.where(par_hit, _BIG, -_BIG), exit_hi)
     t_near = jnp.max(entry_lo, axis=-1)
     t_far = jnp.min(exit_hi, axis=-1)
     ok = (t_near <= t_far) & (t_far >= 0.0) & (t_near <= t_hi)
-    return ok, jnp.maximum(t_near, 0.0)
+    return ok, jnp.maximum(t_near, 0.0), t_far
 
 
 @partial(
@@ -91,10 +98,10 @@ def cast_rays_binned(
     dirs: Array,
     t_min: float | Array = 0.0,
     t_max: float | Array = NO_HIT_T,
-    block_size: int = 128,
-    c_super: int = 16,
+    block_size: int = 256,
+    c_super: int = 48,
     c_bin: int = 192,
-    block_chunk: int = 64,
+    block_chunk: int = 256,
     flip_normals: bool = True,
 ) -> RayHits:
     """Dense closest-hit query (drop-in for ops.raycast.cast_rays).
@@ -152,7 +159,18 @@ def cast_rays_binned(
     # --- level 0: block x supers ------------------------------------------
     sup_min = bins.super_aabb[:, 0:3][None]  # (1, n_super, 3)
     sup_max = bins.super_aabb[:, 3:6][None]
-    pass_sup, tn_sup = _block_box_test(
+    # cap every block's reach at its conservative exit from the scene box —
+    # near-axis-parallel direction intervals otherwise blow up into huge t
+    # bounds that admit almost every bin
+    _, _, scene_far = _block_box_test(
+        o_lo[:, None], o_hi[:, None], d_lo[:, None], d_hi[:, None],
+        jnp.full((n_blk, 1), _BIG),
+        jnp.broadcast_to(bins.aabb_min, (1, 1, 3)),
+        jnp.broadcast_to(bins.aabb_max, (1, 1, 3)),
+    )
+    t_hi = jnp.minimum(t_hi, scene_far[:, 0] * 1.0001 + 1e-3)
+
+    pass_sup, tn_sup, _ = _block_box_test(
         o_lo[:, None], o_hi[:, None], d_lo[:, None], d_hi[:, None],
         t_hi[:, None], sup_min, sup_max,
     )  # (n_blk, n_super)
@@ -171,7 +189,7 @@ def cast_rays_binned(
         )
     bin_aabb_s = bin_aabb_g.reshape(n_super, S, 6)
     sub = jnp.take(bin_aabb_s, sup_ids, axis=0)  # (n_blk, cs, S, 6)
-    pass_bin, tn_bin = _block_box_test(
+    pass_bin, tn_bin, _ = _block_box_test(
         o_lo[:, None, None],
         o_hi[:, None, None],
         d_lo[:, None, None],
@@ -193,27 +211,24 @@ def cast_rays_binned(
     # actual candidate count per block — the intersection loop only runs to
     # the chunk's max count, so the generous budget is ~free at runtime
     cand_count = jnp.sum(cand_bin >= 0, axis=1).astype(jnp.int32)  # (n_blk,)
+    cand_tnear = jnp.where(cand_bin >= 0, -cand_score, _BIG)  # (n_blk, cb)
 
     # --- dense intersection over candidate bins ---------------------------
     tri = bins.tri  # (n_bins, B, 12)
-    prim_f = bins.prim_id.astype(jnp.float32)
-    inst_f = bins.inst_id.astype(jnp.float32)
 
     def chunk_fn(args):
-        ob_c, db_c, tmin_c, tmax_c, cand_c, count_c = args
+        ob_c, db_c, tmin_c, tmax_c, cand_c, count_c, tnear_c = args
         Bc = ob_c.shape[0]
         limit = jnp.max(count_c)
         ox, oy, oz = ob_c[..., 0:1], ob_c[..., 1:2], ob_c[..., 2:3]  # (Bc,Rb,1)
         dx, dy, dz = db_c[..., 0:1], db_c[..., 1:2], db_c[..., 2:3]
 
         def body(c, state):
-            t_best, nxb, nyb, nzb, d0b, primb, instb = state
+            t_best, ref_best = state
             bid = jax.lax.dynamic_slice_in_dim(cand_c, c, 1, axis=1)[:, 0]  # (Bc,)
             ok_bin = bid >= 0
             safe = jnp.where(ok_bin, bid, 0)
             tw = jnp.take(tri, safe, axis=0)  # (Bc, B, 12)
-            pw = jnp.take(prim_f, safe, axis=0)  # (Bc, B)
-            iw = jnp.take(inst_f, safe, axis=0)
 
             v0x, v0y, v0z = tw[:, None, :, 0], tw[:, None, :, 1], tw[:, None, :, 2]
             e1x, e1y, e1z = tw[:, None, :, 3], tw[:, None, :, 4], tw[:, None, :, 5]
@@ -244,42 +259,30 @@ def cast_rays_binned(
             )
             t_cand = jnp.where(ok, t, _BIG)
             t_min_bin = jnp.min(t_cand, axis=-1)  # (Bc, Rb)
+            j_best = jnp.argmin(t_cand, axis=-1).astype(jnp.int32)  # (Bc, Rb)
             better = t_min_bin < t_best
-
-            # winning-triangle payload via masked matmul (no per-ray gather)
-            is_best = (t_cand <= t_min_bin[..., None]) & ok
-            first = jnp.cumsum(is_best.astype(jnp.float32), axis=-1) <= 1.0
-            sel = (is_best & first).astype(jnp.float32)  # (Bc, Rb, B)
-            payload = jnp.stack(
-                [
-                    tw[:, :, 9],
-                    tw[:, :, 10],
-                    tw[:, :, 11],
-                    tw[:, :, 9] * tw[:, :, 0]
-                    + tw[:, :, 10] * tw[:, :, 1]
-                    + tw[:, :, 11] * tw[:, :, 2],  # d0 = n . v0
-                    pw,
-                    iw,
-                ],
-                axis=-1,
-            )  # (Bc, B, 6)
-            won = jnp.einsum(
-                "brj,bjk->brk", sel, payload, precision=jax.lax.Precision.HIGHEST
-            )  # (Bc, Rb, 6)
-
             t_best = jnp.where(better, t_min_bin, t_best)
-            nxb = jnp.where(better, won[..., 0], nxb)
-            nyb = jnp.where(better, won[..., 1], nyb)
-            nzb = jnp.where(better, won[..., 2], nzb)
-            d0b = jnp.where(better, won[..., 3], d0b)
-            primb = jnp.where(better, won[..., 4], primb)
-            instb = jnp.where(better, won[..., 5], instb)
-            return t_best, nxb, nyb, nzb, d0b, primb, instb
+            ref = bid[:, None] * B + j_best
+            ref_best = jnp.where(better, ref, ref_best)
+            return t_best, ref_best
 
         z = jnp.zeros((Bc, Rb), jnp.float32)
-        init = (tmax_c, z, z, z, z, z - 1.0, z - 1.0)
+        init = (tmax_c, jnp.full((Bc, Rb), -1, jnp.int32))
+
+        def cond(cs_):
+            c, state = cs_
+            # early termination: candidates are nearest-first, so once every
+            # block's next candidate starts beyond that block's worst
+            # remaining best-t, no later bin can improve any ray
+            worst_t = jnp.max(state[0], axis=-1)  # (Bc,)
+            nxt = jax.lax.dynamic_slice_in_dim(
+                tnear_c, jnp.minimum(c, cb - 1), 1, axis=1
+            )[:, 0]
+            useful = jnp.any(nxt <= worst_t)
+            return (c < limit) & useful
+
         c_final, state = jax.lax.while_loop(
-            lambda cs_: cs_[0] < limit,
+            cond,
             lambda cs_: (cs_[0] + 1, body(cs_[0], cs_[1])),
             (jnp.int32(0), init),
         )
@@ -297,6 +300,7 @@ def cast_rays_binned(
         t_max_b = padz(t_max_b, 0.0)
         cand_bin = padz(cand_bin, -1)
         cand_count = padz(cand_count, 0)
+        cand_tnear = padz(cand_tnear, _BIG)
     n_chunks = (n_blk + blk_pad) // chunk
     args = (
         ob.reshape(n_chunks, chunk, Rb, 3),
@@ -305,12 +309,26 @@ def cast_rays_binned(
         t_max_b.reshape(n_chunks, chunk, Rb),
         cand_bin.reshape(n_chunks, chunk, cb),
         cand_count.reshape(n_chunks, chunk),
+        cand_tnear.reshape(n_chunks, chunk, cb),
     )
     if n_chunks == 1:
         outs = chunk_fn(tuple(a[0] for a in args))
     else:
         outs = jax.lax.map(chunk_fn, args)
-    t_best, nx, ny, nz, d0, prim, inst = (x.reshape(-1)[:n] for x in outs)
+    t_best = outs[0].reshape(-1)[:n]
+    ref_best = outs[1].reshape(-1)[:n]
+
+    # one batched payload fetch for the winners
+    hit0 = ref_best >= 0
+    safe_ref = jnp.where(hit0, ref_best, 0)
+    flat_tri = tri.reshape(-1, 12)
+    win = jnp.take(flat_tri, safe_ref, axis=0)  # (n, 12)
+    nx, ny, nz = win[:, 9], win[:, 10], win[:, 11]
+    d0 = nx * win[:, 0] + ny * win[:, 1] + nz * win[:, 2]
+    prim = jnp.take(bins.prim_id.reshape(-1), safe_ref).astype(jnp.float32)
+    inst = jnp.take(bins.inst_id.reshape(-1), safe_ref).astype(jnp.float32)
+    prim = jnp.where(hit0, prim, -1.0)
+    inst = jnp.where(hit0, inst, -1.0)
 
     hit = (t_best < t_max_r.reshape(-1)[:n]) & (t_best < _BIG)
 

