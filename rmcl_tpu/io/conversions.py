@@ -1,0 +1,237 @@
+"""Message ⇄ sensor-model conversions and cloud projections.
+
+TPU-native equivalents of the reference's conversion layer
+(~30 overloads in rmcl_ros/src/util/conversions.cpp + the conversion nodes,
+SURVEY.md §2.5/§2.7):
+
+  * model ⇄ info structs (LaserScan/ScanInfo→SphericalModel,
+    DepthInfo→PinholeModel, O1Dn/OnDnInfo→models)
+  * pointcloud → spherical scan grid binning  (Pc2ToScanNode —
+    reference pc2_to_scan.cpp:105-213)
+  * pointcloud → O1Dn model+data estimation   (Pc2ToO1DnNode —
+    reference pc2_to_o1dn.cpp + conversions.cpp:869-1074)
+  * LaserScan → ScanStamped with decimation   (ScanToScanNode —
+    reference scan_to_scan.cpp:5-132)
+  * scan ⇄ cartesian point rendering
+
+Host-side (numpy): these run at message rate, not ray rate.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+from rmcl_tpu.io import msgs
+from rmcl_tpu.sensors.models import O1DnModel, OnDnModel, PinholeModel, SphericalModel
+
+
+# ---------------------------------------------------------------------------
+# info ⇄ model
+# ---------------------------------------------------------------------------
+
+
+def scan_info_to_model(info: msgs.ScanInfo) -> SphericalModel:
+    """reference convert(ScanInfo, SphericalModel)."""
+    import jax.numpy as jnp
+
+    from rmcl_tpu.sensors.models import RangeInterval
+
+    return SphericalModel(
+        theta_min=jnp.float32(info.theta_min),
+        theta_inc=jnp.float32(info.theta_inc),
+        phi_min=jnp.float32(info.phi_min),
+        phi_inc=jnp.float32(info.phi_inc),
+        range=RangeInterval.of(info.range_min, info.range_max),
+        width=info.theta_n,
+        height=info.phi_n,
+    )
+
+
+def model_to_scan_info(model: SphericalModel) -> msgs.ScanInfo:
+    return msgs.ScanInfo(
+        phi_n=model.height,
+        theta_n=model.width,
+        phi_min=float(model.phi_min),
+        phi_inc=float(model.phi_inc),
+        theta_min=float(model.theta_min),
+        theta_inc=float(model.theta_inc),
+        range_min=float(model.range.min),
+        range_max=float(model.range.max),
+    )
+
+
+def depth_info_to_model(info: msgs.DepthInfo) -> PinholeModel:
+    return PinholeModel.create(
+        width=info.width,
+        height=info.height,
+        fx=info.fx,
+        fy=info.fy,
+        cx=info.cx,
+        cy=info.cy,
+        range_min=info.range_min,
+        range_max=info.range_max,
+    )
+
+
+def o1dn_info_to_model(info: msgs.O1DnInfo) -> O1DnModel:
+    return O1DnModel.create(
+        info.dirs, orig=info.orig, range_min=info.range_min, range_max=info.range_max
+    )
+
+
+def ondn_info_to_model(info: msgs.OnDnInfo) -> OnDnModel:
+    return OnDnModel.create(
+        info.origs, info.dirs, range_min=info.range_min, range_max=info.range_max
+    )
+
+
+def laser_scan_to_scan_info(scan: msgs.LaserScan) -> msgs.ScanInfo:
+    """sensor_msgs/LaserScan → spherical grid (single elevation row)."""
+    return msgs.ScanInfo(
+        phi_n=1,
+        theta_n=len(scan.ranges),
+        phi_min=0.0,
+        phi_inc=0.0,
+        theta_min=scan.angle_min,
+        theta_inc=scan.angle_increment,
+        range_min=scan.range_min,
+        range_max=scan.range_max,
+    )
+
+
+# ---------------------------------------------------------------------------
+# scan data ⇄ points
+# ---------------------------------------------------------------------------
+
+
+def scan_to_points(msg: msgs.ScanStamped) -> Tuple[np.ndarray, np.ndarray]:
+    """Polar ranges → sensor-frame cartesian points + validity mask
+    (reference unpackMessage — MICPSphericalSensorCPU.cpp:181-233)."""
+    model = scan_info_to_model(msg.info)
+    r = np.asarray(msg.data.ranges, np.float32)
+    pts = np.asarray(model.polar_to_cartesian(r))
+    mask = (r >= msg.info.range_min) & (r <= msg.info.range_max)
+    if msg.data.mask is not None:
+        mask = mask & np.asarray(msg.data.mask, bool)
+    return pts, mask
+
+
+# ---------------------------------------------------------------------------
+# Pc2ToScan — project an unorganized cloud into a spherical grid
+# ---------------------------------------------------------------------------
+
+
+def pointcloud_to_scan(
+    cloud: msgs.PointCloud2,
+    info: msgs.ScanInfo,
+    keep: str = "nearest",
+) -> msgs.ScanStamped:
+    """Project points into the scan grid (reference Pc2ToScanNode::convert —
+    pc2_to_scan.cpp:105-213: nearest-bin rounding + range gating).
+
+    The reference keeps the LAST point written per bin; ``keep='nearest'``
+    keeps the closest (strictly better, and deterministic); ``keep='last'``
+    reproduces the reference exactly.
+    """
+    pts = cloud.points
+    finite = np.isfinite(pts).all(axis=1)
+    p = pts[finite]
+    rng = np.linalg.norm(p, axis=1)
+    # angles (note: the reference computes the vertical angle against the
+    # full range — atan2(z, |p|) — reference pc2_to_scan.cpp:196; we use the
+    # geometrically exact atan2(z, sqrt(x^2+y^2)))
+    theta = np.arctan2(p[:, 1], p[:, 0])  # horizontal
+    phi = np.arctan2(p[:, 2], np.sqrt(p[:, 0] ** 2 + p[:, 1] ** 2))  # vertical
+
+    theta_id = np.floor((theta - info.theta_min) / max(info.theta_inc, 1e-12) + 0.5).astype(int)
+    if abs(info.theta_n * info.theta_inc - 2 * np.pi) < 1e-3:
+        theta_id = theta_id % info.theta_n  # full-circle grids wrap at ±pi
+    phi_id = (
+        np.floor((phi - info.phi_min) / max(info.phi_inc, 1e-12) + 0.5).astype(int)
+        if info.phi_n > 1
+        else np.zeros(len(p), int)
+    )
+    ok = (
+        (theta_id >= 0)
+        & (theta_id < info.theta_n)
+        & (phi_id >= 0)
+        & (phi_id < info.phi_n)
+        & (rng >= info.range_min)
+        & (rng <= info.range_max)
+    )
+    buffer_id = phi_id[ok] * info.theta_n + theta_id[ok]
+    r_ok = rng[ok]
+
+    ranges = np.zeros(info.phi_n * info.theta_n, np.float32)  # 0 = invalid
+    if keep == "nearest":
+        nearest = np.full_like(ranges, np.inf)
+        np.minimum.at(nearest, buffer_id, r_ok)
+        ranges = np.where(np.isfinite(nearest), nearest, 0.0).astype(np.float32)
+    else:
+        ranges[buffer_id] = r_ok
+    return msgs.ScanStamped(
+        header=cloud.header,
+        info=info,
+        data=msgs.RangeData(ranges=ranges, mask=ranges > 0),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pc2ToO1Dn — estimate a generic-LiDAR model + data from a cloud
+# ---------------------------------------------------------------------------
+
+
+def pointcloud_to_o1dn(
+    cloud: msgs.PointCloud2,
+    width_skip: int = 1,
+) -> msgs.O1DnStamped:
+    """Synthesize per-ray directions from the points themselves
+    (reference estimateModelAndData — conversions.cpp:869-1074 — with the
+    Pc2ToO1DnNode's decimation filter, scan_operations.h:52-79)."""
+    pts = cloud.points[::width_skip]
+    finite = np.isfinite(pts).all(axis=1)
+    rng = np.linalg.norm(np.where(finite[:, None], pts, 0.0), axis=1)
+    safe = np.maximum(rng, 1e-12)
+    dirs = np.where(finite[:, None], pts / safe[:, None], np.asarray([1.0, 0, 0]))
+    ranges = np.where(finite, rng, 0.0).astype(np.float32)
+    info = msgs.O1DnInfo(
+        orig=np.zeros(3, np.float32),
+        dirs=dirs.astype(np.float32),
+        range_min=0.0,
+        range_max=float(ranges.max() * 1.5 + 1e-3),
+    )
+    data = msgs.RangeData(ranges=ranges, mask=finite)
+    if cloud.normals is not None:
+        data.normals = cloud.normals[::width_skip]
+    if cloud.intensities is not None:
+        data.intensities = cloud.intensities[::width_skip]
+    return msgs.O1DnStamped(header=cloud.header, info=info, data=data)
+
+
+# ---------------------------------------------------------------------------
+# ScanToScan — LaserScan ingestion with decimation
+# ---------------------------------------------------------------------------
+
+
+def laser_scan_to_scan(scan: msgs.LaserScan, skip_begin: int = 0, skip_end: int = 0, increment: int = 1) -> msgs.ScanStamped:
+    """reference ScanToScanNode (scan_to_scan.cpp:5-132): skip/increment
+    decimation of a planar laser scan."""
+    n = len(scan.ranges)
+    idx = np.arange(skip_begin, n - skip_end, increment)
+    info = msgs.ScanInfo(
+        phi_n=1,
+        theta_n=len(idx),
+        phi_min=0.0,
+        phi_inc=0.0,
+        theta_min=scan.angle_min + skip_begin * scan.angle_increment,
+        theta_inc=scan.angle_increment * increment,
+        range_min=scan.range_min,
+        range_max=scan.range_max,
+    )
+    return msgs.ScanStamped(
+        header=scan.header,
+        info=info,
+        data=msgs.RangeData(ranges=np.asarray(scan.ranges, np.float32)[idx]),
+    )

@@ -1,0 +1,267 @@
+"""MICP-L localization runtime — the MICPLocalizationNode equivalent.
+
+Host-side orchestration around the jitted correction pipeline, replacing
+the reference's ROS 2 component node (reference
+rmcl_ros/src/nodes/micp_localization.cpp:108-311): config-driven sensor
+factory, odom/TF-chain state, the correction loop, pose re-initialization,
+pose/stats outputs.
+
+Threading model by design: the reference runs a correction thread at up to
+1 kHz plus a TF-broadcast thread and per-sensor executor threads
+(SURVEY.md §2.10 P3). Here the correction is one device program; the caller
+(replay loop, simulator, middleware bridge) drives ``step()`` at its own
+rate and reads ``tom`` whenever the map→odom transform is needed — device
+steps serialize per stream anyway, so host thread fan-out adds nothing.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import math
+import time
+from typing import Dict, List, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from rmcl_tpu.config.tree import ParamTree
+from rmcl_tpu.geom.map import MeshMap
+from rmcl_tpu.io import msgs
+from rmcl_tpu.io.conversions import (
+    depth_info_to_model,
+    o1dn_info_to_model,
+    ondn_info_to_model,
+    scan_info_to_model,
+    scan_to_points,
+)
+from rmcl_tpu.math.se3 import Transform
+from rmcl_tpu.micp.pipeline import (
+    MICPConfig,
+    MICPSensorConfig,
+    MICPSensorData,
+    MICPStats,
+    correct_once_jit,
+)
+from rmcl_tpu.sensors.models import SensorModel
+
+
+@dataclasses.dataclass
+class MICPSensorState:
+    """Mutable per-sensor slot (the MICPSensorBase equivalent —
+    reference rmcl_ros/include/rmcl_ros/micpl/MICPSensor.hpp:65-113)."""
+
+    name: str
+    model: Optional[SensorModel] = None
+    points: Optional[np.ndarray] = None
+    mask: Optional[np.ndarray] = None
+    tsb: Transform = dataclasses.field(default_factory=Transform.identity)
+    config: MICPSensorConfig = dataclasses.field(
+        default_factory=MICPSensorConfig.create
+    )
+    stamp: float = 0.0
+    outdated: bool = True  # reference Correspondences `outdated` flag
+
+    def has_data(self) -> bool:
+        return self.points is not None
+
+
+class MICPLocalization:
+    """Mesh-ICP pose tracking over a mesh map.
+
+    Config schema mirrors the reference YAML (micp_localization.cpp:116-185
+    + the sensors.* subtree of loadSensor :507-808), e.g.::
+
+        map_file: world.obj            # or pass a MeshMap directly
+        optimization_iterations: 5
+        disable_correction: false
+        adaptive_max_dist: true
+        initial_pose_guess: [0, 0, 0, 0, 0, 0]
+        sensors:
+          lidar3d:
+            weight: 2.0
+            correspondences:
+              type: RC                # RC | CP
+              max_dist: 0.5
+              adaptive_max_dist_min: 0.15
+    """
+
+    def __init__(self, map_: MeshMap, config: Optional[ParamTree] = None):
+        self.map = map_
+        self.config = config or ParamTree()
+        self.micp_config = MICPConfig(
+            optimization_iterations=int(self.config.get("optimization_iterations", 5)),
+            adaptive_max_dist=bool(self.config.get("adaptive_max_dist", True)),
+            disable_correction=bool(self.config.get("disable_correction", False)),
+            solver=str(self.config.get("solver", "p2l_gn")),
+        )
+        self.sensors: Dict[str, MICPSensorState] = {}
+        for name, sub in self.config.subtree("sensors").items():
+            self.sensors[name] = MICPSensorState(
+                name=name,
+                config=MICPSensorConfig.create(
+                    max_dist=float(sub.get("correspondences.max_dist", 0.5)),
+                    adaptive_max_dist_min=float(
+                        sub.get("correspondences.adaptive_max_dist_min", 0.15)
+                    ),
+                    weight=float(sub.get("weight", 1.0)),
+                    corr_type=str(sub.get("correspondences.type", "RC")),
+                ),
+            )
+
+        guess = self.config.get("initial_pose_guess", [0, 0, 0, 0, 0, 0])
+        self._initial_guess = Transform.from_pose_tuple(jnp.asarray(guess, jnp.float32))
+        self.tom: Optional[Transform] = None  # set on first odometry
+        self.tbo: Transform = Transform.identity()
+        self.convergence_progress = jnp.float32(0.0)
+        self.pose_noise = float(self.config.get("pose_noise", 0.01))
+        self.corrections = 0
+        self.last_stats: Optional[MICPStats] = None
+        self._runtime_ema = 0.0
+
+    # -- sensor ingest -----------------------------------------------------
+
+    def ensure_sensor(self, name: str) -> MICPSensorState:
+        if name not in self.sensors:
+            self.sensors[name] = MICPSensorState(name=name)
+        return self.sensors[name]
+
+    def on_scan(self, name: str, msg: msgs.ScanStamped, tsb: Transform = None):
+        """Spherical scan message (reference MICPSphericalSensor*::updateMsg)."""
+        s = self.ensure_sensor(name)
+        s.model = scan_info_to_model(msg.info)
+        s.points, s.mask = scan_to_points(msg)
+        self._finish_update(s, msg.header.stamp, tsb)
+
+    def on_depth(self, name: str, msg: msgs.DepthStamped, tsb: Transform = None):
+        s = self.ensure_sensor(name)
+        s.model = depth_info_to_model(msg.info)
+        pts = np.asarray(s.model.depth_to_cartesian(jnp.asarray(msg.data.ranges)))
+        s.points = pts
+        z = np.asarray(msg.data.ranges)
+        s.mask = (z >= msg.info.range_min) & (z <= msg.info.range_max)
+        self._finish_update(s, msg.header.stamp, tsb)
+
+    def on_o1dn(self, name: str, msg: msgs.O1DnStamped, tsb: Transform = None):
+        s = self.ensure_sensor(name)
+        s.model = o1dn_info_to_model(msg.info)
+        r = np.asarray(msg.data.ranges, np.float32)
+        s.points = np.asarray(s.model.polar_to_cartesian(jnp.asarray(r)))
+        s.mask = (r >= msg.info.range_min) & (r <= msg.info.range_max)
+        if msg.data.mask is not None:
+            s.mask = s.mask & np.asarray(msg.data.mask, bool)
+        self._finish_update(s, msg.header.stamp, tsb)
+
+    def on_ondn(self, name: str, msg: msgs.OnDnStamped, tsb: Transform = None):
+        s = self.ensure_sensor(name)
+        s.model = ondn_info_to_model(msg.info)
+        r = np.asarray(msg.data.ranges, np.float32)
+        s.points = np.asarray(s.model.polar_to_cartesian(jnp.asarray(r)))
+        s.mask = (r >= msg.info.range_min) & (r <= msg.info.range_max)
+        self._finish_update(s, msg.header.stamp, tsb)
+
+    def set_static_dataset(self, name: str, model, points, mask, tsb=None):
+        """Static dataset mode (reference data_source: parameters —
+        MICPSphericalSensorCPU::getDataFromParameters :53-95)."""
+        s = self.ensure_sensor(name)
+        s.model = model
+        s.points = np.asarray(points, np.float32)
+        s.mask = np.asarray(mask, bool)
+        self._finish_update(s, 0.0, tsb)
+
+    def _finish_update(self, s: MICPSensorState, stamp: float, tsb):
+        if tsb is not None:
+            s.tsb = tsb
+        s.stamp = stamp
+        s.outdated = True
+
+    # -- odometry / initialization ----------------------------------------
+
+    def on_odometry(self, tbo: Transform):
+        """Base→odom update (the reference's TF subscription). Initializes
+        ``Tom = initial_pose_guess * ~Tbo`` on first receipt
+        (reference :245-283)."""
+        self.tbo = tbo
+        if self.tom is None:
+            self.tom = self._initial_guess @ tbo.inverse()
+
+    def set_pose(self, pose_bm: Transform):
+        """/initialpose equivalent: ``Tom = Tbm * ~Tbo`` + stats reset
+        (reference poseCB :413-505)."""
+        self.tom = pose_bm @ self.tbo.inverse()
+        self.convergence_progress = jnp.float32(0.0)
+        self.corrections = 0
+
+    # -- correction --------------------------------------------------------
+
+    def step(self) -> Optional[MICPStats]:
+        """One correction (the correctionLoop body — reference :1086-1171).
+        Returns the correction stats, or None if not ready."""
+        if self.tom is None:
+            return None
+        active = [s for s in self.sensors.values() if s.has_data()]
+        if not active:
+            return None
+        t0 = time.time()
+        sensor_data = [
+            MICPSensorData(
+                model=s.model,
+                points=jnp.asarray(s.points),
+                mask=jnp.asarray(s.mask),
+                tsb=s.tsb,
+                config=s.config,
+            )
+            for s in active
+        ]
+        tom_new, stats = correct_once_jit(
+            self.map.bvh,
+            sensor_data,
+            self.tom,
+            self.tbo,
+            self.convergence_progress,
+            config=self.micp_config,
+        )
+        self.tom = tom_new
+        self.convergence_progress = stats.convergence_progress
+        self.last_stats = stats
+        self.corrections += 1
+        dt = time.time() - t0
+        self._runtime_ema = 0.9 * self._runtime_ema + 0.1 * dt
+        for s in active:
+            s.outdated = False
+        return stats
+
+    # -- outputs -----------------------------------------------------------
+
+    def pose_base_map(self) -> Transform:
+        """Tbm = Tom * Tbo — the tracked base pose in the map frame."""
+        return self.tom @ self.tbo
+
+    def pose_with_covariance(self) -> msgs.ParticleStatsMsg:
+        """Heuristic isotropic covariance from convergence progress
+        (reference publishPose :1053-1084: XX = (1-progress)+pose_noise)."""
+        p = self.pose_base_map()
+        q = np.asarray(p.rot)
+        var = float(1.0 - np.asarray(self.convergence_progress)) + self.pose_noise
+        cov = np.eye(6, dtype=np.float32) * var
+        pose7 = np.concatenate([np.asarray(p.trans), [q[1], q[2], q[3], q[0]]])
+        lik = msgs.LikelihoodStats(0.0, 0.0, 0.0, 0.0)
+        return msgs.ParticleStatsMsg(
+            pose=pose7,
+            covariance=cov,
+            likelihood=lik,
+            shift=0.0,
+            trans_bb_min=np.zeros(3),
+            trans_bb_max=np.zeros(3),
+            nparticles=0,
+        )
+
+    def sensor_stats(self) -> Optional[msgs.MICPSensorStats]:
+        if self.last_stats is None:
+            return None
+        st = self.last_stats
+        return msgs.MICPSensorStats(
+            total_measurements=int(np.asarray(st.total_measurements)),
+            valid_measurements=int(np.asarray(st.valid_measurements)),
+            valid_matches=float(np.asarray(st.valid_matches)),
+            covariance_trace=float(np.asarray(st.covariance_trace)),
+        )

@@ -1,0 +1,210 @@
+"""Runtime-layer tests: config tree, conversions, MICP node, segmentation."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from rmcl_tpu.bvh.builder import build_bvh
+from rmcl_tpu.config.tree import ParamTree
+from rmcl_tpu.geom.map import MapContainer, MeshMap
+from rmcl_tpu.geom.mesh import make_room_scene, make_sphere
+from rmcl_tpu.io import msgs
+from rmcl_tpu.io.conversions import (
+    laser_scan_to_scan,
+    model_to_scan_info,
+    pointcloud_to_o1dn,
+    pointcloud_to_scan,
+    scan_info_to_model,
+    scan_to_points,
+)
+from rmcl_tpu.math.se3 import Transform
+from rmcl_tpu.micp.node import MICPLocalization
+from rmcl_tpu.ops.segmentation import segment_scan
+from rmcl_tpu.sensors.models import SphericalModel
+from rmcl_tpu.sensors.simulate import simulate
+
+
+# --- ParamTree --------------------------------------------------------------
+
+
+def test_param_tree_paths():
+    t = ParamTree({"sensors": {"lidar": {"weight": 2.0, "correspondences": {"max_dist": 0.7}}}})
+    assert t.get("sensors.lidar.weight") == 2.0
+    assert t.get("sensors.lidar.correspondences.max_dist") == 0.7
+    assert t.get("missing.path", 42) == 42
+    assert "sensors.lidar" in t
+    names = [k for k, _ in t.subtree("sensors").items()]
+    assert names == ["lidar"]
+
+
+def test_param_tree_from_flat_and_merge():
+    t = ParamTree.from_flat({"a.b": 1, "a.c": 2, "d": 3})
+    assert t.get("a.b") == 1 and t.get("d") == 3
+    o = ParamTree.from_flat({"a.b": 10, "e": 5})
+    m = t.merged(o)
+    assert m.get("a.b") == 10 and m.get("a.c") == 2 and m.get("e") == 5
+
+
+def test_param_tree_mini_yaml():
+    text = """
+map_file: world.obj
+optimization_iterations: 5
+adaptive_max_dist: true
+initial_pose_guess: [0.0, 1.0, 0.0, 0, 0, 0.5]
+sensors:
+  lidar:
+    weight: 2.0
+    correspondences:
+      type: RC
+      max_dist: 0.5
+"""
+    t = ParamTree.from_yaml(text)
+    assert t.get("optimization_iterations") == 5
+    assert t.get("adaptive_max_dist") is True
+    assert t.get("initial_pose_guess") == [0.0, 1.0, 0.0, 0, 0, 0.5]
+    assert t.get("sensors.lidar.correspondences.max_dist") == 0.5
+
+
+# --- conversions ------------------------------------------------------------
+
+
+def test_scan_info_model_roundtrip():
+    m = SphericalModel.vlp16(width=360)
+    info = model_to_scan_info(m)
+    m2 = scan_info_to_model(info)
+    np.testing.assert_allclose(float(m2.theta_inc), float(m.theta_inc), rtol=1e-6)
+    assert m2.width == m.width and m2.height == m.height
+
+
+def test_scan_to_points_roundtrip(rng):
+    m = SphericalModel.create(width=90, height=4)
+    info = model_to_scan_info(m)
+    r = rng.uniform(1, 50, m.n_rays).astype(np.float32)
+    r[::7] = 0.0  # invalid
+    msg = msgs.ScanStamped(header=msgs.Header(), info=info, data=msgs.RangeData(ranges=r))
+    pts, mask = scan_to_points(msg)
+    assert mask.sum() == (r > 0).sum()
+    np.testing.assert_allclose(np.linalg.norm(pts[mask], axis=1), r[r > 0], rtol=1e-4)
+
+
+def test_pointcloud_to_scan_binning(rng):
+    # points generated exactly on a scan grid must land in their own bins
+    m = SphericalModel.create(width=90, height=4, range_min=0.5, range_max=100.0)
+    info = model_to_scan_info(m)
+    r = rng.uniform(2, 50, m.n_rays).astype(np.float32)
+    pts = np.asarray(m.polar_to_cartesian(jnp.asarray(r)))
+    cloud = msgs.PointCloud2(header=msgs.Header(), points=pts)
+    scan = pointcloud_to_scan(cloud, info)
+    np.testing.assert_allclose(scan.data.ranges, r, rtol=1e-4)
+
+
+def test_pointcloud_to_o1dn(rng):
+    pts = rng.normal(size=(200, 3)).astype(np.float32) * 5
+    pts[3] = np.nan
+    cloud = msgs.PointCloud2(header=msgs.Header(), points=pts)
+    o1dn = pointcloud_to_o1dn(cloud)
+    assert o1dn.data.mask.sum() == 199
+    d = o1dn.info.dirs
+    np.testing.assert_allclose(np.linalg.norm(d[o1dn.data.mask], axis=1), 1.0, atol=1e-5)
+
+
+def test_laser_scan_decimation():
+    scan = msgs.LaserScan(
+        header=msgs.Header(),
+        angle_min=-1.0,
+        angle_increment=0.01,
+        range_min=0.1,
+        range_max=10.0,
+        ranges=np.arange(200, dtype=np.float32),
+    )
+    out = laser_scan_to_scan(scan, skip_begin=10, skip_end=10, increment=2)
+    assert out.info.theta_n == 90
+    np.testing.assert_allclose(out.info.theta_min, -0.9, atol=1e-6)
+    np.testing.assert_allclose(out.data.ranges[:3], [10, 12, 14])
+
+
+# --- MeshMap / MapContainer -------------------------------------------------
+
+
+def test_map_container(tmp_path):
+    from rmcl_tpu.geom.mesh import save_obj
+
+    mesh = make_sphere(16, 16)
+    p = str(tmp_path / "m.obj")
+    save_obj(mesh, p)
+    c = MapContainer()
+    m1 = c.load("world", p)
+    m2 = c.get("world")
+    assert m1 is m2
+    assert m1.bvh.nodes.shape[0] == 2 * m1.mesh.n_faces - 1
+    assert m1.bins.n_bins >= 1
+
+
+# --- MICP node --------------------------------------------------------------
+
+
+def test_micp_localization_node_tracks():
+    world = make_room_scene(n_pillars=3, seed=13)
+    map_ = MeshMap.from_mesh(world)
+    cfg = ParamTree.from_yaml(
+        """
+optimization_iterations: 5
+initial_pose_guess: [0.45, -0.3, 1.0, 0, 0, 0.28]
+sensors:
+  lidar:
+    weight: 1.0
+    correspondences:
+      type: RC
+      max_dist: 2.0
+"""
+    )
+    node = MICPLocalization(map_, cfg)
+    model = SphericalModel.create(width=240, height=8, phi_min=-0.3, phi_max=0.2, range_max=30.0)
+    true_pose = Transform.from_pose_tuple(jnp.asarray([0.5, -0.25, 1.0, 0, 0, 0.3]))
+    hits = simulate(map_.bvh, model, true_pose)
+    node.set_static_dataset("lidar", model, np.asarray(hits.point), np.asarray(hits.hit))
+    node.on_odometry(Transform.identity())
+    for _ in range(10):
+        stats = node.step()
+    pose = node.pose_base_map()
+    err = np.linalg.norm(np.asarray(pose.trans) - np.asarray(true_pose.trans))
+    assert err < 0.02, err
+    assert float(np.asarray(stats.convergence_progress)) > 0.5
+    s = node.sensor_stats()
+    assert s.valid_matches > 0
+
+
+def test_micp_node_set_pose_resets():
+    map_ = MeshMap.from_mesh(make_sphere(24, 24, radius=5.0))
+    node = MICPLocalization(map_)
+    node.on_odometry(Transform.identity())
+    node.set_pose(Transform.from_pose_tuple(jnp.asarray([1.0, 0, 0, 0, 0, 0])))
+    np.testing.assert_allclose(np.asarray(node.pose_base_map().trans), [1, 0, 0], atol=1e-6)
+
+
+# --- segmentation -----------------------------------------------------------
+
+
+def test_segment_scan_detects_obstacle_and_stale_map():
+    world = make_room_scene(n_pillars=0, seed=0)  # empty 10x8x3 room
+    bvh = build_bvh(world)
+    model = SphericalModel.create(width=180, height=4, phi_min=-0.05, phi_max=0.05, range_max=30.0)
+    pose = Transform.from_pose_tuple(jnp.asarray([0.0, 0.0, 1.5, 0, 0, 0]))
+    sim = simulate(bvh, model, pose)
+    ranges = np.where(np.asarray(sim.hit), np.asarray(sim.t), 0.0).astype(np.float32)
+
+    # inject a dynamic obstacle: pull some +x beams to 1m
+    fwd = np.abs(np.linspace(-np.pi, np.pi, 180, endpoint=False)) < 0.2
+    obstacle = np.tile(fwd, 4) & (ranges > 2.0)
+    ranges_obs = np.where(obstacle, 1.0, ranges)
+
+    out = segment_scan(bvh, model, pose, jnp.asarray(ranges_obs))
+    assert bool(np.asarray(out.scan_outlier)[obstacle].all())
+    # untouched beams are inliers
+    clean = ~obstacle & (ranges > 0)
+    assert np.asarray(out.scan_outlier)[clean].sum() == 0
+    assert np.asarray(out.map_outlier)[clean].sum() == 0
+
+    # stale map: push some beams farther than the wall
+    ranges_far = np.where(obstacle, ranges + 3.0, ranges)
+    out2 = segment_scan(bvh, model, pose, jnp.asarray(ranges_far))
+    assert bool(np.asarray(out2.map_outlier)[obstacle].all())
