@@ -311,3 +311,27 @@ def validate_bvh(bvh: BVH) -> dict:
         "mean_leaf_depth": float(np.mean(leaf_depths)),
         "n_leaves": len(leaf_depths),
     }
+
+
+def build_bvh_sah(mesh: TriangleMesh, as_numpy: bool = False) -> BVH:
+    """Build via the native C++ binned-SAH builder (rmcl_tpu/bvh/native).
+
+    Higher tree quality than the Morton LBVH (fewer node visits per ray) and
+    faster host builds on multi-million-triangle maps. Raises RuntimeError if
+    the native library is unavailable; see :func:`build_bvh_auto`.
+    """
+    from rmcl_tpu.bvh import native
+
+    nodes, root, _leaf_order, aabb = native.build_bvh_sah_arrays(
+        mesh.vertices, mesh.faces
+    )
+    return _finalize(nodes, root, aabb[:3], aabb[3:], mesh.n_faces, as_numpy)
+
+
+def build_bvh_auto(mesh: TriangleMesh, as_numpy: bool = False) -> BVH:
+    """Native SAH when available, numpy LBVH otherwise."""
+    from rmcl_tpu.bvh import native
+
+    if native.available():
+        return build_bvh_sah(mesh, as_numpy=as_numpy)
+    return build_bvh(mesh, as_numpy=as_numpy)

@@ -218,3 +218,26 @@ def test_batched_shapes():
     hits = cast_rays(bvh, o, d)
     assert hits.t.shape == (4, 5)
     assert hits.point.shape == (4, 5, 3)
+
+
+def test_native_sah_builder_matches_lbvh(rng):
+    from rmcl_tpu.bvh import native
+    from rmcl_tpu.bvh.builder import build_bvh_auto, build_bvh_sah
+
+    if not native.available():
+        import pytest
+
+        pytest.skip("native builder not built")
+    mesh = make_room_scene(n_pillars=3, seed=7)
+    bvh_sah = build_bvh_sah(mesh)
+    stats = validate_bvh(bvh_sah)
+    assert stats["n_leaves"] == mesh.n_faces
+    o, d = random_rays(rng, 256)
+    o[:, 2] = np.abs(o[:, 2]) * 0.3 + 1.0
+    exact = cast_rays(build_bvh(mesh), jnp.asarray(o), jnp.asarray(d))
+    sah = cast_rays(bvh_sah, jnp.asarray(o), jnp.asarray(d))
+    np.testing.assert_array_equal(np.asarray(sah.hit), np.asarray(exact.hit))
+    hit = np.asarray(exact.hit)
+    np.testing.assert_allclose(
+        np.asarray(sah.t)[hit], np.asarray(exact.t)[hit], rtol=1e-5
+    )
