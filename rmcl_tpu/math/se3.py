@@ -183,11 +183,15 @@ class Quaternion:
 
     @staticmethod
     def exp(v: Array) -> Array:
-        """Rotation-vector exp map, (...,3) → (...,4)."""
-        angle = jnp.linalg.norm(v, axis=-1, keepdims=True)
+        """Rotation-vector exp map, (...,3) → (...,4).
+
+        Gradient-safe at v = 0 (plain jnp.linalg.norm has a NaN gradient
+        there; the clamped sqrt keeps the Taylor branch's gradient clean)."""
+        sum_sq = jnp.sum(v * v, axis=-1, keepdims=True)
+        angle = jnp.sqrt(jnp.maximum(sum_sq, 1e-24))
         half = 0.5 * angle
-        small = angle < 1e-9
-        k = jnp.where(small, 0.5, jnp.sin(half) / jnp.where(small, 1.0, angle))
+        small = sum_sq < 1e-18
+        k = jnp.where(small, 0.5 - sum_sq / 48.0, jnp.sin(half) / angle)
         return jnp.concatenate([jnp.cos(half), v * k], axis=-1)
 
 
