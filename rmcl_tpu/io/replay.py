@@ -1,0 +1,106 @@
+"""Message replay: the runtime loop that replaces ROS topics/TF.
+
+The reference is driven by DDS subscriptions and the TF tree (SURVEY.md §5);
+here a :class:`MessageLog` holds a time-ordered stream of typed records
+(odometry, scans, clouds) that can be recorded from a simulator or loaded
+from NPZ, and :func:`replay` pumps them through the localization nodes in
+stamp order — a deterministic, testable stand-in for live middleware.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import heapq
+from typing import Any, Callable, Dict, Iterator, List, Optional, Tuple
+
+import numpy as np
+
+from rmcl_tpu.math.se3 import Transform
+
+
+@dataclasses.dataclass(order=True)
+class Record:
+    stamp: float
+    seq: int
+    kind: str = dataclasses.field(compare=False)  # "odom" | "scan" | "cloud" | ...
+    channel: str = dataclasses.field(compare=False)
+    payload: Any = dataclasses.field(compare=False)
+
+
+class MessageLog:
+    """Time-ordered typed record stream."""
+
+    def __init__(self) -> None:
+        self._records: List[Record] = []
+        self._seq = 0
+
+    def add(self, stamp: float, kind: str, channel: str, payload: Any) -> None:
+        self._records.append(Record(stamp, self._seq, kind, channel, payload))
+        self._seq += 1
+
+    def add_odometry(self, stamp: float, tbo: Transform) -> None:
+        self.add(stamp, "odom", "tf", tbo)
+
+    def __iter__(self) -> Iterator[Record]:
+        return iter(sorted(self._records))
+
+    def __len__(self) -> int:
+        return len(self._records)
+
+    def save(self, path: str) -> None:
+        """NPZ persistence for array-payload records (odometry + scans)."""
+        meta, arrays = [], {}
+        for i, r in enumerate(sorted(self._records)):
+            if r.kind == "odom":
+                arrays[f"r{i}_rot"] = np.asarray(r.payload.rot)
+                arrays[f"r{i}_trans"] = np.asarray(r.payload.trans)
+            elif r.kind == "cloud":
+                arrays[f"r{i}_points"] = np.asarray(r.payload["points"])
+                arrays[f"r{i}_mask"] = np.asarray(r.payload["mask"])
+            else:
+                raise ValueError(f"cannot persist record kind '{r.kind}'")
+            meta.append((r.stamp, r.kind, r.channel))
+        arrays["meta_stamp"] = np.asarray([m[0] for m in meta])
+        arrays["meta_kind"] = np.asarray([m[1] for m in meta])
+        arrays["meta_channel"] = np.asarray([m[2] for m in meta])
+        np.savez_compressed(path, **arrays)
+
+    @staticmethod
+    def load(path: str) -> "MessageLog":
+        import jax.numpy as jnp
+
+        z = np.load(path)
+        log = MessageLog()
+        for i, (stamp, kind, channel) in enumerate(
+            zip(z["meta_stamp"], z["meta_kind"], z["meta_channel"])
+        ):
+            kind = str(kind)
+            if kind == "odom":
+                payload = Transform(
+                    rot=jnp.asarray(z[f"r{i}_rot"]), trans=jnp.asarray(z[f"r{i}_trans"])
+                )
+            else:
+                payload = {
+                    "points": z[f"r{i}_points"],
+                    "mask": z[f"r{i}_mask"],
+                }
+            log.add(float(stamp), kind, str(channel), payload)
+        return log
+
+
+def replay(
+    log: MessageLog,
+    handlers: Dict[str, Callable[[Record], None]],
+    until: Optional[float] = None,
+) -> int:
+    """Pump records through per-kind handlers in stamp order; returns the
+    number of dispatched records. Unhandled kinds are skipped."""
+    n = 0
+    for rec in log:
+        if until is not None and rec.stamp > until:
+            break
+        fn = handlers.get(rec.kind)
+        if fn is not None:
+            fn(rec)
+            n += 1
+    return n

@@ -17,7 +17,7 @@ Differences by design (SURVEY.md §7.6):
 from __future__ import annotations
 
 import dataclasses
-from typing import Callable, Optional
+from typing import Callable, Optional, Union
 
 import jax
 import jax.numpy as jnp
@@ -77,8 +77,9 @@ class MCLNode:
     device program.
     """
 
-    def __init__(self, bvh: BVH, config: Optional[MCLConfig] = None):
-        self.bvh = bvh
+    def __init__(self, map_: Union[BVH, "MeshMap"], config: Optional[MCLConfig] = None):
+        # accept either a raw BVH or a MeshMap container
+        self.bvh = map_.bvh if hasattr(map_, "bvh") else map_
         self.config = config or MCLConfig()
         self.key = jax.random.PRNGKey(self.config.seed)
         self.cloud = ParticleCloud.create(self.config.n_particles)
