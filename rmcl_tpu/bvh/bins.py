@@ -8,8 +8,9 @@ Morton-coherent bins:
 
   level 0: "supers"  — groups of S bins        (n_super, 6) AABBs
   level 1: "bins"    — B Morton-contiguous tris (n_bins, 6) AABBs
-  payload:             packed triangle data     (n_bins, B, 12)
-                       [v0(3), e1(3), e2(3), geometric normal(3)]
+  payload:             packed triangle data     (n_bins, 12, B)
+                       [v0(3), e1(3), e2(3), geometric normal(3)] — component-
+                       major so B triangles fill vector lanes
                        + prim/inst ids          (n_bins, B) int32
 
 Rays are culled per *block* (conservative interval frustum) against supers
@@ -34,7 +35,7 @@ Array = jax.Array
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class TriangleBins:
-    tri: Array  # (n_bins, B, 12) packed triangle data
+    tri: Array  # (n_bins, 12, B) packed triangle data (component-major)
     prim_id: Array  # (n_bins, B) int32 (-1 for padding)
     inst_id: Array  # (n_bins, B) int32
     bin_aabb: Array  # (n_bins, 6) [min(3), max(3)]
@@ -49,7 +50,7 @@ class TriangleBins:
 
     @property
     def bin_size(self) -> int:
-        return self.tri.shape[1]
+        return self.tri.shape[2]
 
     @property
     def n_super(self) -> int:
@@ -109,7 +110,7 @@ def build_bins(
     norm_len = np.linalg.norm(normal, axis=1, keepdims=True)
     normal = normal / np.maximum(norm_len, 1e-20)
     packed = np.concatenate([v0, e1, e2, normal], axis=1).astype(np.float32)
-    packed = packed.reshape(n_bins, B, 12)
+    packed = packed.reshape(n_bins, B, 12).transpose(0, 2, 1).copy()
 
     bin_min = prim_min.reshape(n_bins, B, 3).min(axis=1)
     bin_max = prim_max.reshape(n_bins, B, 3).max(axis=1)

@@ -214,7 +214,7 @@ def cast_rays_binned(
     cand_tnear = jnp.where(cand_bin >= 0, -cand_score, _BIG)  # (n_blk, cb)
 
     # --- dense intersection over candidate bins ---------------------------
-    tri = bins.tri  # (n_bins, B, 12)
+    tri = bins.tri  # (n_bins, 12, B) component-major
 
     def chunk_fn(args):
         ob_c, db_c, tmin_c, tmax_c, cand_c, count_c, tnear_c = args
@@ -228,11 +228,11 @@ def cast_rays_binned(
             bid = jax.lax.dynamic_slice_in_dim(cand_c, c, 1, axis=1)[:, 0]  # (Bc,)
             ok_bin = bid >= 0
             safe = jnp.where(ok_bin, bid, 0)
-            tw = jnp.take(tri, safe, axis=0)  # (Bc, B, 12)
+            tw = jnp.take(tri, safe, axis=0)  # (Bc, 12, B)
 
-            v0x, v0y, v0z = tw[:, None, :, 0], tw[:, None, :, 1], tw[:, None, :, 2]
-            e1x, e1y, e1z = tw[:, None, :, 3], tw[:, None, :, 4], tw[:, None, :, 5]
-            e2x, e2y, e2z = tw[:, None, :, 6], tw[:, None, :, 7], tw[:, None, :, 8]
+            v0x, v0y, v0z = tw[:, None, 0, :], tw[:, None, 1, :], tw[:, None, 2, :]
+            e1x, e1y, e1z = tw[:, None, 3, :], tw[:, None, 4, :], tw[:, None, 5, :]
+            e2x, e2y, e2z = tw[:, None, 6, :], tw[:, None, 7, :], tw[:, None, 8, :]
 
             # Möller–Trumbore on (Bc, Rb, B)
             pvx = dy * e2z - dz * e2y
@@ -318,11 +318,13 @@ def cast_rays_binned(
     t_best = outs[0].reshape(-1)[:n]
     ref_best = outs[1].reshape(-1)[:n]
 
-    # one batched payload fetch for the winners
+    # one batched payload fetch for the winners (ref = bin*B + j)
     hit0 = ref_best >= 0
     safe_ref = jnp.where(hit0, ref_best, 0)
-    flat_tri = tri.reshape(-1, 12)
-    win = jnp.take(flat_tri, safe_ref, axis=0)  # (n, 12)
+    win_bin = safe_ref // B
+    win_j = safe_ref % B
+    tw_win = jnp.take(tri, win_bin, axis=0)  # (n, 12, B)
+    win = jnp.take_along_axis(tw_win, win_j[:, None, None], axis=2)[:, :, 0]  # (n, 12)
     nx, ny, nz = win[:, 9], win[:, 10], win[:, 11]
     d0 = nx * win[:, 0] + ny * win[:, 1] + nz * win[:, 2]
     prim = jnp.take(bins.prim_id.reshape(-1), safe_ref).astype(jnp.float32)
