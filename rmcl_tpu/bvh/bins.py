@@ -36,6 +36,7 @@ Array = jax.Array
 @dataclasses.dataclass(frozen=True)
 class TriangleBins:
     tri: Array  # (n_bins, 12, B) packed triangle data (component-major)
+    plane: Array  # (n_bins*B, 4) [nx, ny, nz, n·v0] — winner payload rows
     prim_id: Array  # (n_bins, B) int32 (-1 for padding)
     inst_id: Array  # (n_bins, B) int32
     bin_aabb: Array  # (n_bins, 6) [min(3), max(3)]
@@ -110,6 +111,8 @@ def build_bins(
     norm_len = np.linalg.norm(normal, axis=1, keepdims=True)
     normal = normal / np.maximum(norm_len, 1e-20)
     packed = np.concatenate([v0, e1, e2, normal], axis=1).astype(np.float32)
+    d0 = np.einsum("tj,tj->t", normal, v0).astype(np.float32)
+    plane = np.concatenate([normal.astype(np.float32), d0[:, None]], axis=1)
     packed = packed.reshape(n_bins, B, 12).transpose(0, 2, 1).copy()
 
     bin_min = prim_min.reshape(n_bins, B, 3).min(axis=1)
@@ -130,6 +133,7 @@ def build_bins(
 
     return TriangleBins(
         tri=jnp.asarray(packed),
+        plane=jnp.asarray(plane),
         prim_id=jnp.asarray(prim_ids.reshape(n_bins, B)),
         inst_id=jnp.asarray(inst_ids.reshape(n_bins, B)),
         bin_aabb=jnp.asarray(bin_aabb.astype(np.float32)),

@@ -90,7 +90,10 @@ def _block_box_test(o_lo, o_hi, d_lo, d_hi, t_hi, bmin, bmax):
 
 @partial(
     jax.jit,
-    static_argnames=("block_size", "c_super", "c_bin", "block_chunk", "flip_normals"),
+    static_argnames=(
+        "block_size", "c_super", "c_bin", "block_chunk", "flip_normals",
+        "use_pallas", "pallas_interpret",
+    ),
 )
 def cast_rays_binned(
     bins: TriangleBins,
@@ -103,6 +106,8 @@ def cast_rays_binned(
     c_bin: int = 192,
     block_chunk: int = 256,
     flip_normals: bool = True,
+    use_pallas: bool = False,
+    pallas_interpret: bool = False,
 ) -> RayHits:
     """Dense closest-hit query (drop-in for ops.raycast.cast_rays).
 
@@ -213,15 +218,35 @@ def cast_rays_binned(
     cand_count = jnp.sum(cand_bin >= 0, axis=1).astype(jnp.int32)  # (n_blk,)
     cand_tnear = jnp.where(cand_bin >= 0, -cand_score, _BIG)  # (n_blk, cb)
 
+    # order blocks by candidate count so chunks are homogeneous — one
+    # straggler block otherwise pins its whole chunk at the max trip count
+    blk_order = jnp.argsort(-cand_count)
+    blk_unorder = jnp.argsort(blk_order)
+    ob = jnp.take(ob, blk_order, axis=0)
+    db = jnp.take(db, blk_order, axis=0)
+    t_min_b = jnp.take(t_min_b, blk_order, axis=0)
+    t_max_b = jnp.take(t_max_b, blk_order, axis=0)
+    cand_bin = jnp.take(cand_bin, blk_order, axis=0)
+    cand_count = jnp.take(cand_count, blk_order, axis=0)
+    cand_tnear = jnp.take(cand_tnear, blk_order, axis=0)
+
     # --- dense intersection over candidate bins ---------------------------
     tri = bins.tri  # (n_bins, 12, B) component-major
+
+    assert B & (B - 1) == 0, "bin_size must be a power of two (packed-key min)"
+    jmask = jnp.int32(B - 1)
 
     def chunk_fn(args):
         ob_c, db_c, tmin_c, tmax_c, cand_c, count_c, tnear_c = args
         Bc = ob_c.shape[0]
         limit = jnp.max(count_c)
-        ox, oy, oz = ob_c[..., 0:1], ob_c[..., 1:2], ob_c[..., 2:3]  # (Bc,Rb,1)
-        dx, dy, dz = db_c[..., 0:1], db_c[..., 1:2], db_c[..., 2:3]
+        # triangle lane indices, packed once into the low bits of the float
+        # key (see below)
+        j_iota = jax.lax.broadcasted_iota(jnp.int32, (1, B, 1), 1)
+        # layout: (Bc, B, Rb) — rays fill the 128-lane dimension regardless
+        # of bin size; triangle planes broadcast along sublanes
+        ox, oy, oz = ob_c[:, None, :, 0], ob_c[:, None, :, 1], ob_c[:, None, :, 2]
+        dx, dy, dz = db_c[:, None, :, 0], db_c[:, None, :, 1], db_c[:, None, :, 2]
 
         def body(c, state):
             t_best, ref_best = state
@@ -230,11 +255,11 @@ def cast_rays_binned(
             safe = jnp.where(ok_bin, bid, 0)
             tw = jnp.take(tri, safe, axis=0)  # (Bc, 12, B)
 
-            v0x, v0y, v0z = tw[:, None, 0, :], tw[:, None, 1, :], tw[:, None, 2, :]
-            e1x, e1y, e1z = tw[:, None, 3, :], tw[:, None, 4, :], tw[:, None, 5, :]
-            e2x, e2y, e2z = tw[:, None, 6, :], tw[:, None, 7, :], tw[:, None, 8, :]
+            v0x, v0y, v0z = tw[:, 0, :, None], tw[:, 1, :, None], tw[:, 2, :, None]
+            e1x, e1y, e1z = tw[:, 3, :, None], tw[:, 4, :, None], tw[:, 5, :, None]
+            e2x, e2y, e2z = tw[:, 6, :, None], tw[:, 7, :, None], tw[:, 8, :, None]
 
-            # Möller–Trumbore on (Bc, Rb, B)
+            # Möller–Trumbore on (Bc, B, Rb)
             pvx = dy * e2z - dz * e2y
             pvy = dz * e2x - dx * e2z
             pvz = dx * e2y - dy * e2x
@@ -253,16 +278,24 @@ def cast_rays_binned(
                 & (u >= -eps)
                 & (v >= -eps)
                 & (u + v <= 1.0 + eps)
-                & (t > tmin_c[..., None])
-                & (t < t_best[..., None])
+                & (t > tmin_c[:, None, :])
+                & (t < t_best[:, None, :])
                 & ok_bin[:, None, None]
             )
             t_cand = jnp.where(ok, t, _BIG)
-            t_min_bin = jnp.min(t_cand, axis=-1)  # (Bc, Rb)
-            j_best = jnp.argmin(t_cand, axis=-1).astype(jnp.int32)  # (Bc, Rb)
+            # pack the triangle index into the low mantissa bits of the
+            # (positive) float: IEEE754 positives compare like ints, so ONE
+            # integer min replaces the expensive argmin (profiled at 57% of
+            # the loop). The ~1e-5 relative t perturbation only affects
+            # pruning margins; the output t is re-derived exactly from the
+            # winner's plane equation.
+            ti = jax.lax.bitcast_convert_type(t_cand, jnp.int32)
+            key = (ti & ~jmask) | j_iota
+            key_min = jnp.min(key, axis=1)  # (Bc, Rb)
+            t_min_bin = jax.lax.bitcast_convert_type(key_min | jmask, jnp.float32)
             better = t_min_bin < t_best
             t_best = jnp.where(better, t_min_bin, t_best)
-            ref = bid[:, None] * B + j_best
+            ref = bid[:, None] * B + (key_min & jmask)
             ref_best = jnp.where(better, ref, ref_best)
             return t_best, ref_best
 
@@ -311,22 +344,36 @@ def cast_rays_binned(
         cand_count.reshape(n_chunks, chunk),
         cand_tnear.reshape(n_chunks, chunk, cb),
     )
-    if n_chunks == 1:
+    if use_pallas:
+        from rmcl_tpu.ops.raycast_pallas import intersect_bins_pallas
+
+        t_best_b, ref_best_b = intersect_bins_pallas(
+            tri,
+            ob,
+            db,
+            t_min_b,
+            t_max_b,
+            cand_bin,
+            cand_count,
+            cand_tnear,
+            block_size=Rb,
+            interpret=pallas_interpret,
+        )
+        outs = (t_best_b, ref_best_b)
+    elif n_chunks == 1:
         outs = chunk_fn(tuple(a[0] for a in args))
     else:
         outs = jax.lax.map(chunk_fn, args)
-    t_best = outs[0].reshape(-1)[:n]
-    ref_best = outs[1].reshape(-1)[:n]
+    t_best_blk = outs[0].reshape(-1, Rb)[: n_blk]
+    ref_best_blk = outs[1].reshape(-1, Rb)[: n_blk]
+    t_best = jnp.take(t_best_blk, blk_unorder, axis=0).reshape(-1)[:n]
+    ref_best = jnp.take(ref_best_blk, blk_unorder, axis=0).reshape(-1)[:n]
 
     # one batched payload fetch for the winners (ref = bin*B + j)
     hit0 = ref_best >= 0
     safe_ref = jnp.where(hit0, ref_best, 0)
-    win_bin = safe_ref // B
-    win_j = safe_ref % B
-    tw_win = jnp.take(tri, win_bin, axis=0)  # (n, 12, B)
-    win = jnp.take_along_axis(tw_win, win_j[:, None, None], axis=2)[:, :, 0]  # (n, 12)
-    nx, ny, nz = win[:, 9], win[:, 10], win[:, 11]
-    d0 = nx * win[:, 0] + ny * win[:, 1] + nz * win[:, 2]
+    win = jnp.take(bins.plane, safe_ref, axis=0)  # (n, 4) [n, n·v0]
+    nx, ny, nz, d0 = win[:, 0], win[:, 1], win[:, 2], win[:, 3]
     prim = jnp.take(bins.prim_id.reshape(-1), safe_ref).astype(jnp.float32)
     inst = jnp.take(bins.inst_id.reshape(-1), safe_ref).astype(jnp.float32)
     prim = jnp.where(hit0, prim, -1.0)
