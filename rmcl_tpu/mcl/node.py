@@ -80,7 +80,13 @@ class MCLNode:
     def __init__(self, map_: Union[BVH, "MeshMap"], config: Optional[MCLConfig] = None):
         # accept either a raw BVH or a MeshMap container
         self.bvh = map_.bvh if hasattr(map_, "bvh") else map_
+        self.bins = getattr(map_, "bins", None)
         self.config = config or MCLConfig()
+        if self.config.sensor.engine == "binned" and self.bins is None:
+            raise ValueError(
+                "sensor.engine='binned' needs a MeshMap (with triangle "
+                "bins), not a raw BVH"
+            )
         self.key = jax.random.PRNGKey(self.config.seed)
         self.cloud = ParticleCloud.create(self.config.n_particles)
         self.tbo_last: Optional[Transform] = None  # odometry bookkeeping
@@ -153,8 +159,14 @@ class MCLNode:
     ) -> None:
         """Sensor stage on one point-cloud message (reference sensorUpdate
         :482-549)."""
+        # CP correspondences always need the BVH (closest-point queries)
+        use_bins = (
+            self.config.sensor.engine == "binned"
+            and self.config.sensor.correspondence_type != "CP"
+        )
+        accel = self.bins if use_bins else self.bvh
         self.cloud = sensor_update(
-            self.bvh,
+            accel,
             self.cloud,
             self._next_key(),
             jnp.asarray(points_s, jnp.float32),

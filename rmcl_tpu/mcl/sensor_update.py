@@ -51,6 +51,7 @@ class SensorUpdateConfig:
 
     samples: int = dataclasses.field(default=100, metadata=dict(static=True))
     correspondence_type: str = dataclasses.field(default="RC", metadata=dict(static=True))
+    engine: str = dataclasses.field(default="bvh", metadata=dict(static=True))  # bvh | binned
     dist_sigma: Array = dataclasses.field(default_factory=lambda: jnp.float32(2.0))
     real_hit_sim_miss_error: Array = dataclasses.field(default_factory=lambda: jnp.float32(100.0))
     real_miss_sim_hit_error: Array = dataclasses.field(default_factory=lambda: jnp.float32(100.0))
@@ -68,10 +69,12 @@ class SensorUpdateConfig:
         real_miss_sim_miss_error=0.0,
         range_min=0.1,
         range_max=130.0,
+        engine="bvh",
     ):
         return SensorUpdateConfig(
             samples=samples,
             correspondence_type=correspondence_type,
+            engine=engine,
             dist_sigma=jnp.float32(dist_sigma),
             real_hit_sim_miss_error=jnp.float32(real_hit_sim_miss_error),
             real_miss_sim_hit_error=jnp.float32(real_miss_sim_hit_error),
@@ -104,7 +107,7 @@ def sample_beams(
 # static through the pytree structure (register_dataclass meta fields)
 @partial(jax.jit, static_argnames=("chunk_size",))
 def sensor_update(
-    bvh: BVH,
+    bvh,  # BVH (engine="bvh") or TriangleBins (engine="binned")
     cloud: ParticleCloud,
     key: Array,
     points_s: Array,  # (M, 3) sensor-frame point cloud (one message)
@@ -137,14 +140,27 @@ def sensor_update(
         cp = closest_points(bvh, p_meas_m, chunk_size=chunk_size)
         error = jnp.where(cp.found, cp.dist, config.real_hit_sim_miss_error)
     else:
-        hits = cast_rays(
-            bvh,
-            orig_m,
-            dirs_m,
-            t_min=0.0,
-            chunk_size=chunk_size,
-            flip_normals=False,
-        )
+        if config.engine == "binned":
+            # dense engine: beam-major order (all particles of one beam form
+            # coherent-ish blocks once the cloud has concentrated)
+            from rmcl_tpu.ops.raycast_binned import cast_rays_binned
+
+            o_bm = jnp.swapaxes(orig_m, 0, 1).reshape(-1, 3)
+            d_bm = jnp.swapaxes(dirs_m, 0, 1).reshape(-1, 3)
+            h = cast_rays_binned(bvh, o_bm, d_bm, flip_normals=False)
+            resh = lambda x: jnp.swapaxes(
+                x.reshape(S, N, *x.shape[1:]), 0, 1
+            )
+            hits = jax.tree.map(resh, h)
+        else:
+            hits = cast_rays(
+                bvh,
+                orig_m,
+                dirs_m,
+                t_min=0.0,
+                chunk_size=chunk_size,
+                flip_normals=False,
+            )
         sim_hit = hits.hit & (hits.t > config.range_min)
         # point-to-plane distance between real and simulated hit (map frame)
         p_real_m = orig_m + dirs_m * ranges[None, :, None]

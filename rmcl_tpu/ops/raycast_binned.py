@@ -405,6 +405,77 @@ def cast_rays_binned(
     )
 
 
+def tiled_sweep_order(
+    origins,
+    width: int,
+    height: int,
+    poses_per_tile: int = 32,
+    az_tile: int = 8,
+    el_tile: int = 1,
+) -> Tuple[Array, Array]:
+    """Permutation for pose-sweep workloads producing *compact* ray blocks.
+
+    A direction-major block (one direction x all poses) spans the full pose
+    bounding box, which makes the block frustum fat and the candidate-bin
+    set large. Mixed tiles of ``poses_per_tile`` Morton-clustered origins x
+    ``az_tile*el_tile`` angularly-adjacent scan directions shrink the
+    footprint per block: origin spread falls with the cluster size while
+    the direction spread stays tiny (LiDAR azimuth steps are ~0.2-0.4 deg).
+
+    Rays are assumed pose-major: ray index = pose * (width*height) + dir,
+    with the scan grid flattened row-major (dir = el * width + az) — the
+    layout produced by :meth:`sensors.models.SphericalModel.rays`
+    (getBufferId semantics, models.py:114).
+
+    Returns (perm, inv_perm): apply ``rays[perm]``; un-apply ``hits[inv]``.
+    """
+    import numpy as np
+
+    from rmcl_tpu.bvh.builder import morton_codes_3d
+
+    origins = np.asarray(origins, np.float32).reshape(-1, 3)
+    n_poses = origins.shape[0]
+    n_dirs = width * height
+
+    lo = origins.min(axis=0)
+    extent = np.maximum(origins.max(axis=0) - lo, 1e-12)
+    pose_order = np.argsort(
+        morton_codes_3d((origins - lo) / extent), kind="stable"
+    ).astype(np.int64)
+
+    # pad the pose axis so tiles divide evenly (duplicated poses only waste
+    # a sliver of the last tile; the inverse perm ignores duplicates)
+    pt = max(1, min(poses_per_tile, n_poses))
+    at = max(1, min(az_tile, width))
+    et = max(1, min(el_tile, height))
+    n_pt = (n_poses + pt - 1) // pt
+    pose_pad = np.concatenate(
+        [pose_order, np.repeat(pose_order[-1:], n_pt * pt - n_poses)]
+    ).reshape(n_pt, pt)
+
+    az_ids = np.arange((width + at - 1) * 0 + width)
+    el_ids = np.arange(height)
+    n_at = (width + at - 1) // at
+    n_et = (height + et - 1) // et
+    az_pad = np.concatenate([az_ids, np.repeat(az_ids[-1:], n_at * at - width)])
+    el_pad = np.concatenate([el_ids, np.repeat(el_ids[-1:], n_et * et - height)])
+    az_tiles = az_pad.reshape(n_at, at)
+    el_tiles = el_pad.reshape(n_et, et)
+
+    # block layout: (pose_tile, az_tile, el_tile) -> rays
+    # ray id = pose * n_dirs + el * width + az
+    p = pose_pad[:, None, None, :, None, None]  # (n_pt,1,1,pt,1,1)
+    a = az_tiles[None, :, None, None, :, None]  # (1,n_at,1,1,at,1)
+    e = el_tiles[None, None, :, None, None, :]  # (1,1,n_et,1,1,et)
+    perm = (p * n_dirs + e * width + a).reshape(-1)
+
+    # inverse that ignores duplicate (padded) entries: last write wins is
+    # fine because duplicates compute identical rays
+    inv = np.zeros(n_poses * n_dirs, np.int64)
+    inv[perm] = np.arange(perm.shape[0])
+    return jnp.asarray(perm), jnp.asarray(inv)
+
+
 def direction_major_order(n_poses: int, n_dirs: int) -> Tuple[Array, Array]:
     """Permutation turning pose-major rays (pose0's scan, pose1's scan, …)
     into direction-major order (all poses' ray #0, all poses' ray #1, …).

@@ -1,0 +1,146 @@
+"""Probe the binned engine's candidate statistics + phase split on the
+benchmark workload (VLP-16 sweep over a 1M-face sphere, direction-major).
+
+Not the official bench — a diagnosis tool for the perf campaign.
+"""
+
+import argparse
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rmcl_tpu.bvh.bins import build_bins
+from rmcl_tpu.geom.mesh import make_sphere
+from rmcl_tpu.ops.raycast_binned import cast_rays_binned, direction_major_order
+from rmcl_tpu.sensors.models import SphericalModel
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--faces", type=int, default=1_000_000)
+    ap.add_argument("--poses", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=3)
+    ap.add_argument("--block-size", type=int, default=256)
+    ap.add_argument("--c-bin", type=int, default=192)
+    ap.add_argument("--order", default="dir",
+                    help="'dir' or 'PTxATxET' tile shape, e.g. 32x8x1")
+    ap.add_argument("--skip-e2e", action="store_true")
+    args = ap.parse_args()
+
+    print("devices:", jax.devices())
+    n = int(np.sqrt(args.faces / 2))
+    mesh = make_sphere(n, n, radius=50.0)
+    print(f"mesh: {mesh.n_faces} faces")
+    bins = build_bins(mesh)
+    jax.block_until_ready(bins.tri)
+    print(f"bins: {bins.n_bins} x B={bins.bin_size}, {bins.n_super} supers, "
+          f"{bins.nbytes()/1e6:.0f} MB")
+
+    model = SphericalModel.vlp16(width=900)
+    _, dirs_s = model.rays()
+    n_dirs = model.n_rays
+    rng = np.random.default_rng(0)
+    trans = rng.uniform(-5, 5, size=(args.poses, 1, 3)).astype(np.float32)
+    o_base = np.broadcast_to(trans, (args.poses, n_dirs, 3)).reshape(-1, 3)
+    d_base = np.broadcast_to(
+        np.asarray(dirs_s)[None], (args.poses, n_dirs, 3)
+    ).reshape(-1, 3)
+
+    if args.order == "dir":
+        perm, _ = direction_major_order(args.poses, n_dirs)
+    else:
+        from rmcl_tpu.ops.raycast_binned import tiled_sweep_order
+
+        pt, at, et = (int(x) for x in args.order.split("x"))
+        perm, _ = tiled_sweep_order(
+            trans.reshape(-1, 3), model.width, model.height,
+            poses_per_tile=pt, az_tile=at, el_tile=et,
+        )
+    o = jnp.asarray(o_base)[perm]
+    d = jnp.asarray(d_base)[perm]
+    n_rays = o.shape[0]
+    print(f"rays: {n_rays:,} (order={args.order})")
+
+    # --- end-to-end timing ------------------------------------------------
+    best = float("nan")
+    if not args.skip_e2e:
+        f = lambda: cast_rays_binned(bins, o, d, block_size=args.block_size,
+                                     c_bin=args.c_bin)
+        h = f()
+        jax.block_until_ready(h.t)
+        times = []
+        for _ in range(args.iters):
+            t0 = time.time()
+            jax.block_until_ready(f().t)
+            times.append(time.time() - t0)
+        best = min(times)
+        print(f"end-to-end: {best*1e3:.1f} ms -> {n_rays/best/1e6:.2f} M rays/s, "
+              f"hit={float(h.hit.mean()):.3f}")
+
+    # --- candidate statistics (replicate the cull phase) ------------------
+    from rmcl_tpu.ops import raycast_binned as rb
+
+    Rb = args.block_size
+    n_pad = (-n_rays) % Rb
+    ob = jnp.concatenate([o, jnp.zeros((n_pad, 3))], 0).reshape(-1, Rb, 3)
+    db = jnp.concatenate([d, jnp.ones((n_pad, 3))], 0).reshape(-1, Rb, 3)
+    n_blk = ob.shape[0]
+
+    @jax.jit
+    def cull_stats(bins, ob, db):
+        o_lo = jnp.min(ob, 1); o_hi = jnp.max(ob, 1)
+        d_lo = jnp.min(db, 1); d_hi = jnp.max(db, 1)
+        t_hi = jnp.full((n_blk,), 3e38)
+        _, _, scene_far = rb._block_box_test(
+            o_lo[:, None], o_hi[:, None], d_lo[:, None], d_hi[:, None],
+            t_hi[:, None],
+            jnp.broadcast_to(bins.aabb_min, (1, 1, 3)),
+            jnp.broadcast_to(bins.aabb_max, (1, 1, 3)))
+        t_hi = scene_far[:, 0] * 1.0001 + 1e-3
+        pass_sup, tn_sup, _ = rb._block_box_test(
+            o_lo[:, None], o_hi[:, None], d_lo[:, None], d_hi[:, None],
+            t_hi[:, None], bins.super_aabb[None, :, 0:3],
+            bins.super_aabb[None, :, 3:6])
+        n_sup = jnp.sum(pass_sup, 1)
+        S = bins.bins_per_super
+        bin_aabb = bins.bin_aabb
+        pad = bins.n_super * S - bins.n_bins
+        if pad:
+            filler = jnp.concatenate(
+                [jnp.full((pad, 3), 3e38), jnp.full((pad, 3), -3e38)], 1
+            )
+            bin_aabb = jnp.concatenate([bin_aabb, filler], 0)
+        sub = bin_aabb.reshape(bins.n_super, S, 6)
+        # exact per-block x all-bins pass count (no budget truncation)
+        pass_bin, tn_bin, _ = rb._block_box_test(
+            o_lo[:, None, None], o_hi[:, None, None],
+            d_lo[:, None, None], d_hi[:, None, None],
+            t_hi[:, None, None], sub[None, ..., 0:3], sub[None, ..., 3:6])
+        pass_bin = pass_bin & pass_sup[..., None]
+        n_bin = jnp.sum(pass_bin, (1, 2))
+        return n_sup, n_bin
+
+    ns, nb = jax.block_until_ready(cull_stats(bins, ob, db))
+    ns, nb = np.asarray(ns), np.asarray(nb)
+    print(f"supers/block: mean={ns.mean():.1f} p50={np.percentile(ns,50):.0f} "
+          f"p95={np.percentile(ns,95):.0f} max={ns.max()}")
+    print(f"bins/block:   mean={nb.mean():.1f} p50={np.percentile(nb,50):.0f} "
+          f"p95={np.percentile(nb,95):.0f} max={nb.max()}")
+    print(f"pairs/ray (upper bound, no early-exit): "
+          f"{nb.mean() * bins.bin_size:.0f}")
+
+    # --- phase split: time the cull phase alone ---------------------------
+    g = jax.jit(lambda bins, ob, db: cull_stats(bins, ob, db)[1])
+    jax.block_until_ready(g(bins, ob, db))
+    t0 = time.time()
+    for _ in range(args.iters):
+        jax.block_until_ready(g(bins, ob, db))
+    cull_t = (time.time() - t0) / args.iters
+    print(f"cull-phase (exact, unbudgeted): {cull_t*1e3:.1f} ms "
+          f"({100*cull_t/best:.0f}% of end-to-end)")
+
+
+if __name__ == "__main__":
+    main()

@@ -277,3 +277,36 @@ def test_estimate_stats_fields(rng, key):
     assert st.covariance.shape == (6, 6)
     assert float(st.likelihood_min) <= float(st.likelihood_mean) <= float(st.likelihood_max)
     assert (np.asarray(st.trans_bb_min) <= np.asarray(st.trans_bb_max)).all()
+
+
+def test_sensor_update_binned_engine_matches_bvh(key):
+    """engine='binned' scores particles like the exact-BVH engine."""
+    from rmcl_tpu.bvh.bins import build_bins
+    from rmcl_tpu.geom.mesh import make_room_scene as _mrs
+
+    mesh = _mrs(n_pillars=3, seed=2)
+    bvh = build_bvh(mesh)
+    bins = build_bins(mesh, bin_size=32, bins_per_super=8)
+    true_pose = Transform.from_pose_tuple(jnp.asarray([0.5, -0.5, 1.0, 0, 0, 0.4]))
+    points, mask = make_scan(bvh, true_pose)
+
+    n = 128
+    rng = np.random.default_rng(3)
+    trans = rng.uniform([-4, -3, 0.5], [4, 3, 1.5], (n, 3)).astype(np.float32)
+    yaw = rng.uniform(-np.pi, np.pi, n).astype(np.float32)
+    poses = Transform.from_xyz_euler(
+        jnp.asarray(trans), jnp.stack([jnp.zeros(n), jnp.zeros(n), jnp.asarray(yaw)], -1)
+    )
+    cloud = ParticleCloud.create(n).with_poses(poses)
+
+    cfg_bvh = SensorUpdateConfig.create(samples=32, dist_sigma=0.5)
+    cfg_bin = SensorUpdateConfig.create(samples=32, dist_sigma=0.5, engine="binned")
+    out_bvh = sensor_update(bvh, cloud, key, points, mask, Transform.identity(), cfg_bvh)
+    out_bin = sensor_update(bins, cloud, key, points, mask, Transform.identity(), cfg_bin)
+
+    a = np.asarray(out_bvh.likelihood.mean)
+    b = np.asarray(out_bin.likelihood.mean)
+    # identical beams (same key) -> identical scores up to rare grazing-hit
+    # disagreements between the two engines
+    close = np.isclose(a, b, rtol=1e-3, atol=1e-3)
+    assert close.mean() > 0.97, f"only {close.mean():.2%} close"

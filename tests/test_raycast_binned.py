@@ -156,3 +156,36 @@ def test_pallas_kernel_matches_xla(rng):
     both = np.asarray(ref.hit)
     np.testing.assert_allclose(np.asarray(pal.t)[both], np.asarray(ref.t)[both], rtol=1e-5)
     np.testing.assert_array_equal(np.asarray(pal.prim_id)[both], np.asarray(ref.prim_id)[both])
+
+
+def test_tiled_sweep_order(rng):
+    """Tiled pose-sweep ordering: valid permutation, cast parity."""
+    from rmcl_tpu.ops.raycast_binned import tiled_sweep_order
+
+    mesh = make_sphere(48, 48, radius=20.0)
+    bins = build_bins(mesh, bin_size=64, bins_per_super=16)
+    bvh = build_bvh(mesh)
+
+    W, H = 64, 4
+    n_poses = 8
+    az = np.linspace(-np.pi, np.pi, W, endpoint=False)
+    el = np.linspace(-0.2, 0.2, H)
+    E, A = np.meshgrid(el, az, indexing="ij")  # row-major: dir = el*W + az
+    d1 = np.stack(
+        [np.cos(E) * np.cos(A), np.cos(E) * np.sin(A), np.sin(E)], -1
+    ).reshape(-1, 3).astype(np.float32)
+    origins = rng.uniform(-2, 2, size=(n_poses, 3)).astype(np.float32)
+    o = np.broadcast_to(origins[:, None], (n_poses, W * H, 3)).reshape(-1, 3)
+    d = np.broadcast_to(d1[None], (n_poses, W * H, 3)).reshape(-1, 3)
+
+    perm, inv = tiled_sweep_order(origins, W, H, poses_per_tile=4, az_tile=8, el_tile=2)
+    # every original ray id appears at least once, inv round-trips
+    assert set(np.asarray(perm).tolist()) == set(range(n_poses * W * H))
+    x = jnp.asarray(o[:, 0]).astype(jnp.float32)
+    np.testing.assert_array_equal(np.asarray(x[perm][inv]), np.asarray(x))
+
+    exact = cast_rays(bvh, jnp.asarray(o), jnp.asarray(d))
+    tiled = cast_rays_binned(bins, jnp.asarray(o)[perm], jnp.asarray(d)[perm], block_size=64)
+    t_tiled = np.asarray(tiled.t[inv])
+    hitm = np.asarray(exact.hit)
+    np.testing.assert_allclose(t_tiled[hitm], np.asarray(exact.t)[hitm], rtol=1e-4, atol=1e-4)
