@@ -23,6 +23,11 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# the environment's remote-compile helper intermittently hangs for minutes;
+# a persistent compile cache makes every program compile at most once ever
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
 import numpy as np
 
 BASELINE_EMBREE_1M = 71.6e6  # corr-rays/s, reference DPC desktop CPU

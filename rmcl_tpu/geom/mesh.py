@@ -161,47 +161,125 @@ def _mesh_from_triangle_soup(tris: np.ndarray) -> TriangleMesh:
     return TriangleMesh(uniq.astype(np.float32), inverse.reshape(-1, 3).astype(np.int32))
 
 
+_PLY_TYPES = {
+    "char": "i1", "int8": "i1", "uchar": "u1", "uint8": "u1",
+    "short": "i2", "int16": "i2", "ushort": "u2", "uint16": "u2",
+    "int": "i4", "int32": "i4", "uint": "u4", "uint32": "u4",
+    "float": "f4", "float32": "f4", "double": "f8", "float64": "f8",
+}
+
+
 def load_ply(path: str) -> TriangleMesh:
+    """PLY loader: ascii, binary_little_endian and binary_big_endian,
+    arbitrary vertex properties, fan-triangulated n-gon faces
+    (reference loads via Assimp — rmagine import_embree_map et al.)."""
     with open(path, "rb") as f:
         data = f.read()
-    header_end = data.find(b"end_header\n") + len(b"end_header\n")
+    header_end = data.find(b"end_header")
+    header_end = data.find(b"\n", header_end) + 1
     header = data[:header_end].decode("ascii", "replace")
-    lines = [ln.strip() for ln in header.splitlines()]
-    if "format ascii 1.0" not in header:
-        raise ValueError("only ascii PLY supported")
-    counts = {}
-    order = []
-    props: dict[str, int] = {}
-    cur = None
-    for ln in lines:
-        if ln.startswith("element"):
-            _, name, cnt = ln.split()
-            counts[name] = int(cnt)
-            order.append(name)
-            cur = name
-            props[name] = 0
-        elif ln.startswith("property") and cur == "vertex":
-            props[cur] += 1
-    body = data[header_end:].decode("ascii").split()
-    pos = 0
+
+    fmt = "ascii"
+    endian = "<"
+    # elements: list of (name, count, props) where props is a list of
+    # ("scalar", pname, dtype) or ("list", pname, count_dtype, item_dtype)
+    elements: list[tuple[str, int, list]] = []
+    for ln in (x.strip() for x in header.splitlines()):
+        parts = ln.split()
+        if not parts:
+            continue
+        if parts[0] == "format":
+            if parts[1] == "ascii":
+                fmt = "ascii"
+            elif parts[1] == "binary_little_endian":
+                fmt, endian = "binary", "<"
+            elif parts[1] == "binary_big_endian":
+                fmt, endian = "binary", ">"
+            else:
+                raise ValueError(f"unknown PLY format {parts[1]}")
+        elif parts[0] == "element":
+            elements.append((parts[1], int(parts[2]), []))
+        elif parts[0] == "property" and elements:
+            if parts[1] == "list":
+                elements[-1][2].append(("list", parts[4], _PLY_TYPES[parts[2]], _PLY_TYPES[parts[3]]))
+            else:
+                elements[-1][2].append(("scalar", parts[2], _PLY_TYPES[parts[1]]))
+
     verts = None
     faces: list[list[int]] = []
-    for name in order:
-        if name == "vertex":
-            k = props["vertex"]
-            vals = np.asarray(body[pos : pos + counts[name] * k], np.float32).reshape(
-                counts[name], k
-            )
-            verts = vals[:, :3]
-            pos += counts[name] * k
-        elif name == "face":
-            for _ in range(counts[name]):
-                k = int(body[pos])
-                idx = [int(x) for x in body[pos + 1 : pos + 1 + k]]
-                faces.extend(_fan_triangulate(idx))
-                pos += 1 + k
+
+    if fmt == "ascii":
+        body = data[header_end:].decode("ascii").split()
+        pos = 0
+        for name, cnt, props in elements:
+            if name == "vertex":
+                k = len(props)
+                vals = np.asarray(body[pos : pos + cnt * k], np.float64).reshape(cnt, k)
+                cols = [i for i, p in enumerate(props) if p[1] in ("x", "y", "z")]
+                verts = vals[:, cols[:3]].astype(np.float32)
+                pos += cnt * k
+            elif name == "face":
+                for _ in range(cnt):
+                    k = int(body[pos])
+                    idx = [int(x) for x in body[pos + 1 : pos + 1 + k]]
+                    faces.extend(_fan_triangulate(idx))
+                    pos += 1 + k
+            else:  # skip foreign elements (only possible when scalar-only)
+                if any(p[0] == "list" for p in props):
+                    raise ValueError(f"cannot skip PLY list element {name!r}")
+                pos += cnt * len(props)
+        assert verts is not None
+        return TriangleMesh(verts, np.asarray(faces, np.int32).reshape(-1, 3))
+
+    # --- binary ----------------------------------------------------------
+    buf = data[header_end:]
+    off = 0
+    for name, cnt, props in elements:
+        if all(p[0] == "scalar" for p in props):
+            dt = np.dtype([(p[1], endian + p[2]) for p in props])
+            arr = np.frombuffer(buf, dtype=dt, count=cnt, offset=off)
+            off += dt.itemsize * cnt
+            if name == "vertex":
+                verts = np.stack(
+                    [arr["x"], arr["y"], arr["z"]], axis=1
+                ).astype(np.float32)
+            continue
+        # list element (faces): fast path assumes a uniform list length,
+        # verified against the consumed byte count; falls back to a scan
+        if name != "face" and name != "tristrips":
+            raise ValueError(f"unsupported PLY list element {name!r}")
+        p = props[0]
+        cdt = np.dtype(endian + p[2])
+        idt = np.dtype(endian + p[3])
+        if cnt == 0:
+            continue
+        first_k = int(np.frombuffer(buf, dtype=cdt, count=1, offset=off)[0])
+        stride = cdt.itemsize + first_k * idt.itemsize
+        uniform = off + stride * cnt <= len(buf)
+        if uniform:
+            rows = np.frombuffer(buf, np.uint8, count=stride * cnt, offset=off).reshape(cnt, stride)
+            ks = rows[:, : cdt.itemsize].copy().view(cdt)[:, 0]
+            uniform = bool((ks == first_k).all())
+        if uniform:
+            idx = rows[:, cdt.itemsize :].copy().view(idt).reshape(cnt, first_k)
+            if first_k == 3:
+                faces = idx.astype(np.int32)
+            else:
+                faces = np.concatenate(
+                    [np.stack([idx[:, 0], idx[:, i], idx[:, i + 1]], 1)
+                     for i in range(1, first_k - 1)], 0
+                ).astype(np.int32)
+            off += stride * cnt
+        else:  # ragged lists: per-face scan
+            out: list[list[int]] = []
+            for _ in range(cnt):
+                k = int(np.frombuffer(buf, dtype=cdt, count=1, offset=off)[0])
+                idx1 = np.frombuffer(buf, dtype=idt, count=k, offset=off + cdt.itemsize)
+                out.extend(_fan_triangulate([int(x) for x in idx1]))
+                off += cdt.itemsize + k * idt.itemsize
+            faces = np.asarray(out, np.int32).reshape(-1, 3)
     assert verts is not None
-    return TriangleMesh(verts, np.asarray(faces, np.int32))
+    return TriangleMesh(verts, np.asarray(faces, np.int32).reshape(-1, 3))
 
 
 def load_off(path: str) -> TriangleMesh:

@@ -88,11 +88,214 @@ def _block_box_test(o_lo, o_hi, d_lo, d_hi, t_hi, bmin, bmax):
     return ok, jnp.maximum(t_near, 0.0), t_far
 
 
+def _cone_box_test(oc, oh, a, tan_th, t_hi, bmin, bmax):
+    """Conservative (origin-box x direction-cone) vs AABB test.
+
+    The ray block is modelled as the Minkowski sum of an origin box
+    (center ``oc``, half-extents ``oh``) and a direction cone (unit mean
+    axis ``a``, ``tan_th`` = tan of max angular deviation). The target box
+    is inflated by the origin half-extents (exact Minkowski) plus the cone
+    radius ``t*tan_th`` (refined in a second slab pass: the radius only
+    needs to cover the box's own entry interval, not the full [0, t_hi]).
+
+    Never false-culls; tight for small angular spreads — in particular it
+    is the exact slab test for zero-spread (shared-direction) blocks,
+    where the interval-arithmetic formulation it replaces blew up whenever
+    a direction-component interval merely *touched* zero.
+
+    Shapes: oc/oh/a (..., 1, 3), tan_th/t_hi (..., 1), bmin/bmax (..., K, 3).
+    Returns (pass (..., K), t_near (..., K), t_far (..., K)).
+    """
+    a_safe = jnp.where(jnp.abs(a) < 1e-30, 1e-30, a)
+    inv = 1.0 / a_safe
+    b0 = bmin - oh - oc
+    b1 = bmax + oh - oc
+
+    def slab(r):
+        t0 = (b0 - r) * inv
+        t1 = (b1 + r) * inv
+        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        return tn, tf
+
+    r0 = (t_hi * tan_th)[..., None]
+    tn0, tf0 = slab(r0)
+    # refine: the cone radius over the box's own param window is bounded by
+    # tf0*tan_th (tf0 <= t_hi) — one extra pass tightens near boxes a lot
+    r1 = (jnp.clip(tf0, 0.0, t_hi) * tan_th)[..., None]
+    tn, tf = slab(r1)
+    ok = (tn <= tf) & (tf >= 0.0) & (tn <= t_hi)
+    return ok, jnp.maximum(tn, 0.0), tf
+
+
+def _block_bounds(ob, db, t_min_b, t_max_b):
+    """Per-block cone/box bounds from rays (n_blk, Rb, 3).
+
+    Returns oc, oh, axis, tan_th, t_hi, dead. Rays with t_max<=t_min are
+    inert and excluded from the bounds."""
+    live = (t_max_b > t_min_b)[..., None]
+    any_live = jnp.any(live[..., 0], axis=1)
+    o_lo = jnp.min(jnp.where(live, ob, _BIG), axis=1)
+    o_hi = jnp.max(jnp.where(live, ob, -_BIG), axis=1)
+    o_lo = jnp.where(any_live[:, None], o_lo, 0.0)
+    o_hi = jnp.where(any_live[:, None], o_hi, 0.0)
+    oc = 0.5 * (o_lo + o_hi)
+    oh = 0.5 * (o_hi - o_lo)
+
+    # unit mean direction; rays need not be normalized — normalize locally
+    dn = db * jax.lax.rsqrt(jnp.maximum(jnp.sum(db * db, -1, keepdims=True), 1e-30))
+    dsum = jnp.sum(jnp.where(live, dn, 0.0), axis=1)
+    a = dsum * jax.lax.rsqrt(jnp.maximum(jnp.sum(dsum * dsum, -1, keepdims=True), 1e-30))
+    ca = jnp.min(
+        jnp.where(live[..., 0], jnp.sum(dn * a[:, None, :], -1), 1.0), axis=1
+    )
+    # degenerate spread (>= ~87 deg): huge tan -> conservative pass-all
+    ca = jnp.clip(ca, 0.05, 1.0)
+    tan_th = jnp.sqrt(jnp.maximum(1.0 - ca * ca, 0.0)) / ca
+    # |d| scale: parametric t reaches geometric distance t*|d|; the cull
+    # operates in geometric units, so bound the reach by max(t_max*|d|)
+    nrm = jnp.sqrt(jnp.maximum(jnp.sum(db * db, -1), 1e-30))
+    n_hi = jnp.max(jnp.where(live[..., 0], nrm, 1e-30), axis=1)
+    t_hi = jnp.max(jnp.where(live[..., 0], t_max_b * nrm, 0.0), axis=1)
+    return oc, oh, a, tan_th, t_hi, n_hi, ~any_live
+
+
+def _build_candidates(bins, ob, db, t_min_b, t_max_b, cs, cb):
+    """Two-level cull: nearest-first candidate bins per ray block.
+
+    Returns (cand_bin (n_blk, cb) int32 with -1 padding, cand_count
+    (n_blk,), cand_tnear (n_blk, cb) conservative parametric entry)."""
+    n_blk = ob.shape[0]
+    S = bins.bins_per_super
+    n_super = bins.n_super
+    n_bins = bins.n_bins
+
+    oc, oh, axis, tan_th, t_hi, n_hi, block_dead = _block_bounds(
+        ob, db, t_min_b, t_max_b
+    )
+    axis = jnp.where(block_dead[:, None], jnp.asarray([1.0, 0.0, 0.0]), axis)
+    t_hi = jnp.where(block_dead, 0.0, t_hi)
+
+    # cap every block's reach at its conservative exit from the scene box.
+    # The exit query itself needs a bounded t (t*tan_th is the cone radius —
+    # unbounded t would inflate the first slab pass into a pass-all): any
+    # in-scene intersection lies within |oc - scene_center| + diagonals.
+    scene_c = 0.5 * (bins.aabb_min + bins.aabb_max)
+    scene_h = 0.5 * (bins.aabb_max - bins.aabb_min)
+    t_cap = (
+        jnp.linalg.norm(oc - scene_c[None], axis=-1)
+        + jnp.linalg.norm(scene_h)
+        + jnp.linalg.norm(oh, axis=-1)
+    )  # (n_blk,)
+    _, _, scene_far = _cone_box_test(
+        oc[:, None], oh[:, None], axis[:, None], tan_th[:, None],
+        t_cap[:, None],
+        jnp.broadcast_to(bins.aabb_min, (1, 1, 3)),
+        jnp.broadcast_to(bins.aabb_max, (1, 1, 3)),
+    )
+    t_hi = jnp.minimum(t_hi, scene_far[:, 0] * 1.0001 + 1e-3)
+
+    # --- level 0: block x supers ------------------------------------------
+    sup_min = bins.super_aabb[:, 0:3][None]  # (1, n_super, 3)
+    sup_max = bins.super_aabb[:, 3:6][None]
+    pass_sup, tn_sup, _ = _cone_box_test(
+        oc[:, None], oh[:, None], axis[:, None], tan_th[:, None],
+        t_hi[:, None], sup_min, sup_max,
+    )  # (n_blk, n_super)
+    # nearest-first candidate order: truncation beyond the budget then drops
+    # the farthest boxes, which are the least likely to hold the closest hit
+    score = jnp.where(pass_sup, -tn_sup, -_BIG)
+    sup_score, sup_ids = jax.lax.top_k(score, cs)  # (n_blk, cs)
+    sup_valid = sup_score > -_BIG
+
+    # --- level 1: block x candidate-super's bins --------------------------
+    bin_aabb_g = bins.bin_aabb  # (n_bins, 6)
+    pad_bins = n_super * S - n_bins
+    if pad_bins:
+        bin_aabb_g = jnp.concatenate(
+            [bin_aabb_g, jnp.zeros((pad_bins, 6), jnp.float32)], 0
+        )
+    bin_aabb_s = bin_aabb_g.reshape(n_super, S, 6)
+    sub = jnp.take(bin_aabb_s, sup_ids, axis=0)  # (n_blk, cs, S, 6)
+    pass_bin, tn_bin, _ = _cone_box_test(
+        oc[:, None, None],
+        oh[:, None, None],
+        axis[:, None, None],
+        tan_th[:, None, None],
+        t_hi[:, None, None],
+        sub[..., 0:3],
+        sub[..., 3:6],
+    )  # (n_blk, cs, S)
+    gbin = sup_ids[..., None] * S + jnp.arange(S)[None, None, :]  # global bin ids
+    valid_bin = (
+        pass_bin & sup_valid[..., None] & (gbin < n_bins)
+    ).reshape(n_blk, cs * S)
+    gbin = gbin.reshape(n_blk, cs * S)
+    bscore = jnp.where(valid_bin, -tn_bin.reshape(n_blk, cs * S), -_BIG)
+    cand_score, cand_pos = jax.lax.top_k(bscore, cb)
+    cand_bin = jnp.where(
+        cand_score > -_BIG, jnp.take_along_axis(gbin, cand_pos, axis=1), -1
+    )  # (n_blk, cb)
+    # actual candidate count per block — the intersection loop only runs to
+    # the chunk's max count, so the generous budget is ~free at runtime
+    cand_count = jnp.sum(cand_bin >= 0, axis=1).astype(jnp.int32)  # (n_blk,)
+    # geometric entry distance -> conservative parametric lower bound (the
+    # early-exit compares against parametric best-t; |d|=1 makes this exact)
+    cand_tnear = jnp.where(
+        cand_bin >= 0, -cand_score / n_hi[:, None], _BIG
+    )  # (n_blk, cb)
+    return cand_bin, cand_count, cand_tnear
+
+
+@partial(jax.jit, static_argnames=("block_size", "c_super", "c_bin"))
+def candidate_stats(
+    bins: TriangleBins,
+    orig: Array,
+    dirs: Array,
+    t_min: float | Array = 0.0,
+    t_max: float | Array = NO_HIT_T,
+    block_size: int = 256,
+    c_super: int = 48,
+    c_bin: int = 192,
+) -> Array:
+    """Candidate-bin count per ray block — the engine's own cull, exposed
+    for diagnosis/tuning (counts saturating at c_bin mean budget overflow,
+    i.e. potential false misses)."""
+    orig, dirs = jnp.broadcast_arrays(
+        jnp.asarray(orig, jnp.float32), jnp.asarray(dirs, jnp.float32)
+    )
+    o = orig.reshape(-1, 3)
+    d = dirs.reshape(-1, 3)
+    n = o.shape[0]
+    t_min_r = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), (n,))
+    t_max_r = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), (n,))
+    Rb = block_size
+    n_pad = (-n) % Rb
+    if n_pad:
+        o = jnp.concatenate([o, jnp.zeros((n_pad, 3), jnp.float32)], 0)
+        d = jnp.concatenate([d, jnp.ones((n_pad, 3), jnp.float32)], 0)
+        t_min_r = jnp.concatenate([t_min_r, jnp.zeros(n_pad, jnp.float32)], 0)
+        t_max_r = jnp.concatenate([t_max_r, jnp.zeros(n_pad, jnp.float32)], 0)
+    n_blk = o.shape[0] // Rb
+    cs = min(c_super, bins.n_super)
+    cb = min(c_bin, bins.n_bins, cs * bins.bins_per_super)
+    _, cand_count, _ = _build_candidates(
+        bins,
+        o.reshape(n_blk, Rb, 3),
+        d.reshape(n_blk, Rb, 3),
+        t_min_r.reshape(n_blk, Rb),
+        t_max_r.reshape(n_blk, Rb),
+        cs,
+        cb,
+    )
+    return cand_count
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "block_size", "c_super", "c_bin", "block_chunk", "flip_normals",
-        "use_pallas", "pallas_interpret",
+        "use_pallas", "pallas_interpret", "shared_dir",
     ),
 )
 def cast_rays_binned(
@@ -108,10 +311,17 @@ def cast_rays_binned(
     flip_normals: bool = True,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
+    shared_dir: bool = False,
 ) -> RayHits:
     """Dense closest-hit query (drop-in for ops.raycast.cast_rays).
 
     Rays should be in a spatially coherent order (scan grids already are).
+
+    ``shared_dir=True`` promises every ``block_size`` ray block shares ONE
+    exact direction (e.g. :func:`direction_major_order` pose sweeps). The
+    intersection loop then hoists all direction-dependent Möller–Trumbore
+    terms (d x e2, d x e1, det) out of the (ray x triangle) work: per-pair
+    cost drops ~2x. Results are undefined if the promise is broken.
     """
     orig, dirs = jnp.broadcast_arrays(
         jnp.asarray(orig, jnp.float32), jnp.asarray(dirs, jnp.float32)
@@ -137,86 +347,15 @@ def cast_rays_binned(
     t_min_b = t_min_r.reshape(n_blk, Rb)
     t_max_b = t_max_r.reshape(n_blk, Rb)
 
-    # --- block interval bounds (rays with t_max<=t_min are inert) ---------
-    live = (t_max_b > t_min_b)[..., None]
-    o_sel_lo = jnp.where(live, ob, _BIG)
-    o_sel_hi = jnp.where(live, ob, -_BIG)
-    d_sel_lo = jnp.where(live, db, _BIG)
-    d_sel_hi = jnp.where(live, db, -_BIG)
-    o_lo = jnp.min(o_sel_lo, axis=1)  # (n_blk, 3)
-    o_hi = jnp.max(o_sel_hi, axis=1)
-    d_lo = jnp.min(d_sel_lo, axis=1)
-    d_hi = jnp.max(d_sel_hi, axis=1)
-    t_hi = jnp.max(jnp.where(live[..., 0], t_max_b, 0.0), axis=1)  # (n_blk,)
-    block_dead = ~jnp.any(live[..., 0], axis=1)
-    o_lo = jnp.where(block_dead[:, None], 0.0, o_lo)
-    o_hi = jnp.where(block_dead[:, None], 0.0, o_hi)
-    d_lo = jnp.where(block_dead[:, None], 1.0, d_lo)
-    d_hi = jnp.where(block_dead[:, None], 1.0, d_hi)
-
     S = bins.bins_per_super
-    n_super = bins.n_super
     n_bins = bins.n_bins
     B = bins.bin_size
-    cs = min(c_super, n_super)
+    cs = min(c_super, bins.n_super)
     cb = min(c_bin, n_bins, cs * S)
 
-    # --- level 0: block x supers ------------------------------------------
-    sup_min = bins.super_aabb[:, 0:3][None]  # (1, n_super, 3)
-    sup_max = bins.super_aabb[:, 3:6][None]
-    # cap every block's reach at its conservative exit from the scene box —
-    # near-axis-parallel direction intervals otherwise blow up into huge t
-    # bounds that admit almost every bin
-    _, _, scene_far = _block_box_test(
-        o_lo[:, None], o_hi[:, None], d_lo[:, None], d_hi[:, None],
-        jnp.full((n_blk, 1), _BIG),
-        jnp.broadcast_to(bins.aabb_min, (1, 1, 3)),
-        jnp.broadcast_to(bins.aabb_max, (1, 1, 3)),
+    cand_bin, cand_count, cand_tnear = _build_candidates(
+        bins, ob, db, t_min_b, t_max_b, cs, cb
     )
-    t_hi = jnp.minimum(t_hi, scene_far[:, 0] * 1.0001 + 1e-3)
-
-    pass_sup, tn_sup, _ = _block_box_test(
-        o_lo[:, None], o_hi[:, None], d_lo[:, None], d_hi[:, None],
-        t_hi[:, None], sup_min, sup_max,
-    )  # (n_blk, n_super)
-    # nearest-first candidate order: truncation beyond the budget then drops
-    # the farthest boxes, which are the least likely to hold the closest hit
-    score = jnp.where(pass_sup, -tn_sup, -_BIG)
-    sup_score, sup_ids = jax.lax.top_k(score, cs)  # (n_blk, cs)
-    sup_valid = sup_score > -_BIG
-
-    # --- level 1: block x candidate-super's bins --------------------------
-    bin_aabb_g = bins.bin_aabb  # (n_bins, 6)
-    pad_bins = n_super * S - n_bins
-    if pad_bins:
-        bin_aabb_g = jnp.concatenate(
-            [bin_aabb_g, jnp.zeros((pad_bins, 6), jnp.float32)], 0
-        )
-    bin_aabb_s = bin_aabb_g.reshape(n_super, S, 6)
-    sub = jnp.take(bin_aabb_s, sup_ids, axis=0)  # (n_blk, cs, S, 6)
-    pass_bin, tn_bin, _ = _block_box_test(
-        o_lo[:, None, None],
-        o_hi[:, None, None],
-        d_lo[:, None, None],
-        d_hi[:, None, None],
-        t_hi[:, None, None],
-        sub[..., 0:3],
-        sub[..., 3:6],
-    )  # (n_blk, cs, S)
-    gbin = sup_ids[..., None] * S + jnp.arange(S)[None, None, :]  # global bin ids
-    valid_bin = (
-        pass_bin & sup_valid[..., None] & (gbin < n_bins)
-    ).reshape(n_blk, cs * S)
-    gbin = gbin.reshape(n_blk, cs * S)
-    bscore = jnp.where(valid_bin, -tn_bin.reshape(n_blk, cs * S), -_BIG)
-    cand_score, cand_pos = jax.lax.top_k(bscore, cb)
-    cand_bin = jnp.where(
-        cand_score > -_BIG, jnp.take_along_axis(gbin, cand_pos, axis=1), -1
-    )  # (n_blk, cb)
-    # actual candidate count per block — the intersection loop only runs to
-    # the chunk's max count, so the generous budget is ~free at runtime
-    cand_count = jnp.sum(cand_bin >= 0, axis=1).astype(jnp.int32)  # (n_blk,)
-    cand_tnear = jnp.where(cand_bin >= 0, -cand_score, _BIG)  # (n_blk, cb)
 
     # order blocks by candidate count so chunks are homogeneous — one
     # straggler block otherwise pins its whole chunk at the max trip count
@@ -259,29 +398,75 @@ def cast_rays_binned(
             e1x, e1y, e1z = tw[:, 3, :, None], tw[:, 4, :, None], tw[:, 5, :, None]
             e2x, e2y, e2z = tw[:, 6, :, None], tw[:, 7, :, None], tw[:, 8, :, None]
 
-            # Möller–Trumbore on (Bc, B, Rb)
-            pvx = dy * e2z - dz * e2y
-            pvy = dz * e2x - dx * e2z
-            pvz = dx * e2y - dy * e2x
-            det = e1x * pvx + e1y * pvy + e1z * pvz
-            inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
-            tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
-            u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
-            qvx = tvy * e1z - tvz * e1y
-            qvy = tvz * e1x - tvx * e1z
-            qvz = tvx * e1y - tvy * e1x
-            v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
-            t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
             eps = 1e-7
-            ok = (
-                (jnp.abs(det) > 1e-12)
-                & (u >= -eps)
-                & (v >= -eps)
-                & (u + v <= 1.0 + eps)
-                & (t > tmin_c[:, None, :])
-                & (t < t_best[:, None, :])
-                & ok_bin[:, None, None]
-            )
+            if shared_dir:
+                # ONE direction per block: hoist every d-dependent term to
+                # (Bc, B) precompute; the (Bc, B, Rb) pair work is three
+                # premultiplied bilinears + the hit decision (~2x fewer
+                # VPU flops/pair than full Möller–Trumbore)
+                sdx, sdy, sdz = dx[:, :, 0], dy[:, :, 0], dz[:, :, 0]  # (Bc,1)
+                e1xs, e1ys, e1zs = e1x[..., 0], e1y[..., 0], e1z[..., 0]
+                e2xs, e2ys, e2zs = e2x[..., 0], e2y[..., 0], e2z[..., 0]
+                v0xs, v0ys, v0zs = v0x[..., 0], v0y[..., 0], v0z[..., 0]
+                pvx = sdy * e2zs - sdz * e2ys  # (Bc, B)
+                pvy = sdz * e2xs - sdx * e2zs
+                pvz = sdx * e2ys - sdy * e2xs
+                det = e1xs * pvx + e1ys * pvy + e1zs * pvz
+                inv = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+                qdx = sdy * e1zs - sdz * e1ys  # d x e1
+                qdy = sdz * e1xs - sdx * e1zs
+                qdz = sdx * e1ys - sdy * e1xs
+                ngx = e1ys * e2zs - e1zs * e2ys  # e1 x e2 (unnormalized)
+                ngy = e1zs * e2xs - e1xs * e2zs
+                ngz = e1xs * e2ys - e1ys * e2xs
+                # premultiplied row vectors and constants:
+                #   u =  (o - v0) . pv * inv =  o.pu - cu
+                #   v = -(o - v0) . qd * inv =  cv - o.qv
+                #   t =  (o - v0) . ng * inv =  o.nt - ct
+                pux, puy, puz = pvx * inv, pvy * inv, pvz * inv
+                qvx, qvy, qvz = qdx * inv, qdy * inv, qdz * inv
+                ntx, nty, ntz = ngx * inv, ngy * inv, ngz * inv
+                cu = v0xs * pux + v0ys * puy + v0zs * puz
+                cv = v0xs * qvx + v0ys * qvy + v0zs * qvz
+                ct = v0xs * ntx + v0ys * nty + v0zs * ntz
+                # pair work on (Bc, B, Rb)
+                u = (ox * pux[..., None] + oy * puy[..., None]
+                     + oz * puz[..., None]) - cu[..., None]
+                v = cv[..., None] - (ox * qvx[..., None] + oy * qvy[..., None]
+                                     + oz * qvz[..., None])
+                t = (ox * ntx[..., None] + oy * nty[..., None]
+                     + oz * ntz[..., None]) - ct[..., None]
+                ok = (
+                    (u >= -eps)
+                    & (v >= -eps)
+                    & (u + v <= 1.0 + eps)
+                    & (t > tmin_c[:, None, :])
+                    & (t < t_best[:, None, :])
+                    & ok_bin[:, None, None]
+                )
+            else:
+                # Möller–Trumbore on (Bc, B, Rb)
+                pvx = dy * e2z - dz * e2y
+                pvy = dz * e2x - dx * e2z
+                pvz = dx * e2y - dy * e2x
+                det = e1x * pvx + e1y * pvy + e1z * pvz
+                inv_det = jnp.where(jnp.abs(det) > 1e-12, 1.0 / det, 0.0)
+                tvx, tvy, tvz = ox - v0x, oy - v0y, oz - v0z
+                u = (tvx * pvx + tvy * pvy + tvz * pvz) * inv_det
+                qvx = tvy * e1z - tvz * e1y
+                qvy = tvz * e1x - tvx * e1z
+                qvz = tvx * e1y - tvy * e1x
+                v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
+                t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                ok = (
+                    (jnp.abs(det) > 1e-12)
+                    & (u >= -eps)
+                    & (v >= -eps)
+                    & (u + v <= 1.0 + eps)
+                    & (t > tmin_c[:, None, :])
+                    & (t < t_best[:, None, :])
+                    & ok_bin[:, None, None]
+                )
             t_cand = jnp.where(ok, t, _BIG)
             # pack the triangle index into the low mantissa bits of the
             # (positive) float: IEEE754 positives compare like ints, so ONE

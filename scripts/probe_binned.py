@@ -5,7 +5,12 @@ Not the official bench — a diagnosis tool for the perf campaign.
 """
 
 import argparse
+import functools
+import os
 import time
+
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
 import jax.numpy as jnp
@@ -15,6 +20,9 @@ from rmcl_tpu.bvh.bins import build_bins
 from rmcl_tpu.geom.mesh import make_sphere
 from rmcl_tpu.ops.raycast_binned import cast_rays_binned, direction_major_order
 from rmcl_tpu.sensors.models import SphericalModel
+
+
+print = functools.partial(__builtins__.print, flush=True)
 
 
 def main():
@@ -27,6 +35,7 @@ def main():
     ap.add_argument("--order", default="dir",
                     help="'dir' or 'PTxATxET' tile shape, e.g. 32x8x1")
     ap.add_argument("--skip-e2e", action="store_true")
+    ap.add_argument("--skip-cull", action="store_true")
     args = ap.parse_args()
 
     print("devices:", jax.devices())
@@ -78,6 +87,9 @@ def main():
         best = min(times)
         print(f"end-to-end: {best*1e3:.1f} ms -> {n_rays/best/1e6:.2f} M rays/s, "
               f"hit={float(h.hit.mean()):.3f}")
+
+    if args.skip_cull:
+        return
 
     # --- candidate statistics (replicate the cull phase) ------------------
     from rmcl_tpu.ops import raycast_binned as rb

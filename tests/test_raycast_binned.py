@@ -189,3 +189,30 @@ def test_tiled_sweep_order(rng):
     t_tiled = np.asarray(tiled.t[inv])
     hitm = np.asarray(exact.hit)
     np.testing.assert_allclose(t_tiled[hitm], np.asarray(exact.t)[hitm], rtol=1e-4, atol=1e-4)
+
+
+def test_shared_dir_fast_path(rng):
+    """shared_dir=True == generic path on direction-major blocks."""
+    mesh = make_sphere(64, 64, radius=20.0)
+    bins = build_bins(mesh, bin_size=64, bins_per_super=16)
+    n_poses, n_dirs = 64, 256
+    az = np.linspace(-np.pi, np.pi, n_dirs, endpoint=False)
+    el = np.sin(az * 3) * 0.2
+    d1 = np.stack(
+        [np.cos(el) * np.cos(az), np.cos(el) * np.sin(az), np.sin(el)], -1
+    ).astype(np.float32)
+    origins = rng.uniform(-2, 2, size=(n_poses, 1, 3)).astype(np.float32)
+    o = np.broadcast_to(origins, (n_poses, n_dirs, 3)).reshape(-1, 3)
+    d = np.broadcast_to(d1[None], (n_poses, n_dirs, 3)).reshape(-1, 3)
+    perm, _ = direction_major_order(n_poses, n_dirs)
+    o = jnp.asarray(o)[perm]
+    d = jnp.asarray(d)[perm]
+    ref = cast_rays_binned(bins, o, d, block_size=64)
+    fast = cast_rays_binned(bins, o, d, block_size=64, shared_dir=True)
+    np.testing.assert_array_equal(np.asarray(fast.hit), np.asarray(ref.hit))
+    both = np.asarray(ref.hit)
+    np.testing.assert_allclose(
+        np.asarray(fast.t)[both], np.asarray(ref.t)[both], rtol=1e-4, atol=1e-4
+    )
+    agree = (np.asarray(fast.prim_id)[both] == np.asarray(ref.prim_id)[both]).mean()
+    assert agree > 0.999, agree
