@@ -42,11 +42,13 @@ def main():
     from rmcl_tpu.math.gaussian import CrossStatistics
     from rmcl_tpu.math.se3 import Transform
     from rmcl_tpu.math.stats import umeyama_transform
-    from rmcl_tpu.ops.raycast_binned import cast_rays_binned, direction_major_order
+    from rmcl_tpu.ops.raycast_binned import cast_rays_binned, tiled_sweep_order
     from rmcl_tpu.sensors.models import SphericalModel
 
     faces = int(os.environ.get("BENCH_FACES", 1_000_000))
-    n_poses = int(os.environ.get("BENCH_POSES", 256))
+    # 1000 poses — the reference benchmark's pose count
+    # (lidar_corrector_embree_benchmark.cpp:77-138)
+    n_poses = int(os.environ.get("BENCH_POSES", 1000))
     iters = int(os.environ.get("BENCH_ITERS", 3))
 
     n = int(np.sqrt(faces / 2))
@@ -59,7 +61,11 @@ def main():
 
     rng = np.random.default_rng(0)
     trans_true = rng.uniform(-5, 5, size=(n_poses, 3)).astype(np.float32)
-    perm, inv = direction_major_order(n_poses, n_dirs)
+    # compact blocks: Morton-clustered poses x small azimuth/elevation tiles
+    perm, inv = tiled_sweep_order(
+        trans_true, model.width, model.height,
+        poses_per_tile=16, az_tile=8, el_tile=2,
+    )
 
     def cast_sweep(bins, trans, dirs):
         """Closest-hit for all poses x all scan dirs (identity rotations,

@@ -35,10 +35,13 @@ Array = jax.Array
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass(frozen=True)
 class TriangleBins:
-    tri: Array  # (n_bins, 12, B) packed triangle data (component-major)
-    plane: Array  # (n_bins*B, 4) [nx, ny, nz, n·v0] — winner payload rows
-    prim_id: Array  # (n_bins, B) int32 (-1 for padding)
-    inst_id: Array  # (n_bins, B) int32
+    # (n_bins, 14, B) packed component-major triangle data:
+    # [v0(3), e1(3), e2(3), unit normal(3), prim_id.f32, inst_id.f32].
+    # ids ride along as f32 planes (exact to 2^24) so the intersection
+    # loop can carry the winner's full shading payload in registers via a
+    # one-hot lane select — global winner gathers measured 327 ms/3.7M
+    # rays (6 gathers x ~55M elem/s), ~45% of the whole cast
+    tri: Array
     bin_aabb: Array  # (n_bins, 6) [min(3), max(3)]
     super_aabb: Array  # (n_super, 6)
     bins_per_super: int = dataclasses.field(metadata=dict(static=True))
@@ -58,7 +61,7 @@ class TriangleBins:
         return self.super_aabb.shape[0]
 
     def nbytes(self) -> int:
-        return int(self.tri.size + self.prim_id.size + self.inst_id.size) * 4
+        return int(self.tri.size + self.bin_aabb.size + self.super_aabb.size) * 4
 
 
 def build_bins(
@@ -110,10 +113,15 @@ def build_bins(
     normal = np.cross(e1, e2)
     norm_len = np.linalg.norm(normal, axis=1, keepdims=True)
     normal = normal / np.maximum(norm_len, 1e-20)
-    packed = np.concatenate([v0, e1, e2, normal], axis=1).astype(np.float32)
-    d0 = np.einsum("tj,tj->t", normal, v0).astype(np.float32)
-    plane = np.concatenate([normal.astype(np.float32), d0[:, None]], axis=1)
-    packed = packed.reshape(n_bins, B, 12).transpose(0, 2, 1).copy()
+    packed = np.concatenate(
+        [
+            v0, e1, e2, normal,
+            prim_ids[:, None].astype(np.float32),
+            inst_ids[:, None].astype(np.float32),
+        ],
+        axis=1,
+    ).astype(np.float32)
+    packed = packed.reshape(n_bins, B, 14).transpose(0, 2, 1).copy()
 
     bin_min = prim_min.reshape(n_bins, B, 3).min(axis=1)
     bin_max = prim_max.reshape(n_bins, B, 3).max(axis=1)
@@ -133,9 +141,6 @@ def build_bins(
 
     return TriangleBins(
         tri=jnp.asarray(packed),
-        plane=jnp.asarray(plane),
-        prim_id=jnp.asarray(prim_ids.reshape(n_bins, B)),
-        inst_id=jnp.asarray(inst_ids.reshape(n_bins, B)),
         bin_aabb=jnp.asarray(bin_aabb.astype(np.float32)),
         super_aabb=jnp.asarray(super_aabb.astype(np.float32)),
         bins_per_super=S,

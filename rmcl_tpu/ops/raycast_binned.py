@@ -231,19 +231,43 @@ def _build_candidates(bins, ob, db, t_min_b, t_max_b, cs, cb):
         pass_bin & sup_valid[..., None] & (gbin < n_bins)
     ).reshape(n_blk, cs * S)
     gbin = gbin.reshape(n_blk, cs * S)
-    bscore = jnp.where(valid_bin, -tn_bin.reshape(n_blk, cs * S), -_BIG)
-    cand_score, cand_pos = jax.lax.top_k(bscore, cb)
-    cand_bin = jnp.where(
-        cand_score > -_BIG, jnp.take_along_axis(gbin, cand_pos, axis=1), -1
-    )  # (n_blk, cb)
+    tn_flat = jnp.maximum(tn_bin.reshape(n_blk, cs * S), 0.0)
+
+    # pack the global bin id into the low mantissa bits of the (positive)
+    # entry-distance float: ONE int top_k then selects ids and distances
+    # together (the separate take_along_axis id gather measured 51 ms, and
+    # the f32+s32 co-sort doubled the sort payload). Mantissa truncation
+    # only rounds tnear DOWN — still a conservative lower bound for the
+    # early exit; the ~2^-(23-bits) ordering jitter is irrelevant.
+    id_bits = max(1, (n_bins - 1).bit_length())
+    if id_bits <= 20:
+        idm = jnp.int32((1 << id_bits) - 1)
+        tb = jax.lax.bitcast_convert_type(tn_flat, jnp.int32)
+        key = jnp.where(valid_bin, (tb & ~idm) | gbin, jnp.int32(0x7FFFFFF0))
+        topv = jax.lax.top_k(-key, cb)[0]
+        kmin = -topv  # ascending packed tnear
+        cand_ok = kmin != 0x7FFFFFF0
+        cand_bin = jnp.where(cand_ok, kmin & idm, -1)
+        cand_tnear = jnp.where(
+            cand_ok,
+            jax.lax.bitcast_convert_type(kmin & ~idm, jnp.float32)
+            / n_hi[:, None],
+            _BIG,
+        )
+    else:  # huge scenes: ids don't fit the mantissa — classic co-sort
+        bscore = jnp.where(valid_bin, -tn_flat, -_BIG)
+        cand_score, cand_pos = jax.lax.top_k(bscore, cb)
+        cand_bin = jnp.where(
+            cand_score > -_BIG,
+            jnp.take_along_axis(gbin, cand_pos, axis=1),
+            -1,
+        )
+        cand_tnear = jnp.where(
+            cand_bin >= 0, -cand_score / n_hi[:, None], _BIG
+        )
     # actual candidate count per block — the intersection loop only runs to
     # the chunk's max count, so the generous budget is ~free at runtime
     cand_count = jnp.sum(cand_bin >= 0, axis=1).astype(jnp.int32)  # (n_blk,)
-    # geometric entry distance -> conservative parametric lower bound (the
-    # early-exit compares against parametric best-t; |d|=1 makes this exact)
-    cand_tnear = jnp.where(
-        cand_bin >= 0, -cand_score / n_hi[:, None], _BIG
-    )  # (n_blk, cb)
     return cand_bin, cand_count, cand_tnear
 
 
@@ -295,7 +319,7 @@ def candidate_stats(
     jax.jit,
     static_argnames=(
         "block_size", "c_super", "c_bin", "block_chunk", "flip_normals",
-        "use_pallas", "pallas_interpret", "shared_dir",
+        "use_pallas", "pallas_interpret", "shared_dir", "payload",
     ),
 )
 def cast_rays_binned(
@@ -312,6 +336,7 @@ def cast_rays_binned(
     use_pallas: bool = False,
     pallas_interpret: bool = False,
     shared_dir: bool = False,
+    payload: bool = True,
 ) -> RayHits:
     """Dense closest-hit query (drop-in for ops.raycast.cast_rays).
 
@@ -388,7 +413,7 @@ def cast_rays_binned(
         dx, dy, dz = db_c[:, None, :, 0], db_c[:, None, :, 1], db_c[:, None, :, 2]
 
         def body(c, state):
-            t_best, ref_best = state
+            t_best = state[0]
             bid = jax.lax.dynamic_slice_in_dim(cand_c, c, 1, axis=1)[:, 0]  # (Bc,)
             ok_bin = bid >= 0
             safe = jnp.where(ok_bin, bid, 0)
@@ -480,12 +505,34 @@ def cast_rays_binned(
             t_min_bin = jax.lax.bitcast_convert_type(key_min | jmask, jnp.float32)
             better = t_min_bin < t_best
             t_best = jnp.where(better, t_min_bin, t_best)
-            ref = bid[:, None] * B + (key_min & jmask)
-            ref_best = jnp.where(better, ref, ref_best)
-            return t_best, ref_best
+            if not payload:
+                return (t_best,)
+            # carry the winner's shading payload in registers: one-hot
+            # lane-select from the already-resident tw planes. Replaces the
+            # end-of-cast global winner gathers (6 x 3.7M from HBM was
+            # measured at 327 ms — ~45% of the cast).
+            nxs, nys, nzs = tw[:, 9], tw[:, 10], tw[:, 11]  # (Bc, B)
+            d0s = nxs * tw[:, 0] + nys * tw[:, 1] + nzs * tw[:, 2]
+            sel = (j_iota == (key_min & jmask)[:, None, :]) & better[:, None, :]
+            pick = lambda comp: jnp.sum(
+                jnp.where(sel, comp[:, :, None], 0.0), axis=1
+            )  # (Bc, Rb)
+            upd = lambda old, comp: jnp.where(better, pick(comp), old)
+            pl = (
+                upd(state[1], nxs),
+                upd(state[2], nys),
+                upd(state[3], nzs),
+                upd(state[4], d0s),
+                upd(state[5], tw[:, 12]),
+                upd(state[6], tw[:, 13]),
+            )
+            return (t_best,) + pl
 
         z = jnp.zeros((Bc, Rb), jnp.float32)
-        init = (tmax_c, jnp.full((Bc, Rb), -1, jnp.int32))
+        if payload:
+            init = (tmax_c, z, z, z, z, jnp.full((Bc, Rb), -1.0), z)
+        else:
+            init = (tmax_c,)
 
         def cond(cs_):
             c, state = cs_
@@ -544,27 +591,50 @@ def cast_rays_binned(
             block_size=Rb,
             interpret=pallas_interpret,
         )
-        outs = (t_best_b, ref_best_b)
-    elif n_chunks == 1:
-        outs = chunk_fn(tuple(a[0] for a in args))
+        # reconstruct payload planes from the winner refs (slow global
+        # gathers — the XLA path carries these through the loop instead)
+        ref = jnp.take(
+            ref_best_b.reshape(-1, Rb), blk_unorder, axis=0
+        ).reshape(-1)[:n]
+        hitp = ref >= 0
+        safe = jnp.where(hitp, ref, 0)
+        flat = tri.reshape(-1)  # (n_bins*14*B,)
+        base = (safe // B) * (14 * B) + (safe % B)
+        comp = lambda c: jnp.take(flat, base + c * B)
+        t_best = jnp.take(
+            t_best_b.reshape(-1, Rb), blk_unorder, axis=0
+        ).reshape(-1)[:n]
+        pl = [comp(9), comp(10), comp(11), None, comp(12), comp(13)]
+        pl[3] = pl[0] * comp(0) + pl[1] * comp(1) + pl[2] * comp(2)
+        pl = [jnp.where(hitp, x, fill) for x, fill in zip(pl, (0, 0, 0, 0, -1, 0))]
     else:
-        outs = jax.lax.map(chunk_fn, args)
-    t_best_blk = outs[0].reshape(-1, Rb)[: n_blk]
-    ref_best_blk = outs[1].reshape(-1, Rb)[: n_blk]
-    t_best = jnp.take(t_best_blk, blk_unorder, axis=0).reshape(-1)[:n]
-    ref_best = jnp.take(ref_best_blk, blk_unorder, axis=0).reshape(-1)[:n]
-
-    # one batched payload fetch for the winners (ref = bin*B + j)
-    hit0 = ref_best >= 0
-    safe_ref = jnp.where(hit0, ref_best, 0)
-    win = jnp.take(bins.plane, safe_ref, axis=0)  # (n, 4) [n, n·v0]
-    nx, ny, nz, d0 = win[:, 0], win[:, 1], win[:, 2], win[:, 3]
-    prim = jnp.take(bins.prim_id.reshape(-1), safe_ref).astype(jnp.float32)
-    inst = jnp.take(bins.inst_id.reshape(-1), safe_ref).astype(jnp.float32)
-    prim = jnp.where(hit0, prim, -1.0)
-    inst = jnp.where(hit0, inst, -1.0)
+        if n_chunks == 1:
+            outs = chunk_fn(tuple(a[0] for a in args))
+        else:
+            outs = jax.lax.map(chunk_fn, args)
+        unblk = lambda x: jnp.take(
+            x.reshape(-1, Rb), blk_unorder, axis=0
+        ).reshape(-1)[:n]
+        t_best = unblk(outs[0])
+        if payload:
+            pl = [unblk(x) for x in outs[1:]]
 
     hit = (t_best < t_max_r.reshape(-1)[:n]) & (t_best < _BIG)
+    if not payload:
+        # occlusion-style query: loop t only (non-differentiable; the ~1e-5
+        # packed-key perturbation applies), no ids/normals/points
+        zero3 = jnp.zeros((n, 3), jnp.float32)
+        neg1 = jnp.full((n,), -1, jnp.int32)
+        return RayHits(
+            t=jnp.where(hit, t_best, NO_HIT_T).reshape(batch_shape),
+            hit=hit.reshape(batch_shape),
+            prim_id=neg1.reshape(batch_shape),
+            inst_id=neg1.reshape(batch_shape),
+            point=zero3.reshape(batch_shape + (3,)),
+            normal=zero3.reshape(batch_shape + (3,)),
+        )
+
+    nx, ny, nz, d0, prim, inst = pl
 
     # differentiable plane re-derivation (matches ops.raycast.cast_rays)
     o_n = o[:n]
@@ -649,16 +719,22 @@ def tiled_sweep_order(
 
     # block layout: (pose_tile, az_tile, el_tile) -> rays
     # ray id = pose * n_dirs + el * width + az
-    p = pose_pad[:, None, None, :, None, None]  # (n_pt,1,1,pt,1,1)
-    a = az_tiles[None, :, None, None, :, None]  # (1,n_at,1,1,at,1)
-    e = el_tiles[None, None, :, None, None, :]  # (1,1,n_et,1,1,et)
+    # (built with jnp so the big perm/inv arrays are born on device — the
+    # host->device copy of a multi-M-ray permutation can stall for minutes
+    # on the relay backend)
+    p = jnp.asarray(pose_pad, jnp.int32)[:, None, None, :, None, None]
+    a = jnp.asarray(az_tiles, jnp.int32)[None, :, None, None, :, None]
+    e = jnp.asarray(el_tiles, jnp.int32)[None, None, :, None, None, :]
     perm = (p * n_dirs + e * width + a).reshape(-1)
 
     # inverse that ignores duplicate (padded) entries: last write wins is
     # fine because duplicates compute identical rays
-    inv = np.zeros(n_poses * n_dirs, np.int64)
-    inv[perm] = np.arange(perm.shape[0])
-    return jnp.asarray(perm), jnp.asarray(inv)
+    inv = (
+        jnp.zeros(n_poses * n_dirs, jnp.int32)
+        .at[perm]
+        .set(jnp.arange(perm.shape[0], dtype=jnp.int32))
+    )
+    return perm, inv
 
 
 def direction_major_order(n_poses: int, n_dirs: int) -> Tuple[Array, Array]:

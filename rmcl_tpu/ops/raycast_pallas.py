@@ -8,7 +8,7 @@ block and fused into a single kernel (no intermediate materialization, no
 per-iteration launch overhead).
 
 Layout contract (see rmcl_tpu.bvh.bins): triangle payload is component-major
-(n_bins, 12, B) so one bin's DMA lands as 12 sublanes x B lanes in VMEM.
+(n_bins, 14, B) so one bin's DMA lands as 14 sublanes x B lanes in VMEM.
 
 The kernel covers the intersection phase only; candidate selection (block
 frustum culling + nearest-first top-k) stays in XLA where it is already
@@ -42,12 +42,12 @@ def _intersect_kernel(
     ox_ref, oy_ref, oz_ref,  # (1, 1, Rb) ray origins (block)
     dx_ref, dy_ref, dz_ref,  # (1, 1, Rb) ray directions
     tmin_ref, tmax_ref,  # (1, 1, Rb)
-    tri_hbm,  # (n_bins, 12, B) in ANY/HBM
+    tri_hbm,  # (n_bins, 14, B) in ANY/HBM
     # outputs
     tbest_ref,  # (1, 1, Rb)
     ref_ref,  # (1, 1, Rb) int32 winning bin*B+j
     # scratch
-    tri_buf,  # (2, 12, B) VMEM
+    tri_buf,  # (2, 14, B) VMEM
     sem,  # DMA semaphores (2,)
 ):
     Rb = ox_ref.shape[2]
@@ -84,7 +84,7 @@ def _intersect_kernel(
 
         dma(slot, c).wait()
 
-        tw = tri_buf[slot]  # (12, B)
+        tw = tri_buf[slot]  # (14, B)
         v0x, v0y, v0z = tw[0, :], tw[1, :], tw[2, :]
         e1x, e1y, e1z = tw[3, :], tw[4, :], tw[5, :]
         e2x, e2y, e2z = tw[6, :], tw[7, :], tw[8, :]
@@ -160,7 +160,7 @@ def _intersect_kernel(
     jax.jit, static_argnames=("block_size", "interpret")
 )
 def intersect_bins_pallas(
-    tri: Array,  # (n_bins, 12, B) f32
+    tri: Array,  # (n_bins, 14, B) f32
     ob: Array,  # (n_blk, Rb, 3)
     db: Array,  # (n_blk, Rb, 3)
     t_min_b: Array,  # (n_blk, Rb)
@@ -202,7 +202,7 @@ def intersect_bins_pallas(
             jax.ShapeDtypeStruct((n_blk, 1, Rb), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, 12, B), jnp.float32),
+            pltpu.VMEM((2, 14, B), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
         interpret=interpret,
