@@ -64,14 +64,52 @@ class TriangleBins:
         return int(self.tri.size + self.bin_aabb.size + self.super_aabb.size) * 4
 
 
+def _median_split_order(centroid: np.ndarray, B: int) -> np.ndarray:
+    """kd-style recursive median partition into compact leaves of B tris.
+
+    Splits the widest centroid axis at each node, rounding the left child
+    to a multiple of B so every leaf (except possibly the last) is exactly
+    full. Leaves come out in DFS order, so consecutive leaves share
+    subtrees — groups of S consecutive leaves (the supers) are subtree-
+    compact. Produces much tighter bin AABBs than fixed Morton runs,
+    which can straddle Morton-cell boundaries and go ragged."""
+    T = centroid.shape[0]
+    order = np.arange(T)
+    out = np.empty(T, np.int64)
+    pos = 0
+    stack = [(0, T)]
+    while stack:
+        lo, hi = stack.pop()
+        n = hi - lo
+        if n <= B:
+            out[pos : pos + n] = order[lo:hi]
+            pos += n
+            continue
+        seg = order[lo:hi]
+        c = centroid[seg]
+        axis = int(np.argmax(c.max(axis=0) - c.min(axis=0)))
+        # left gets the largest multiple of B that is <= n/2 (at least B)
+        n_left = max(B, ((n // 2) // B) * B)
+        part = np.argpartition(c[:, axis], n_left - 1)
+        order[lo:hi] = seg[part]
+        # DFS: push right first so left is emitted first
+        stack.append((lo + n_left, hi))
+        stack.append((lo, lo + n_left))
+    return out
+
+
 def build_bins(
     mesh: TriangleMesh,
     bin_size: int = 64,
     bins_per_super: int = 64,
     prim_ids: np.ndarray | None = None,
     inst_ids: np.ndarray | None = None,
+    method: str = "median",
 ) -> TriangleBins:
-    """Build Morton-ordered triangle bins (host, vectorized numpy)."""
+    """Build compact triangle bins (host, vectorized numpy).
+
+    method: 'median' (kd median split, tight AABBs — default) or 'morton'
+    (legacy fixed Morton runs)."""
     tri = mesh.triangles().astype(np.float32)
     T = tri.shape[0]
     if prim_ids is None:
@@ -86,9 +124,12 @@ def build_bins(
     scene_max = prim_max.max(axis=0)
     extent = np.maximum(scene_max - scene_min, 1e-12)
 
-    order = np.argsort(
-        morton_codes_3d((centroid - scene_min) / extent), kind="stable"
-    )
+    if method == "median":
+        order = _median_split_order(centroid, bin_size)
+    else:
+        order = np.argsort(
+            morton_codes_3d((centroid - scene_min) / extent), kind="stable"
+        )
     tri = tri[order]
     prim_min = prim_min[order]
     prim_max = prim_max[order]

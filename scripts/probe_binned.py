@@ -91,66 +91,27 @@ def main():
     if args.skip_cull:
         return
 
-    # --- candidate statistics (replicate the cull phase) ------------------
-    from rmcl_tpu.ops import raycast_binned as rb
+    # --- candidate statistics (the engine's own cull) ---------------------
+    from rmcl_tpu.ops.raycast_binned import candidate_stats
 
-    Rb = args.block_size
-    n_pad = (-n_rays) % Rb
-    ob = jnp.concatenate([o, jnp.zeros((n_pad, 3))], 0).reshape(-1, Rb, 3)
-    db = jnp.concatenate([d, jnp.ones((n_pad, 3))], 0).reshape(-1, Rb, 3)
-    n_blk = ob.shape[0]
-
-    @jax.jit
-    def cull_stats(bins, ob, db):
-        o_lo = jnp.min(ob, 1); o_hi = jnp.max(ob, 1)
-        d_lo = jnp.min(db, 1); d_hi = jnp.max(db, 1)
-        t_hi = jnp.full((n_blk,), 3e38)
-        _, _, scene_far = rb._block_box_test(
-            o_lo[:, None], o_hi[:, None], d_lo[:, None], d_hi[:, None],
-            t_hi[:, None],
-            jnp.broadcast_to(bins.aabb_min, (1, 1, 3)),
-            jnp.broadcast_to(bins.aabb_max, (1, 1, 3)))
-        t_hi = scene_far[:, 0] * 1.0001 + 1e-3
-        pass_sup, tn_sup, _ = rb._block_box_test(
-            o_lo[:, None], o_hi[:, None], d_lo[:, None], d_hi[:, None],
-            t_hi[:, None], bins.super_aabb[None, :, 0:3],
-            bins.super_aabb[None, :, 3:6])
-        n_sup = jnp.sum(pass_sup, 1)
-        S = bins.bins_per_super
-        bin_aabb = bins.bin_aabb
-        pad = bins.n_super * S - bins.n_bins
-        if pad:
-            filler = jnp.concatenate(
-                [jnp.full((pad, 3), 3e38), jnp.full((pad, 3), -3e38)], 1
-            )
-            bin_aabb = jnp.concatenate([bin_aabb, filler], 0)
-        sub = bin_aabb.reshape(bins.n_super, S, 6)
-        # exact per-block x all-bins pass count (no budget truncation)
-        pass_bin, tn_bin, _ = rb._block_box_test(
-            o_lo[:, None, None], o_hi[:, None, None],
-            d_lo[:, None, None], d_hi[:, None, None],
-            t_hi[:, None, None], sub[None, ..., 0:3], sub[None, ..., 3:6])
-        pass_bin = pass_bin & pass_sup[..., None]
-        n_bin = jnp.sum(pass_bin, (1, 2))
-        return n_sup, n_bin
-
-    ns, nb = jax.block_until_ready(cull_stats(bins, ob, db))
-    ns, nb = np.asarray(ns), np.asarray(nb)
-    print(f"supers/block: mean={ns.mean():.1f} p50={np.percentile(ns,50):.0f} "
-          f"p95={np.percentile(ns,95):.0f} max={ns.max()}")
-    print(f"bins/block:   mean={nb.mean():.1f} p50={np.percentile(nb,50):.0f} "
-          f"p95={np.percentile(nb,95):.0f} max={nb.max()}")
+    cc = jax.block_until_ready(candidate_stats(
+        bins, o, d, block_size=args.block_size, c_bin=args.c_bin))
+    cc = np.asarray(cc)
+    print(f"cand bins/block (engine, budget {args.c_bin}): "
+          f"mean={cc.mean():.1f} p50={np.percentile(cc,50):.0f} "
+          f"p95={np.percentile(cc,95):.0f} max={cc.max()} "
+          f"saturated={(cc >= args.c_bin).mean()*100:.2f}%")
     print(f"pairs/ray (upper bound, no early-exit): "
-          f"{nb.mean() * bins.bin_size:.0f}")
+          f"{cc.mean() * bins.bin_size:.0f}")
 
-    # --- phase split: time the cull phase alone ---------------------------
-    g = jax.jit(lambda bins, ob, db: cull_stats(bins, ob, db)[1])
-    jax.block_until_ready(g(bins, ob, db))
+    f = jax.jit(lambda bins, o, d: candidate_stats(
+        bins, o, d, block_size=args.block_size, c_bin=args.c_bin))
+    jax.block_until_ready(f(bins, o, d))
     t0 = time.time()
     for _ in range(args.iters):
-        jax.block_until_ready(g(bins, ob, db))
+        jax.block_until_ready(f(bins, o, d))
     cull_t = (time.time() - t0) / args.iters
-    print(f"cull-phase (exact, unbudgeted): {cull_t*1e3:.1f} ms "
+    print(f"cull-phase (engine, budgeted): {cull_t*1e3:.1f} ms "
           f"({100*cull_t/best:.0f}% of end-to-end)")
 
 
