@@ -53,7 +53,7 @@ def main():
 
     n = int(np.sqrt(faces / 2))
     mesh = make_sphere(n, n, radius=50.0)
-    bins = build_bins(mesh)
+    bins = build_bins(mesh, bin_size=32)
 
     model = SphericalModel.vlp16(width=900)  # 900 x 16 = 14,400 rays/pose
     n_dirs = model.n_rays
@@ -61,18 +61,21 @@ def main():
 
     rng = np.random.default_rng(0)
     trans_true = rng.uniform(-5, 5, size=(n_poses, 3)).astype(np.float32)
-    # compact blocks: Morton-clustered poses x small azimuth/elevation tiles
+    # compact blocks: Morton-clustered poses x small azimuth tiles,
+    # direction-major within the tile so the 8 directions form contiguous
+    # same-direction groups (dir_groups promise -> hoisted intersection)
     perm, inv = tiled_sweep_order(
         trans_true, model.width, model.height,
-        poses_per_tile=16, az_tile=8, el_tile=2,
+        poses_per_tile=16, az_tile=8, el_tile=1, dir_major=True,
     )
+    cast_kw = dict(block_size=128, dir_groups=8)
 
     def cast_sweep(bins, trans, dirs):
         """Closest-hit for all poses x all scan dirs (identity rotations,
         like the reference benchmark's +z-offset pose sweep)."""
         o = jnp.broadcast_to(trans[:, None, :], (n_poses, n_dirs, 3)).reshape(-1, 3)
         d = jnp.broadcast_to(dirs[None], (n_poses, n_dirs, 3)).reshape(-1, 3)
-        hits = cast_rays_binned(bins, o[perm], d[perm])
+        hits = cast_rays_binned(bins, o[perm], d[perm], **cast_kw)
         return (
             hits.t[inv].reshape(n_poses, n_dirs),
             hits.point[inv].reshape(n_poses, n_dirs, 3),

@@ -315,11 +315,135 @@ def candidate_stats(
     return cand_count
 
 
+def _subblock_bounds(ob, db, t_min_b, t_max_b, sub_blocks):
+    """Per-sub-block cone/box bounds: rays (n_blk, Rb, 3) split into
+    ``sub_blocks`` contiguous groups. Returns bounds with a leading
+    (n_blk, R) sub-block axis."""
+    n_blk, Rb, _ = ob.shape
+    R = sub_blocks
+    Rs = Rb // R
+    rs = lambda x: x.reshape(n_blk * R, Rs, *x.shape[2:])
+    oc, oh, a, tan_th, t_hi, n_hi, dead = _block_bounds(
+        rs(ob), rs(db), rs(t_min_b), rs(t_max_b)
+    )
+    un = lambda x: x.reshape(n_blk, R, *x.shape[1:])
+    return un(oc), un(oh), un(a), un(tan_th), un(t_hi), un(n_hi), un(dead)
+
+
+def _chunk_candidates(bins, ob, db, t_min_b, t_max_b, cs, cb, sub_blocks):
+    """Two-level cull with per-sub-block cone tests, for one chunk of
+    blocks. Identical contract to :func:`_build_candidates` but tighter
+    (a union of R narrow cones vs one fat block cone) and designed to run
+    inside the fused per-chunk pipeline (small intermediates).
+
+    Returns (cand_bin (Cb, cb), cand_count (Cb,), cand_tnear (Cb, cb))."""
+    Cb = ob.shape[0]
+    S = bins.bins_per_super
+    n_super = bins.n_super
+    n_bins = bins.n_bins
+    R = sub_blocks
+
+    oc, oh, axis, tan_th, t_hi, n_hi, dead = _subblock_bounds(
+        ob, db, t_min_b, t_max_b, R
+    )  # (Cb, R, ...)
+    axis = jnp.where(dead[..., None], jnp.asarray([1.0, 0.0, 0.0]), axis)
+    t_hi = jnp.where(dead, 0.0, t_hi)
+
+    # conservative scene-exit cap per sub-block (see _build_candidates)
+    scene_c = 0.5 * (bins.aabb_min + bins.aabb_max)
+    scene_h = 0.5 * (bins.aabb_max - bins.aabb_min)
+    t_cap = (
+        jnp.linalg.norm(oc - scene_c[None, None], axis=-1)
+        + jnp.linalg.norm(scene_h)
+        + jnp.linalg.norm(oh, axis=-1)
+    )  # (Cb, R)
+    _, _, scene_far = _cone_box_test(
+        oc[:, :, None], oh[:, :, None], axis[:, :, None], tan_th[:, :, None],
+        t_cap[:, :, None],
+        jnp.broadcast_to(bins.aabb_min, (1, 1, 1, 3)),
+        jnp.broadcast_to(bins.aabb_max, (1, 1, 1, 3)),
+    )
+    t_hi = jnp.minimum(t_hi, scene_far[:, :, 0] * 1.0001 + 1e-3)
+
+    # level 0: sub-block cones x supers -> OR over sub-blocks
+    pass_sup, tn_sup, _ = _cone_box_test(
+        oc[:, :, None], oh[:, :, None], axis[:, :, None], tan_th[:, :, None],
+        t_hi[:, :, None],
+        bins.super_aabb[None, None, :, 0:3],
+        bins.super_aabb[None, None, :, 3:6],
+    )  # (Cb, R, n_super)
+    tn_sup = jnp.min(jnp.where(pass_sup, tn_sup, _BIG), axis=1)
+    any_sup = jnp.any(pass_sup, axis=1)  # (Cb, n_super)
+    score = jnp.where(any_sup, -tn_sup, -_BIG)
+    sup_score, sup_ids = jax.lax.top_k(score, cs)  # (Cb, cs)
+    sup_valid = sup_score > -_BIG
+
+    # level 1: candidate supers' bins, per sub-block cones, OR
+    bin_aabb_g = bins.bin_aabb
+    pad_bins = n_super * S - n_bins
+    if pad_bins:
+        bin_aabb_g = jnp.concatenate(
+            [bin_aabb_g, jnp.zeros((pad_bins, 6), jnp.float32)], 0
+        )
+    bin_aabb_s = bin_aabb_g.reshape(n_super, S, 6)
+    sub = jnp.take(bin_aabb_s, sup_ids, axis=0)  # (Cb, cs, S, 6)
+    pass_bin, tn_bin, _ = _cone_box_test(
+        oc[:, :, None, None],
+        oh[:, :, None, None],
+        axis[:, :, None, None],
+        tan_th[:, :, None, None],
+        t_hi[:, :, None, None],
+        sub[:, None, :, :, 0:3],
+        sub[:, None, :, :, 3:6],
+    )  # (Cb, R, cs, S)
+    tn_bin = jnp.min(jnp.where(pass_bin, tn_bin, _BIG), axis=1)
+    any_bin = jnp.any(pass_bin, axis=1)  # (Cb, cs, S)
+
+    gbin = sup_ids[..., None] * S + jnp.arange(S)[None, None, :]
+    valid_bin = (
+        any_bin & sup_valid[..., None] & (gbin < n_bins)
+    ).reshape(Cb, cs * S)
+    gbin = gbin.reshape(Cb, cs * S)
+    tn_flat = jnp.maximum(tn_bin.reshape(Cb, cs * S), 0.0)
+    # |d| scale for parametric conversion: use max over sub-blocks
+    n_hi_b = jnp.max(n_hi, axis=1)  # (Cb,)
+
+    id_bits = max(1, (n_bins - 1).bit_length())
+    if id_bits <= 20:
+        idm = jnp.int32((1 << id_bits) - 1)
+        tb = jax.lax.bitcast_convert_type(tn_flat, jnp.int32)
+        key = jnp.where(valid_bin, (tb & ~idm) | gbin, jnp.int32(0x7FFFFFF0))
+        topv = jax.lax.top_k(-key, cb)[0]
+        kmin = -topv
+        cand_ok = kmin != 0x7FFFFFF0
+        cand_bin = jnp.where(cand_ok, kmin & idm, -1)
+        cand_tnear = jnp.where(
+            cand_ok,
+            jax.lax.bitcast_convert_type(kmin & ~idm, jnp.float32)
+            / n_hi_b[:, None],
+            _BIG,
+        )
+    else:
+        bscore = jnp.where(valid_bin, -tn_flat, -_BIG)
+        cand_score, cand_pos = jax.lax.top_k(bscore, cb)
+        cand_bin = jnp.where(
+            cand_score > -_BIG,
+            jnp.take_along_axis(gbin, cand_pos, axis=1),
+            -1,
+        )
+        cand_tnear = jnp.where(
+            cand_bin >= 0, -cand_score / n_hi_b[:, None], _BIG
+        )
+    cand_count = jnp.sum(cand_bin >= 0, axis=1).astype(jnp.int32)
+    return cand_bin, cand_count, cand_tnear
+
+
 @partial(
     jax.jit,
     static_argnames=(
         "block_size", "c_super", "c_bin", "block_chunk", "flip_normals",
         "use_pallas", "pallas_interpret", "shared_dir", "payload",
+        "sub_blocks", "dir_groups",
     ),
 )
 def cast_rays_binned(
@@ -328,26 +452,41 @@ def cast_rays_binned(
     dirs: Array,
     t_min: float | Array = 0.0,
     t_max: float | Array = NO_HIT_T,
-    block_size: int = 256,
-    c_super: int = 48,
-    c_bin: int = 192,
+    block_size: int = 128,
+    c_super: int = 24,
+    c_bin: int = 96,
     block_chunk: int = 256,
     flip_normals: bool = True,
     use_pallas: bool = False,
     pallas_interpret: bool = False,
     shared_dir: bool = False,
     payload: bool = True,
+    sub_blocks: int = 4,
+    dir_groups: int = 0,
 ) -> RayHits:
     """Dense closest-hit query (drop-in for ops.raycast.cast_rays).
 
     Rays should be in a spatially coherent order (scan grids already are).
 
-    ``shared_dir=True`` promises every ``block_size`` ray block shares ONE
-    exact direction (e.g. :func:`direction_major_order` pose sweeps). The
-    intersection loop then hoists all direction-dependent Möller–Trumbore
-    terms (d x e2, d x e1, det) out of the (ray x triangle) work: per-pair
-    cost drops ~2x. Results are undefined if the promise is broken.
+    The default path is a fused per-chunk pipeline: per-sub-block cone
+    culling (``sub_blocks`` contiguous ray groups per block, OR'd — much
+    tighter than one fat block cone) straight into the dense intersection
+    loop, with no globally materialized candidate arrays.
+
+    ``dir_groups=G`` promises each block's rays form G contiguous groups
+    sharing ONE exact direction per group (pose-sweep workloads ordered by
+    :func:`tiled_sweep_order` with ``dir_major=True``). All direction-
+    dependent Möller–Trumbore terms then hoist out of the (ray x triangle)
+    pair work (~2x fewer VPU ops/pair). Results are undefined if the
+    promise is broken. ``shared_dir=True`` is the legacy alias for
+    ``dir_groups=1``.
+
+    ``use_pallas=True`` routes the intersection phase through the Pallas
+    kernel (global candidate build; for study — the fused XLA path is the
+    production default).
     """
+    if shared_dir and not dir_groups:
+        dir_groups = 1
     orig, dirs = jnp.broadcast_arrays(
         jnp.asarray(orig, jnp.float32), jnp.asarray(dirs, jnp.float32)
     )
@@ -378,31 +517,23 @@ def cast_rays_binned(
     cs = min(c_super, bins.n_super)
     cb = min(c_bin, n_bins, cs * S)
 
-    cand_bin, cand_count, cand_tnear = _build_candidates(
-        bins, ob, db, t_min_b, t_max_b, cs, cb
-    )
-
-    # order blocks by candidate count so chunks are homogeneous — one
-    # straggler block otherwise pins its whole chunk at the max trip count
-    blk_order = jnp.argsort(-cand_count)
-    blk_unorder = jnp.argsort(blk_order)
-    ob = jnp.take(ob, blk_order, axis=0)
-    db = jnp.take(db, blk_order, axis=0)
-    t_min_b = jnp.take(t_min_b, blk_order, axis=0)
-    t_max_b = jnp.take(t_max_b, blk_order, axis=0)
-    cand_bin = jnp.take(cand_bin, blk_order, axis=0)
-    cand_count = jnp.take(cand_count, blk_order, axis=0)
-    cand_tnear = jnp.take(cand_tnear, blk_order, axis=0)
-
     # --- dense intersection over candidate bins ---------------------------
-    tri = bins.tri  # (n_bins, 12, B) component-major
+    tri = bins.tri  # (n_bins, 14, B) component-major
 
     assert B & (B - 1) == 0, "bin_size must be a power of two (packed-key min)"
     jmask = jnp.int32(B - 1)
 
+    G = dir_groups
+    if G:
+        assert Rb % G == 0, "block_size must be a multiple of dir_groups"
+        P = Rb // G
+
     def chunk_fn(args):
-        ob_c, db_c, tmin_c, tmax_c, cand_c, count_c, tnear_c = args
+        ob_c, db_c, tmin_c, tmax_c = args
         Bc = ob_c.shape[0]
+        cand_c, count_c, tnear_c = _chunk_candidates(
+            bins, ob_c, db_c, tmin_c, tmax_c, cs, cb, sub_blocks
+        )
         limit = jnp.max(count_c)
         # triangle lane indices, packed once into the low bits of the float
         # key (see below)
@@ -424,16 +555,19 @@ def cast_rays_binned(
             e2x, e2y, e2z = tw[:, 6, :, None], tw[:, 7, :, None], tw[:, 8, :, None]
 
             eps = 1e-7
-            if shared_dir:
-                # ONE direction per block: hoist every d-dependent term to
-                # (Bc, B) precompute; the (Bc, B, Rb) pair work is three
-                # premultiplied bilinears + the hit decision (~2x fewer
-                # VPU flops/pair than full Möller–Trumbore)
-                sdx, sdy, sdz = dx[:, :, 0], dy[:, :, 0], dz[:, :, 0]  # (Bc,1)
-                e1xs, e1ys, e1zs = e1x[..., 0], e1y[..., 0], e1z[..., 0]
-                e2xs, e2ys, e2zs = e2x[..., 0], e2y[..., 0], e2z[..., 0]
-                v0xs, v0ys, v0zs = v0x[..., 0], v0y[..., 0], v0z[..., 0]
-                pvx = sdy * e2zs - sdz * e2ys  # (Bc, B)
+            if G:
+                # G shared directions per block: hoist every d-dependent
+                # Möller–Trumbore term to a (Bc, B, G) precompute; the
+                # (Bc, B, Rb) pair work is three premultiplied bilinears +
+                # the hit decision (~2x fewer VPU flops/pair than full MT)
+                dg = db_c[:, ::P]  # (Bc, G, 3) one exact dir per group
+                sdx, sdy, sdz = (
+                    dg[:, None, :, 0], dg[:, None, :, 1], dg[:, None, :, 2]
+                )  # (Bc, 1, G)
+                e1xs, e1ys, e1zs = e1x, e1y, e1z  # (Bc, B, 1)
+                e2xs, e2ys, e2zs = e2x, e2y, e2z
+                v0xs, v0ys, v0zs = v0x, v0y, v0z
+                pvx = sdy * e2zs - sdz * e2ys  # (Bc, B, G)
                 pvy = sdz * e2xs - sdx * e2zs
                 pvz = sdx * e2ys - sdy * e2xs
                 det = e1xs * pvx + e1ys * pvy + e1zs * pvz
@@ -454,13 +588,15 @@ def cast_rays_binned(
                 cu = v0xs * pux + v0ys * puy + v0zs * puz
                 cv = v0xs * qvx + v0ys * qvy + v0zs * qvz
                 ct = v0xs * ntx + v0ys * nty + v0zs * ntz
+                # upsample (Bc, B, G) -> (Bc, B, G*P): groups are
+                # contiguous lane runs, so this is a lane broadcast
+                up = lambda x: jnp.broadcast_to(
+                    x[..., None], (Bc, B, G, P)
+                ).reshape(Bc, B, Rb)
                 # pair work on (Bc, B, Rb)
-                u = (ox * pux[..., None] + oy * puy[..., None]
-                     + oz * puz[..., None]) - cu[..., None]
-                v = cv[..., None] - (ox * qvx[..., None] + oy * qvy[..., None]
-                                     + oz * qvz[..., None])
-                t = (ox * ntx[..., None] + oy * nty[..., None]
-                     + oz * ntz[..., None]) - ct[..., None]
+                u = (ox * up(pux) + oy * up(puy) + oz * up(puz)) - up(cu)
+                v = up(cv) - (ox * up(qvx) + oy * up(qvy) + oz * up(qvz))
+                t = (ox * up(ntx) + oy * up(nty) + oz * up(ntz)) - up(ct)
                 ok = (
                     (u >= -eps)
                     & (v >= -eps)
@@ -563,22 +699,21 @@ def cast_rays_binned(
         db = padz(db, 1.0)
         t_min_b = padz(t_min_b, 0.0)
         t_max_b = padz(t_max_b, 0.0)
-        cand_bin = padz(cand_bin, -1)
-        cand_count = padz(cand_count, 0)
-        cand_tnear = padz(cand_tnear, _BIG)
     n_chunks = (n_blk + blk_pad) // chunk
     args = (
         ob.reshape(n_chunks, chunk, Rb, 3),
         db.reshape(n_chunks, chunk, Rb, 3),
         t_min_b.reshape(n_chunks, chunk, Rb),
         t_max_b.reshape(n_chunks, chunk, Rb),
-        cand_bin.reshape(n_chunks, chunk, cb),
-        cand_count.reshape(n_chunks, chunk),
-        cand_tnear.reshape(n_chunks, chunk, cb),
     )
     if use_pallas:
+        # study path: global candidate build + Pallas intersection kernel,
+        # payload via end-of-cast winner gathers
         from rmcl_tpu.ops.raycast_pallas import intersect_bins_pallas
 
+        cand_bin, cand_count, cand_tnear = _build_candidates(
+            bins, ob, db, t_min_b, t_max_b, cs, cb
+        )
         t_best_b, ref_best_b = intersect_bins_pallas(
             tri,
             ob,
@@ -591,19 +726,13 @@ def cast_rays_binned(
             block_size=Rb,
             interpret=pallas_interpret,
         )
-        # reconstruct payload planes from the winner refs (slow global
-        # gathers — the XLA path carries these through the loop instead)
-        ref = jnp.take(
-            ref_best_b.reshape(-1, Rb), blk_unorder, axis=0
-        ).reshape(-1)[:n]
+        ref = ref_best_b.reshape(-1)[:n]
         hitp = ref >= 0
         safe = jnp.where(hitp, ref, 0)
         flat = tri.reshape(-1)  # (n_bins*14*B,)
         base = (safe // B) * (14 * B) + (safe % B)
         comp = lambda c: jnp.take(flat, base + c * B)
-        t_best = jnp.take(
-            t_best_b.reshape(-1, Rb), blk_unorder, axis=0
-        ).reshape(-1)[:n]
+        t_best = t_best_b.reshape(-1)[:n]
         pl = [comp(9), comp(10), comp(11), None, comp(12), comp(13)]
         pl[3] = pl[0] * comp(0) + pl[1] * comp(1) + pl[2] * comp(2)
         pl = [jnp.where(hitp, x, fill) for x, fill in zip(pl, (0, 0, 0, 0, -1, 0))]
@@ -612,9 +741,7 @@ def cast_rays_binned(
             outs = chunk_fn(tuple(a[0] for a in args))
         else:
             outs = jax.lax.map(chunk_fn, args)
-        unblk = lambda x: jnp.take(
-            x.reshape(-1, Rb), blk_unorder, axis=0
-        ).reshape(-1)[:n]
+        unblk = lambda x: x.reshape(-1)[:n]
         t_best = unblk(outs[0])
         if payload:
             pl = [unblk(x) for x in outs[1:]]
@@ -667,6 +794,7 @@ def tiled_sweep_order(
     poses_per_tile: int = 32,
     az_tile: int = 8,
     el_tile: int = 1,
+    dir_major: bool = False,
 ) -> Tuple[Array, Array]:
     """Permutation for pose-sweep workloads producing *compact* ray blocks.
 
@@ -722,9 +850,17 @@ def tiled_sweep_order(
     # (built with jnp so the big perm/inv arrays are born on device — the
     # host->device copy of a multi-M-ray permutation can stall for minutes
     # on the relay backend)
-    p = jnp.asarray(pose_pad, jnp.int32)[:, None, None, :, None, None]
-    a = jnp.asarray(az_tiles, jnp.int32)[None, :, None, None, :, None]
-    e = jnp.asarray(el_tiles, jnp.int32)[None, None, :, None, None, :]
+    # dir_major=True orders each tile direction-outer / pose-inner: the
+    # tile's at*et directions form contiguous groups of pt same-direction
+    # rays — exactly the cast_rays_binned(dir_groups=at*et) contract.
+    if dir_major:
+        p = jnp.asarray(pose_pad, jnp.int32)[:, None, None, None, None, :]
+        a = jnp.asarray(az_tiles, jnp.int32)[None, :, None, :, None, None]
+        e = jnp.asarray(el_tiles, jnp.int32)[None, None, :, None, :, None]
+    else:
+        p = jnp.asarray(pose_pad, jnp.int32)[:, None, None, :, None, None]
+        a = jnp.asarray(az_tiles, jnp.int32)[None, :, None, None, :, None]
+        e = jnp.asarray(el_tiles, jnp.int32)[None, None, :, None, None, :]
     perm = (p * n_dirs + e * width + a).reshape(-1)
 
     # inverse that ignores duplicate (padded) entries: last write wins is

@@ -191,6 +191,40 @@ def test_tiled_sweep_order(rng):
     np.testing.assert_allclose(t_tiled[hitm], np.asarray(exact.t)[hitm], rtol=1e-4, atol=1e-4)
 
 
+def test_dir_groups_fast_path(rng):
+    """dir_groups=G + dir_major tiled order == exact traversal (bench config)."""
+    from rmcl_tpu.ops.raycast_binned import tiled_sweep_order
+
+    mesh = make_sphere(48, 48, radius=20.0)
+    bins = build_bins(mesh, bin_size=32, bins_per_super=16)
+    bvh = build_bvh(mesh)
+    W, H = 64, 4
+    n_poses = 32
+    az = np.linspace(-np.pi, np.pi, W, endpoint=False)
+    el = np.linspace(-0.2, 0.2, H)
+    E, A = np.meshgrid(el, az, indexing="ij")  # row-major: dir = el*W + az
+    d1 = np.stack(
+        [np.cos(E) * np.cos(A), np.cos(E) * np.sin(A), np.sin(E)], -1
+    ).reshape(-1, 3).astype(np.float32)
+    origins = rng.uniform(-2, 2, size=(n_poses, 3)).astype(np.float32)
+    o = np.broadcast_to(origins[:, None], (n_poses, W * H, 3)).reshape(-1, 3)
+    d = np.broadcast_to(d1[None], (n_poses, W * H, 3)).reshape(-1, 3)
+
+    perm, inv = tiled_sweep_order(
+        origins, W, H, poses_per_tile=16, az_tile=8, el_tile=1, dir_major=True
+    )
+    exact = cast_rays(bvh, jnp.asarray(o), jnp.asarray(d))
+    fast = cast_rays_binned(
+        bins, jnp.asarray(o)[perm], jnp.asarray(d)[perm],
+        block_size=128, dir_groups=8,
+    )
+    t_fast = np.asarray(fast.t[inv])
+    hitm = np.asarray(exact.hit)
+    np.testing.assert_allclose(
+        t_fast[hitm], np.asarray(exact.t)[hitm], rtol=1e-4, atol=1e-4
+    )
+
+
 def test_shared_dir_fast_path(rng):
     """shared_dir=True == generic path on direction-major blocks."""
     mesh = make_sphere(64, 64, radius=20.0)
