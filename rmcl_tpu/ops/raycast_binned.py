@@ -873,6 +873,119 @@ def tiled_sweep_order(
     return perm, inv
 
 
+class TiledSweep:
+    """Factored tiled pose-sweep ordering — zero big gathers.
+
+    :func:`tiled_sweep_order` returns flat (perm, inv) index arrays; applying
+    them to multi-M-ray arrays costs 8+ full random gathers per cast (~40% of
+    the benchmark correction, measured). But the permutation it builds is a
+    *product* of three small per-axis orderings (Morton pose order x azimuth
+    tiles x elevation tiles), so both directions factor into reshapes,
+    transposes, broadcasts, slices and tiny per-axis gathers — all
+    bandwidth-speed copies on TPU.
+
+    Use for translation sweeps of one shared scan grid (the reference
+    corrector benchmark pattern, lidar_corrector_embree_benchmark.cpp:77-138):
+
+        sweep = TiledSweep(trans, width, height, 16, 8, 1)
+        o, d = sweep.rays(trans_j, dirs_j)          # permuted-flat rays
+        hits = cast_rays_binned(bins, o, d, block_size=sweep.block_size,
+                                dir_groups=sweep.dir_groups)
+        t = sweep.unpermute(hits.t)                 # (n_poses, n_dirs)
+
+    Ray layout (dir-major): axes (pose_tile, az_tile, el_tile, az_in, el_in,
+    pose_in) flattened C-order; each tile cell is one contiguous block of
+    ``az_tile*el_tile`` groups x ``poses_per_tile`` same-direction rays —
+    exactly the ``cast_rays_binned(dir_groups=az_tile*el_tile)`` contract.
+    """
+
+    def __init__(
+        self,
+        origins,
+        width: int,
+        height: int,
+        poses_per_tile: int = 16,
+        az_tile: int = 8,
+        el_tile: int = 1,
+    ):
+        import numpy as np
+
+        from rmcl_tpu.bvh.builder import morton_codes_3d
+
+        origins = np.asarray(origins, np.float32).reshape(-1, 3)
+        n_poses = origins.shape[0]
+        lo = origins.min(axis=0)
+        extent = np.maximum(origins.max(axis=0) - lo, 1e-12)
+        pose_order = np.argsort(
+            morton_codes_3d((origins - lo) / extent), kind="stable"
+        ).astype(np.int32)
+
+        pt = max(1, min(poses_per_tile, n_poses))
+        at = max(1, min(az_tile, width))
+        et = max(1, min(el_tile, height))
+        n_pt = (n_poses + pt - 1) // pt
+        n_at = (width + at - 1) // at
+        n_et = (height + et - 1) // et
+        # pad every axis by repeating its last entry; padding sits at the
+        # END of each flattened axis, so the inverse is a plain slice there
+        pose_pad = np.concatenate(
+            [pose_order, np.repeat(pose_order[-1:], n_pt * pt - n_poses)]
+        )
+        self.pose_tiles = pose_pad.reshape(n_pt, pt)
+        # position of pose p in the padded pose axis (inverse of pose_order)
+        self.pose_rank = np.argsort(pose_order, kind="stable").astype(np.int32)
+
+        self.width, self.height = width, height
+        self.n_poses, self.n_dirs = n_poses, width * height
+        self.pt, self.at, self.et = pt, at, et
+        self.n_pt, self.n_at, self.n_et = n_pt, n_at, n_et
+        self.block_size = at * et * pt
+        self.dir_groups = at * et
+        self.n_rays = n_pt * n_at * n_et * self.block_size
+
+        # scan-grid direction ids per (az_tile, el_tile, az_in, el_in)
+        az_pad = np.minimum(np.arange(n_at * at), width - 1)
+        el_pad = np.minimum(np.arange(n_et * et), height - 1)
+        self.dir_ids = (
+            el_pad.reshape(1, n_et, 1, et) * width
+            + az_pad.reshape(n_at, 1, at, 1)
+        ).astype(np.int32)  # (n_at, n_et, at, et)
+        # first-occurrence mask (duplicate padded dirs excluded), for
+        # per-pose reductions done in permuted layout
+        first = (np.arange(n_at * at) < width).reshape(n_at, 1, at, 1) & (
+            np.arange(n_et * et) < height
+        ).reshape(1, n_et, 1, et)
+        self.dir_valid = np.broadcast_to(first, self.dir_ids.shape)
+
+    def rays(self, trans: Array, dirs: Array) -> Tuple[Array, Array]:
+        """Permuted-flat (origins, directions) from per-pose translations
+        (n_poses, 3) and shared scan directions (n_dirs, 3)."""
+        n_pt, n_at, n_et = self.n_pt, self.n_at, self.n_et
+        at, et, pt = self.at, self.et, self.pt
+        full = (n_pt, n_at, n_et, at, et, pt, 3)
+        tp = jnp.take(jnp.asarray(trans, jnp.float32),
+                      jnp.asarray(self.pose_tiles), axis=0)  # (n_pt, pt, 3)
+        o = jnp.broadcast_to(tp[:, None, None, None, None, :, :], full)
+        dg = jnp.take(jnp.asarray(dirs, jnp.float32),
+                      jnp.asarray(self.dir_ids), axis=0)  # (n_at, n_et, at, et, 3)
+        d = jnp.broadcast_to(dg[None, :, :, :, :, None, :], full)
+        return o.reshape(-1, 3), d.reshape(-1, 3)
+
+    def unpermute(self, y: Array) -> Array:
+        """Permuted-flat (n_rays, *k) -> (n_poses, n_dirs, *k) via
+        transpose + slices + one small pose gather (no big gathers)."""
+        k = y.shape[1:]
+        n_pt, n_at, n_et = self.n_pt, self.n_at, self.n_et
+        at, et, pt = self.at, self.et, self.pt
+        y6 = y.reshape((n_pt, n_at, n_et, at, et, pt) + k)
+        # -> (pose_slot, el_slot, az_slot)
+        y6 = jnp.transpose(y6, (0, 5, 2, 4, 1, 3) + tuple(6 + i for i in range(len(k))))
+        y3 = y6.reshape((n_pt * pt, n_et * et, n_at * at) + k)
+        out = y3[:, : self.height, : self.width]
+        out = jnp.take(out, jnp.asarray(self.pose_rank), axis=0)
+        return out.reshape((self.n_poses, self.n_dirs) + k)
+
+
 def direction_major_order(n_poses: int, n_dirs: int) -> Tuple[Array, Array]:
     """Permutation turning pose-major rays (pose0's scan, pose1's scan, …)
     into direction-major order (all poses' ray #0, all poses' ray #1, …).

@@ -225,6 +225,36 @@ def test_dir_groups_fast_path(rng):
     )
 
 
+def test_tiled_sweep_factored(rng):
+    """TiledSweep (factored, gather-free) == tiled_sweep_order index arrays."""
+    from rmcl_tpu.ops.raycast_binned import TiledSweep, tiled_sweep_order
+
+    W, H, n_poses = 30, 4, 21  # deliberately non-divisible by the tiles
+    trans = rng.uniform(-3, 3, size=(n_poses, 3)).astype(np.float32)
+    dirs = rng.normal(size=(W * H, 3)).astype(np.float32)
+    dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+
+    sweep = TiledSweep(trans, W, H, poses_per_tile=8, az_tile=4, el_tile=2)
+    perm, _ = tiled_sweep_order(
+        trans, W, H, poses_per_tile=8, az_tile=4, el_tile=2, dir_major=True
+    )
+    o_ref = np.broadcast_to(trans[:, None], (n_poses, W * H, 3)).reshape(-1, 3)
+    d_ref = np.broadcast_to(dirs[None], (n_poses, W * H, 3)).reshape(-1, 3)
+    o, d = sweep.rays(jnp.asarray(trans), jnp.asarray(dirs))
+    assert o.shape[0] == sweep.n_rays
+    np.testing.assert_array_equal(np.asarray(o), o_ref[np.asarray(perm)])
+    np.testing.assert_array_equal(np.asarray(d), d_ref[np.asarray(perm)])
+
+    # unpermute round-trips: permuted ray payload -> (n_poses, n_dirs)
+    y = jnp.arange(sweep.n_rays, dtype=jnp.float32)
+    # payload value = original ray id, so unpermuted[p, d] == p*n_dirs+d
+    y_orig = jnp.asarray(perm, jnp.float32)
+    out = sweep.unpermute(y_orig[:, None])[..., 0]
+    expect = np.arange(n_poses * W * H).reshape(n_poses, W * H)
+    np.testing.assert_array_equal(np.asarray(out), expect)
+    del y
+
+
 def test_shared_dir_fast_path(rng):
     """shared_dir=True == generic path on direction-major blocks."""
     mesh = make_sphere(64, 64, radius=20.0)
