@@ -537,11 +537,22 @@ def cast_rays_binned(
         limit = jnp.max(count_c)
         # triangle lane indices, packed once into the low bits of the float
         # key (see below)
-        j_iota = jax.lax.broadcasted_iota(jnp.int32, (1, B, 1), 1)
-        # layout: (Bc, B, Rb) — rays fill the 128-lane dimension regardless
-        # of bin size; triangle planes broadcast along sublanes
-        ox, oy, oz = ob_c[:, None, :, 0], ob_c[:, None, :, 1], ob_c[:, None, :, 2]
-        dx, dy, dz = db_c[:, None, :, 0], db_c[:, None, :, 1], db_c[:, None, :, 2]
+        j_iota = jax.lax.broadcasted_iota(
+            jnp.int32, (1, B, 1, 1) if G else (1, B, 1), 1
+        )
+        if G:
+            # layout: (Bc, B, G, P) — the G*P=Rb rays stay in the two minor
+            # dims; per-(triangle, group) precompute broadcasts IMPLICITLY
+            # along P inside the fused pair work (the old explicit
+            # broadcast_to(...).reshape(Rb) materialized 12 copies per trip)
+            o4 = lambda k: ob_c[..., k].reshape(Bc, 1, G, P)
+            ox, oy, oz = o4(0), o4(1), o4(2)
+        else:
+            # layout: (Bc, B, Rb) — rays fill the 128-lane dimension
+            # regardless of bin size; triangle planes broadcast along
+            # sublanes
+            ox, oy, oz = ob_c[:, None, :, 0], ob_c[:, None, :, 1], ob_c[:, None, :, 2]
+            dx, dy, dz = db_c[:, None, :, 0], db_c[:, None, :, 1], db_c[:, None, :, 2]
 
         def body(c, state):
             t_best = state[0]
@@ -557,17 +568,19 @@ def cast_rays_binned(
             eps = 1e-7
             if G:
                 # G shared directions per block: hoist every d-dependent
-                # Möller–Trumbore term to a (Bc, B, G) precompute; the
-                # (Bc, B, Rb) pair work is three premultiplied bilinears +
+                # Möller–Trumbore term to a (Bc, B, G, 1) precompute; the
+                # (Bc, B, G, P) pair work is three premultiplied bilinears +
                 # the hit decision (~2x fewer VPU flops/pair than full MT)
                 dg = db_c[:, ::P]  # (Bc, G, 3) one exact dir per group
                 sdx, sdy, sdz = (
-                    dg[:, None, :, 0], dg[:, None, :, 1], dg[:, None, :, 2]
-                )  # (Bc, 1, G)
-                e1xs, e1ys, e1zs = e1x, e1y, e1z  # (Bc, B, 1)
-                e2xs, e2ys, e2zs = e2x, e2y, e2z
-                v0xs, v0ys, v0zs = v0x, v0y, v0z
-                pvx = sdy * e2zs - sdz * e2ys  # (Bc, B, G)
+                    dg[:, None, :, 0, None],
+                    dg[:, None, :, 1, None],
+                    dg[:, None, :, 2, None],
+                )  # (Bc, 1, G, 1)
+                e1xs, e1ys, e1zs = e1x[..., None], e1y[..., None], e1z[..., None]
+                e2xs, e2ys, e2zs = e2x[..., None], e2y[..., None], e2z[..., None]
+                v0xs, v0ys, v0zs = v0x[..., None], v0y[..., None], v0z[..., None]
+                pvx = sdy * e2zs - sdz * e2ys  # (Bc, B, G, 1)
                 pvy = sdz * e2xs - sdx * e2zs
                 pvz = sdx * e2ys - sdy * e2xs
                 det = e1xs * pvx + e1ys * pvy + e1zs * pvz
@@ -588,22 +601,21 @@ def cast_rays_binned(
                 cu = v0xs * pux + v0ys * puy + v0zs * puz
                 cv = v0xs * qvx + v0ys * qvy + v0zs * qvz
                 ct = v0xs * ntx + v0ys * nty + v0zs * ntz
-                # upsample (Bc, B, G) -> (Bc, B, G*P): groups are
-                # contiguous lane runs, so this is a lane broadcast
-                up = lambda x: jnp.broadcast_to(
-                    x[..., None], (Bc, B, G, P)
-                ).reshape(Bc, B, Rb)
-                # pair work on (Bc, B, Rb)
-                u = (ox * up(pux) + oy * up(puy) + oz * up(puz)) - up(cu)
-                v = up(cv) - (ox * up(qvx) + oy * up(qvy) + oz * up(qvz))
-                t = (ox * up(ntx) + oy * up(nty) + oz * up(ntz)) - up(ct)
+                # pair work on (Bc, B, G, P): the G-axis precompute
+                # broadcasts along P inside the fusion — no materialized
+                # upsample copies
+                u = (ox * pux + oy * puy + oz * puz) - cu
+                v = cv - (ox * qvx + oy * qvy + oz * qvz)
+                t = (ox * ntx + oy * nty + oz * ntz) - ct
+                t4min = tmin_c.reshape(Bc, 1, G, P)
+                t4best = t_best.reshape(Bc, 1, G, P)
                 ok = (
                     (u >= -eps)
                     & (v >= -eps)
                     & (u + v <= 1.0 + eps)
-                    & (t > tmin_c[:, None, :])
-                    & (t < t_best[:, None, :])
-                    & ok_bin[:, None, None]
+                    & (t > t4min)
+                    & (t < t4best)
+                    & ok_bin[:, None, None, None]
                 )
             else:
                 # Möller–Trumbore on (Bc, B, Rb)
@@ -637,8 +649,9 @@ def cast_rays_binned(
             # winner's plane equation.
             ti = jax.lax.bitcast_convert_type(t_cand, jnp.int32)
             key = (ti & ~jmask) | j_iota
-            key_min = jnp.min(key, axis=1)  # (Bc, Rb)
-            t_min_bin = jax.lax.bitcast_convert_type(key_min | jmask, jnp.float32)
+            key_min = jnp.min(key, axis=1)  # (Bc, Rb) / (Bc, G, P)
+            key_min2 = key_min.reshape(Bc, Rb)
+            t_min_bin = jax.lax.bitcast_convert_type(key_min2 | jmask, jnp.float32)
             better = t_min_bin < t_best
             t_best = jnp.where(better, t_min_bin, t_best)
             if not payload:
@@ -648,11 +661,18 @@ def cast_rays_binned(
             # end-of-cast global winner gathers (6 x 3.7M from HBM was
             # measured at 327 ms — ~45% of the cast).
             nxs, nys, nzs = tw[:, 9], tw[:, 10], tw[:, 11]  # (Bc, B)
+            if G:
+                sel = (j_iota == (key_min & jmask)[:, None]) & better.reshape(
+                    Bc, 1, G, P
+                )
+                comp_b = lambda comp: comp[:, :, None, None]
+            else:
+                sel = (j_iota == (key_min & jmask)[:, None, :]) & better[:, None, :]
+                comp_b = lambda comp: comp[:, :, None]
             d0s = nxs * tw[:, 0] + nys * tw[:, 1] + nzs * tw[:, 2]
-            sel = (j_iota == (key_min & jmask)[:, None, :]) & better[:, None, :]
             pick = lambda comp: jnp.sum(
-                jnp.where(sel, comp[:, :, None], 0.0), axis=1
-            )  # (Bc, Rb)
+                jnp.where(sel, comp_b(comp), 0.0), axis=1
+            ).reshape(Bc, Rb)
             upd = lambda old, comp: jnp.where(better, pick(comp), old)
             pl = (
                 upd(state[1], nxs),
