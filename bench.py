@@ -53,7 +53,7 @@ def main():
 
     n = int(np.sqrt(faces / 2))
     mesh = make_sphere(n, n, radius=50.0)
-    bins = build_bins(mesh, bin_size=32)
+    bins = build_bins(mesh, bin_size=64)
 
     model = SphericalModel.vlp16(width=900)  # 900 x 16 = 14,400 rays/pose
     n_dirs = model.n_rays
@@ -70,7 +70,8 @@ def main():
         trans_true, model.width, model.height,
         poses_per_tile=16, az_tile=8, el_tile=1,
     )
-    cast_kw = dict(block_size=sweep.block_size, dir_groups=sweep.dir_groups)
+    cast_kw = dict(block_size=sweep.block_size, dir_groups=sweep.dir_groups,
+                   c_bin=64)
 
     def cast_sweep(bins, trans, dirs):
         """Closest-hit for all poses x all scan dirs (identity rotations,
