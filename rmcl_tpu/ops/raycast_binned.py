@@ -518,7 +518,12 @@ def cast_rays_binned(
     cb = min(c_bin, n_bins, cs * S)
 
     # --- dense intersection over candidate bins ---------------------------
-    tri = bins.tri  # (n_bins, 14, B) component-major
+    # sentinel bin at index n_bins: all-zero rows give inv=0 -> u=v=t=0,
+    # which fails `t > t_min` (t_min >= 0), so invalid candidate slots can
+    # gather the sentinel instead of paying a per-pair ok_bin mask
+    tri = jnp.concatenate(
+        [bins.tri, jnp.zeros((1,) + bins.tri.shape[1:], jnp.float32)], 0
+    )  # (n_bins + 1, 14, B) component-major
 
     assert B & (B - 1) == 0, "bin_size must be a power of two (packed-key min)"
     jmask = jnp.int32(B - 1)
@@ -558,7 +563,7 @@ def cast_rays_binned(
             t_best = state[0]
             bid = jax.lax.dynamic_slice_in_dim(cand_c, c, 1, axis=1)[:, 0]  # (Bc,)
             ok_bin = bid >= 0
-            safe = jnp.where(ok_bin, bid, 0)
+            safe = jnp.where(ok_bin, bid, n_bins)  # sentinel: never hits
             tw = jnp.take(tri, safe, axis=0)  # (Bc, 12, B)
 
             v0x, v0y, v0z = tw[:, 0, :, None], tw[:, 1, :, None], tw[:, 2, :, None]
@@ -608,15 +613,13 @@ def cast_rays_binned(
                 v = cv - (ox * qvx + oy * qvy + oz * qvz)
                 t = (ox * ntx + oy * nty + oz * ntz) - ct
                 t4min = tmin_c.reshape(Bc, 1, G, P)
-                t4best = t_best.reshape(Bc, 1, G, P)
+                # min3 barycentric test (u>=-eps & v>=-eps & u+v<=1+eps);
+                # `t < t_best` is omitted — the packed-key min plus the
+                # `better` check subsume it; invalid bins hit the sentinel
                 ok = (
-                    (u >= -eps)
-                    & (v >= -eps)
-                    & (u + v <= 1.0 + eps)
-                    & (t > t4min)
-                    & (t < t4best)
-                    & ok_bin[:, None, None, None]
-                )
+                    jnp.minimum(jnp.minimum(u, v), (1.0 + eps) - (u + v))
+                    >= -eps
+                ) & (t > t4min)
             else:
                 # Möller–Trumbore on (Bc, B, Rb)
                 pvx = dy * e2z - dz * e2y
@@ -631,15 +634,14 @@ def cast_rays_binned(
                 qvz = tvx * e1y - tvy * e1x
                 v = (dx * qvx + dy * qvy + dz * qvz) * inv_det
                 t = (e2x * qvx + e2y * qvy + e2z * qvz) * inv_det
+                # min3 barycentric test; degenerate det gives inv_det=0 ->
+                # u=v=t=0 which fails `t > t_min` (t_min >= 0); `t < t_best`
+                # subsumed by the packed-key min + `better`; invalid bins
+                # hit the sentinel
                 ok = (
-                    (jnp.abs(det) > 1e-12)
-                    & (u >= -eps)
-                    & (v >= -eps)
-                    & (u + v <= 1.0 + eps)
-                    & (t > tmin_c[:, None, :])
-                    & (t < t_best[:, None, :])
-                    & ok_bin[:, None, None]
-                )
+                    jnp.minimum(jnp.minimum(u, v), (1.0 + eps) - (u + v))
+                    >= -eps
+                ) & (t > tmin_c[:, None, :])
             t_cand = jnp.where(ok, t, _BIG)
             # pack the triangle index into the low mantissa bits of the
             # (positive) float: IEEE754 positives compare like ints, so ONE
