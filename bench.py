@@ -71,7 +71,7 @@ def main():
         poses_per_tile=16, az_tile=8, el_tile=1,
     )
     cast_kw = dict(block_size=sweep.block_size, dir_groups=sweep.dir_groups,
-                   c_bin=64)
+                   c_bin=64, block_chunk=512, sort_blocks=True)
 
     def cast_sweep(bins, trans, dirs):
         """Closest-hit for all poses x all scan dirs (identity rotations,

@@ -52,6 +52,11 @@ def test_binned_room_scene(rng):
     exact = cast_rays(bvh, jnp.asarray(o), jnp.asarray(d))
     binned = cast_rays_binned(bins, jnp.asarray(o), jnp.asarray(d))
     assert_hits_match(binned, exact)
+    # count-sorted block scheduling is a pure reordering: identical hits
+    sorted_ = cast_rays_binned(
+        bins, jnp.asarray(o), jnp.asarray(d), block_chunk=8, sort_blocks=True
+    )
+    assert_hits_match(sorted_, exact)
 
 
 def test_binned_random_rays_box(rng):
