@@ -6,8 +6,9 @@ AssimpIO, SURVEY.md §2.9). Host-side numpy; device upload happens when the
 BVH is built (rmcl_tpu.bvh).
 
 Supported file formats (self-contained parsers, no external deps):
-OBJ, ASCII/binary STL, ASCII PLY, OFF. Anything richer can be converted
-offline. Procedural generators mirror the synthetic benchmark geometry
+OBJ, ASCII/binary STL, ASCII/binary PLY, OFF, COLLADA DAE. Anything richer
+can be converted offline. Procedural generators mirror the synthetic
+benchmark geometry
 (parametric sphere — reference
 rmcl_ros/src/benchmarks/lidar_corrector_embree_benchmark.cpp:104-135).
 """
@@ -88,9 +89,12 @@ class TriangleMesh:
 
 
 def load_mesh(path: str) -> TriangleMesh:
-    """Load a mesh by file extension (.obj/.stl/.ply/.off)."""
+    """Load a mesh by file extension (.obj/.stl/.ply/.off/.dae)."""
     ext = os.path.splitext(path)[1].lower()
-    loaders = {".obj": load_obj, ".stl": load_stl, ".ply": load_ply, ".off": load_off}
+    loaders = {
+        ".obj": load_obj, ".stl": load_stl, ".ply": load_ply,
+        ".off": load_off, ".dae": load_dae,
+    }
     if ext not in loaders:
         raise ValueError(f"unsupported mesh format '{ext}' (have {sorted(loaders)})")
     mesh = loaders[ext](path)
@@ -297,6 +301,192 @@ def load_off(path: str) -> TriangleMesh:
         faces.extend(_fan_triangulate(idx))
         pos += 1 + k
     return TriangleMesh(verts, np.asarray(faces, np.int32))
+
+
+def load_dae(path: str) -> TriangleMesh:
+    """COLLADA (.dae) triangle-mesh loader — the common ROS/Gazebo map
+    format the reference imports through Assimp (rmagine import_*_map).
+
+    Supports: <triangles>, <polylist> and <polygons> primitives (n-gons
+    fan-triangulated), multi-input index strides, instance_geometry nodes
+    with <matrix>/<translate>/<rotate>/<scale> transform stacks (baked to
+    world space), <unit meter=...> scaling, and Y_UP -> Z_UP conversion
+    (ROS convention is Z-up). Geometries not referenced by any visual
+    scene are appended untransformed."""
+    import xml.etree.ElementTree as ET
+
+    tree = ET.parse(path)
+    root = tree.getroot()
+    ns = ""
+    if root.tag.startswith("{"):
+        ns = root.tag[: root.tag.index("}") + 1]
+    q = lambda tag: f"{ns}{tag}"
+
+    # --- asset: unit scale + up axis --------------------------------------
+    scale = 1.0
+    up = "Z_UP"
+    asset = root.find(q("asset"))
+    if asset is not None:
+        unit = asset.find(q("unit"))
+        if unit is not None and unit.get("meter"):
+            scale = float(unit.get("meter"))
+        up_el = asset.find(q("up_axis"))
+        if up_el is not None and up_el.text:
+            up = up_el.text.strip()
+
+    # --- geometries -------------------------------------------------------
+    def parse_geometry(geom) -> Optional[TriangleMesh]:
+        mesh_el = geom.find(q("mesh"))
+        if mesh_el is None:  # splines / convex_mesh unsupported
+            return None
+        sources = {}
+        for src in mesh_el.findall(q("source")):
+            arr = src.find(q("float_array"))
+            if arr is None or arr.text is None:
+                continue
+            vals = np.asarray((arr.text or "").split(), dtype=np.float64)
+            stride = 3
+            tc = src.find(f"{q('technique_common')}/{q('accessor')}")
+            if tc is not None and tc.get("stride"):
+                stride = int(tc.get("stride"))
+            sources["#" + src.get("id", "")] = vals.reshape(-1, stride)
+        # <vertices> indirection: position input by reference
+        vert_map = {}
+        for v in mesh_el.findall(q("vertices")):
+            for inp in v.findall(q("input")):
+                if inp.get("semantic") == "POSITION":
+                    vert_map["#" + v.get("id", "")] = inp.get("source")
+        verts_out, faces_out = [], []
+        v_off = 0
+        for prim_tag in ("triangles", "polylist", "polygons"):
+            for prim in mesh_el.findall(q(prim_tag)):
+                inputs = prim.findall(q("input"))
+                stride = 1
+                v_offset, v_source = 0, None
+                for inp in inputs:
+                    off = int(inp.get("offset", 0))
+                    stride = max(stride, off + 1)
+                    if inp.get("semantic") == "VERTEX":
+                        v_offset = off
+                        v_source = vert_map.get(inp.get("source"), inp.get("source"))
+                if v_source is None or v_source not in sources:
+                    continue
+                pos = sources[v_source][:, :3]
+                p_els = prim.findall(q("p"))
+                if not p_els:
+                    continue
+                idx_all = []
+                if prim_tag == "triangles":
+                    p = np.asarray((p_els[0].text or "").split(), dtype=np.int64)
+                    vi = p.reshape(-1, 3 * stride)[:, v_offset::stride]
+                    idx_all = vi.reshape(-1, 3).tolist()
+                elif prim_tag == "polylist":
+                    vc_el = prim.find(q("vcount"))
+                    vcount = np.asarray((vc_el.text or "").split(), dtype=np.int64)
+                    p = np.asarray((p_els[0].text or "").split(), dtype=np.int64)
+                    vi = p[v_offset::stride]
+                    c = 0
+                    for k in vcount:
+                        idx_all.extend(_fan_triangulate(list(vi[c : c + k])))
+                        c += k
+                else:  # polygons: one <p> per polygon
+                    for p_el in p_els:
+                        p = np.asarray((p_el.text or "").split(), dtype=np.int64)
+                        idx_all.extend(_fan_triangulate(list(p[v_offset::stride])))
+                if not idx_all:
+                    continue
+                verts_out.append(pos)
+                faces_out.append(np.asarray(idx_all, np.int64) + v_off)
+                v_off += pos.shape[0]
+        if not verts_out:
+            return None
+        return TriangleMesh(
+            np.concatenate(verts_out, 0).astype(np.float32),
+            np.concatenate(faces_out, 0).astype(np.int32),
+            name=geom.get("id", "geometry"),
+        )
+
+    geoms = {}
+    lib = root.find(q("library_geometries"))
+    if lib is not None:
+        for geom in lib.findall(q("geometry")):
+            m = parse_geometry(geom)
+            if m is not None:
+                geoms["#" + geom.get("id", "")] = m
+
+    # --- visual scene: node transform stacks ------------------------------
+    def node_matrix(node) -> np.ndarray:
+        M = np.eye(4)
+        for el in node:
+            tag = el.tag.replace(ns, "")
+            txt = (el.text or "").strip()
+            if tag == "matrix":
+                M = M @ np.asarray(txt.split(), dtype=np.float64).reshape(4, 4)
+            elif tag == "translate":
+                T = np.eye(4)
+                T[:3, 3] = np.asarray(txt.split(), dtype=np.float64)[:3]
+                M = M @ T
+            elif tag == "rotate":
+                x, y, z, deg = np.asarray(txt.split(), dtype=np.float64)[:4]
+                a = np.deg2rad(deg)
+                axis = np.asarray([x, y, z])
+                n = np.linalg.norm(axis)
+                if n > 0:
+                    axis = axis / n
+                    K = np.asarray([
+                        [0, -axis[2], axis[1]],
+                        [axis[2], 0, -axis[0]],
+                        [-axis[1], axis[0], 0],
+                    ])
+                    Rm = np.eye(3) + np.sin(a) * K + (1 - np.cos(a)) * (K @ K)
+                    R4 = np.eye(4)
+                    R4[:3, :3] = Rm
+                    M = M @ R4
+            elif tag == "scale":
+                S = np.diag(np.append(np.asarray(txt.split(), dtype=np.float64)[:3], 1.0))
+                M = M @ S
+        return M
+
+    placed, used = [], set()
+
+    def walk(node, M):
+        M = M @ node_matrix(node)
+        for ig in node.findall(q("instance_geometry")):
+            url = ig.get("url", "")
+            if url in geoms:
+                used.add(url)
+                g = geoms[url]
+                v = g.vertices @ M[:3, :3].T + M[:3, 3]
+                placed.append((v, g.faces))
+        for child in node.findall(q("node")):
+            walk(child, M)
+
+    scenes = root.find(q("library_visual_scenes"))
+    if scenes is not None:
+        for vs in scenes.findall(q("visual_scene")):
+            for node in vs.findall(q("node")):
+                walk(node, np.eye(4))
+    # geometries never instanced: append untransformed (matches Assimp's
+    # flat import of scene-less files)
+    for url, g in geoms.items():
+        if url not in used:
+            placed.append((g.vertices.astype(np.float64), g.faces))
+
+    if not placed:
+        raise ValueError(f"no triangle geometry found in {path}")
+    v_off = 0
+    verts, faces = [], []
+    for v, f in placed:
+        verts.append(v)
+        faces.append(f.astype(np.int64) + v_off)
+        v_off += v.shape[0]
+    V = np.concatenate(verts, 0) * scale
+    F = np.concatenate(faces, 0)
+    if up == "Y_UP":  # (x, y, z)_yup -> (x, -z, y)_zup
+        V = np.stack([V[:, 0], -V[:, 2], V[:, 1]], -1)
+    elif up == "X_UP":  # cyclic permutation keeps handedness: z_up = x_file
+        V = np.stack([V[:, 1], V[:, 2], V[:, 0]], -1)
+    return TriangleMesh(V.astype(np.float32), F.astype(np.int32))
 
 
 def save_obj(mesh: TriangleMesh, path: str) -> None:

@@ -134,3 +134,80 @@ def test_ply_binary_extra_vertex_props(tmp_path):
             f.write(struct.pack("<B3I", 3, *fc))
     back = load_ply(p)
     np.testing.assert_allclose(_sorted_tris(back), _sorted_tris(mesh), atol=1e-5)
+
+
+_DAE_DOC = """<?xml version="1.0" encoding="utf-8"?>
+<COLLADA xmlns="http://www.collada.org/2005/11/COLLADASchema" version="1.4.1">
+  <asset><unit name="centimeter" meter="0.01"/><up_axis>Y_UP</up_axis></asset>
+  <library_geometries>
+    <geometry id="tri_geom"><mesh>
+      <source id="tri_pos">
+        <float_array id="tri_pos_arr" count="9">0 0 0 100 0 0 0 100 0</float_array>
+        <technique_common><accessor source="#tri_pos_arr" count="3" stride="3">
+          <param name="X" type="float"/><param name="Y" type="float"/><param name="Z" type="float"/>
+        </accessor></technique_common>
+      </source>
+      <source id="tri_nrm">
+        <float_array id="tri_nrm_arr" count="3">0 0 1</float_array>
+      </source>
+      <vertices id="tri_verts"><input semantic="POSITION" source="#tri_pos"/></vertices>
+      <triangles count="1">
+        <input semantic="VERTEX" source="#tri_verts" offset="0"/>
+        <input semantic="NORMAL" source="#tri_nrm" offset="1"/>
+        <p>0 0 1 0 2 0</p>
+      </triangles>
+    </mesh></geometry>
+    <geometry id="quad_geom"><mesh>
+      <source id="q_pos">
+        <float_array id="q_pos_arr" count="12">0 0 0 100 0 0 100 100 0 0 100 0</float_array>
+        <technique_common><accessor source="#q_pos_arr" count="4" stride="3"/></technique_common>
+      </source>
+      <vertices id="q_verts"><input semantic="POSITION" source="#q_pos"/></vertices>
+      <polylist count="1">
+        <input semantic="VERTEX" source="#q_verts" offset="0"/>
+        <vcount>4</vcount>
+        <p>0 1 2 3</p>
+      </polylist>
+    </mesh></geometry>
+  </library_geometries>
+  <library_visual_scenes>
+    <visual_scene id="scene">
+      <node id="n1">
+        <translate>100 0 0</translate>
+        <instance_geometry url="#tri_geom"/>
+        <node id="n2">
+          <matrix>1 0 0 0  0 1 0 100  0 0 1 0  0 0 0 1</matrix>
+          <instance_geometry url="#tri_geom"/>
+        </node>
+      </node>
+    </visual_scene>
+  </library_visual_scenes>
+</COLLADA>
+"""
+
+
+def test_dae_loader(tmp_path):
+    """COLLADA: triangles + polylist, node transforms, unit scale, Y_UP."""
+    from rmcl_tpu.geom.mesh import load_dae
+
+    p = str(tmp_path / "scene.dae")
+    with open(p, "w") as f:
+        f.write(_DAE_DOC)
+    mesh = load_mesh(p)
+    # 2 placed instances of the triangle + the never-instanced quad (2 tris)
+    assert mesh.n_faces == 4
+    tris = mesh.triangles()
+    # instance 1: translate (100,0,0) cm -> (1,0,0) m, then Y_UP->Z_UP:
+    # file (x,y,z) -> world (x,-z,y): first vertex (1,0,0)->(1,0,0)
+    v0 = tris[0, 0]
+    np.testing.assert_allclose(v0, [1.0, 0.0, 0.0], atol=1e-6)
+    # file vertex (1+1, 0, 0)? second vertex (100+100,0,0)cm=(2,0,0)->(2,0,0)
+    np.testing.assert_allclose(tris[0, 1], [2.0, 0.0, 0.0], atol=1e-6)
+    # third vertex (1, 1, 0)_file -> (1, 0, 1)_zup
+    np.testing.assert_allclose(tris[0, 2], [1.0, 0.0, 1.0], atol=1e-6)
+    # instance 2: nested matrix translate +100 in file-y on top of n1:
+    # first vertex (1, 1, 0)_file -> (1, 0, 1)_zup
+    np.testing.assert_allclose(tris[1, 0], [1.0, 0.0, 1.0], atol=1e-6)
+    # quad fan-triangulated: 2 faces, area = 1 m^2 total after scaling
+    areas = mesh.face_areas()
+    np.testing.assert_allclose(areas[2:].sum(), 1.0, atol=1e-5)
