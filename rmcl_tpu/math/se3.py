@@ -291,6 +291,20 @@ class Transform:
         micp_localization.cpp:983)."""
         return Transform(rot=Quaternion.normalize(self.rot), trans=self.trans)
 
+    @staticmethod
+    def interp(a: "Transform", b: "Transform", alpha: Array) -> "Transform":
+        """Pose interpolation: quaternion slerp + translation lerp.
+
+        ``alpha`` broadcasts against the batch shapes ((N,) alpha with
+        scalar a/b gives a (N,) batch — the per-ray de-skew case). Values
+        slightly outside [0, 1] extrapolate along the same screw path (the
+        slerp weights are geodesic, not clamped)."""
+        al = jnp.asarray(alpha, jnp.float32)[..., None]
+        return Transform(
+            rot=Quaternion.slerp(a.rot, b.rot, al),
+            trans=a.trans + al * (b.trans - a.trans),
+        )
+
     # -- conversions --------------------------------------------------------
 
     def to_matrix(self) -> Array:

@@ -52,6 +52,18 @@ class SensorUpdateConfig:
     samples: int = dataclasses.field(default=100, metadata=dict(static=True))
     correspondence_type: str = dataclasses.field(default="RC", metadata=dict(static=True))
     engine: str = dataclasses.field(default="bvh", metadata=dict(static=True))  # bvh | binned
+    # binned engine only: Morton(+heading) cluster the particles per update
+    # so beam-major ray blocks stay spatially/angularly tight (resampling
+    # shuffles the cloud; the dense engine's frustum cull degrades on
+    # incoherent blocks). Pure reordering — results are exactly preserved.
+    cluster: bool = dataclasses.field(default=True, metadata=dict(static=True))
+    # binned engine candidate budgets (cast_rays_binned c_super/c_bin).
+    # RAISE for large maps / scattered clouds: candidate saturation
+    # (ops.raycast_binned.candidate_stats hitting c_bin) silently drops
+    # geometry, i.e. false sim-misses. The exact 'bvh' engine has no such
+    # budget and remains the default for global-localization phases.
+    c_super: int = dataclasses.field(default=24, metadata=dict(static=True))
+    c_bin: int = dataclasses.field(default=96, metadata=dict(static=True))
     dist_sigma: Array = dataclasses.field(default_factory=lambda: jnp.float32(2.0))
     real_hit_sim_miss_error: Array = dataclasses.field(default_factory=lambda: jnp.float32(100.0))
     real_miss_sim_hit_error: Array = dataclasses.field(default_factory=lambda: jnp.float32(100.0))
@@ -70,11 +82,17 @@ class SensorUpdateConfig:
         range_min=0.1,
         range_max=130.0,
         engine="bvh",
+        cluster=True,
+        c_super=24,
+        c_bin=96,
     ):
         return SensorUpdateConfig(
             samples=samples,
             correspondence_type=correspondence_type,
             engine=engine,
+            cluster=cluster,
+            c_super=c_super,
+            c_bin=c_bin,
             dist_sigma=jnp.float32(dist_sigma),
             real_hit_sim_miss_error=jnp.float32(real_hit_sim_miss_error),
             real_miss_sim_hit_error=jnp.float32(real_miss_sim_hit_error),
@@ -129,6 +147,22 @@ def sensor_update(
     # particle sensor poses: Tsm_i = Tbm_i * Tsb  (reference :334-338)
     tsm = cloud.poses @ tsb  # batch (N,)
 
+    # binned engine: cluster particles by position Morton code + heading so
+    # the beam-major blocks below present tight frusta to the dense cull.
+    # Permutes only the (N,) pose batch before broadcast and un-permutes the
+    # two (N,) reduced likelihood arrays at the end — never the (N, S) grid.
+    perm_inv = None
+    if (
+        config.engine == "binned"
+        and config.correspondence_type != "CP"
+        and config.cluster
+    ):
+        from rmcl_tpu.ops.order import cluster_order
+
+        fw = cloud.poses.rotate(jnp.asarray([1.0, 0.0, 0.0], jnp.float32))
+        order, perm_inv = cluster_order(cloud.poses.trans, fw)
+        tsm = jax.tree.map(lambda x: jnp.take(x, order, axis=0), tsm)
+
     # beam rays in map frame for every (particle, sample)
     tsm_b = tsm.expand_dims(-1)  # (N, 1)
     orig_m = jnp.broadcast_to(tsm_b.trans, (N, S, 3))
@@ -147,7 +181,14 @@ def sensor_update(
 
             o_bm = jnp.swapaxes(orig_m, 0, 1).reshape(-1, 3)
             d_bm = jnp.swapaxes(dirs_m, 0, 1).reshape(-1, 3)
-            h = cast_rays_binned(bvh, o_bm, d_bm, flip_normals=False)
+            h = cast_rays_binned(
+                bvh,
+                o_bm,
+                d_bm,
+                flip_normals=False,
+                c_super=config.c_super,
+                c_bin=config.c_bin,
+            )
             resh = lambda x: jnp.swapaxes(
                 x.reshape(S, N, *x.shape[1:]), 0, 1
             )
@@ -180,9 +221,14 @@ def sensor_update(
     evals = gaussian_pdf(error, config.dist_sigma)  # (N, S)
 
     # batch-fold the S evals, then merge into the prior likelihood
+    e_mean = jnp.mean(evals, axis=-1)
+    e_var = jnp.var(evals, axis=-1)
+    if perm_inv is not None:  # undo the coherence clustering
+        e_mean = jnp.take(e_mean, perm_inv, axis=0)
+        e_var = jnp.take(e_var, perm_inv, axis=0)
     batch = Gaussian1D(
-        mean=jnp.mean(evals, axis=-1),
-        sigma=jnp.var(evals, axis=-1),
+        mean=e_mean,
+        sigma=e_var,
         n_meas=jnp.full((N,), jnp.float32(S)),
     )
     lik = cloud.likelihood.merge(batch, max_n=MAX_N_MEAS)

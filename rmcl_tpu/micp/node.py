@@ -114,6 +114,13 @@ class MICPLocalization:
         self.tbo: Transform = Transform.identity()
         self.convergence_progress = jnp.float32(0.0)
         self.pose_noise = float(self.config.get("pose_noise", 0.01))
+        # per-ray time motion compensation (superset of the reference's
+        # per-message tf_time_source): de-skew clouds whose RangeData
+        # carries per-ray stamps using the last two stamped odom samples
+        self.motion_compensation = bool(
+            self.config.get("motion_compensation", False)
+        )
+        self._odom_hist: List = []  # [(stamp, Tbo)] — last two stamped samples
         self.corrections = 0
         self.last_stats: Optional[MICPStats] = None
         self._runtime_ema = 0.0
@@ -130,7 +137,7 @@ class MICPLocalization:
         s = self.ensure_sensor(name)
         s.model = scan_info_to_model(msg.info)
         s.points, s.mask = scan_to_points(msg)
-        self._finish_update(s, msg.header.stamp, tsb)
+        self._finish_update(s, msg.header.stamp, tsb, msg.data.stamps)
 
     def on_depth(self, name: str, msg: msgs.DepthStamped, tsb: Transform = None):
         s = self.ensure_sensor(name)
@@ -139,7 +146,7 @@ class MICPLocalization:
         s.points = pts
         z = np.asarray(msg.data.ranges)
         s.mask = (z >= msg.info.range_min) & (z <= msg.info.range_max)
-        self._finish_update(s, msg.header.stamp, tsb)
+        self._finish_update(s, msg.header.stamp, tsb, msg.data.stamps)
 
     def on_o1dn(self, name: str, msg: msgs.O1DnStamped, tsb: Transform = None):
         s = self.ensure_sensor(name)
@@ -149,7 +156,7 @@ class MICPLocalization:
         s.mask = (r >= msg.info.range_min) & (r <= msg.info.range_max)
         if msg.data.mask is not None:
             s.mask = s.mask & np.asarray(msg.data.mask, bool)
-        self._finish_update(s, msg.header.stamp, tsb)
+        self._finish_update(s, msg.header.stamp, tsb, msg.data.stamps)
 
     def on_ondn(self, name: str, msg: msgs.OnDnStamped, tsb: Transform = None):
         s = self.ensure_sensor(name)
@@ -157,7 +164,7 @@ class MICPLocalization:
         r = np.asarray(msg.data.ranges, np.float32)
         s.points = np.asarray(s.model.polar_to_cartesian(jnp.asarray(r)))
         s.mask = (r >= msg.info.range_min) & (r <= msg.info.range_max)
-        self._finish_update(s, msg.header.stamp, tsb)
+        self._finish_update(s, msg.header.stamp, tsb, msg.data.stamps)
 
     def set_static_dataset(self, name: str, model, points, mask, tsb=None):
         """Static dataset mode (reference data_source: parameters —
@@ -168,19 +175,45 @@ class MICPLocalization:
         s.mask = np.asarray(mask, bool)
         self._finish_update(s, 0.0, tsb)
 
-    def _finish_update(self, s: MICPSensorState, stamp: float, tsb):
+    def _finish_update(
+        self, s: MICPSensorState, stamp: float, tsb, stamps=None
+    ):
         if tsb is not None:
             s.tsb = tsb
+        if (
+            self.motion_compensation
+            and stamps is not None
+            and len(self._odom_hist) >= 2
+        ):
+            from rmcl_tpu.sensors.deskew import deskew_points
+
+            (st_a, tbo_a), (st_b, tbo_b) = self._odom_hist[-2:]
+            s.points = np.asarray(
+                deskew_points(
+                    jnp.asarray(s.points, jnp.float32),
+                    jnp.asarray(stamps, jnp.float32),
+                    jnp.float32(stamp),
+                    s.tsb,
+                    tbo_a,
+                    jnp.float32(st_a),
+                    tbo_b,
+                    jnp.float32(st_b),
+                )
+            )
         s.stamp = stamp
         s.outdated = True
 
     # -- odometry / initialization ----------------------------------------
 
-    def on_odometry(self, tbo: Transform):
+    def on_odometry(self, tbo: Transform, stamp: Optional[float] = None):
         """Base→odom update (the reference's TF subscription). Initializes
         ``Tom = initial_pose_guess * ~Tbo`` on first receipt
-        (reference :245-283)."""
+        (reference :245-283). Pass ``stamp`` to feed the de-skew history
+        (``motion_compensation: true``)."""
         self.tbo = tbo
+        if stamp is not None:
+            self._odom_hist.append((float(stamp), tbo))
+            del self._odom_hist[:-2]
         if self.tom is None:
             self.tom = self._initial_guess @ tbo.inverse()
 

@@ -1,0 +1,89 @@
+"""Probe: MCL sensor-update throughput (binned engine), cluster on/off.
+
+Workload: scattered particle cloud inside the benchmark sphere (worst-case
+incoherence: random positions + random yaws), S sampled beams per update.
+Measures particles*samples rays/s for the full sensor_update (cast + score
++ likelihood fold).
+
+Usage: python scripts/probe_mcl.py [n_particles] [samples] [faces] [cluster]
+
+One config per process (cluster = 0|1|both): the relay backend crashes
+nondeterministically on long-lived processes; keep each run small and retry
+from the shell.
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rmcl_tpu.bvh.bins import build_bins
+from rmcl_tpu.geom.mesh import make_sphere
+from rmcl_tpu.math.se3 import Transform
+from rmcl_tpu.mcl.particles import ParticleCloud
+from rmcl_tpu.mcl.sensor_update import SensorUpdateConfig, sensor_update
+from rmcl_tpu.sensors.models import SphericalModel
+
+
+def main():
+    n_particles = int(sys.argv[1]) if len(sys.argv) > 1 else 65536
+    samples = int(sys.argv[2]) if len(sys.argv) > 2 else 100
+    faces = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_000
+    which = sys.argv[4] if len(sys.argv) > 4 else "both"
+
+    n = int(np.sqrt(faces / 2))
+    mesh = make_sphere(n, n, radius=50.0)
+    bins = build_bins(mesh, bin_size=64)
+
+    # analytic scan from the sphere center: every range is exactly the
+    # radius (no TPU casts needed to build the dataset — the flaky relay
+    # backend crashes intermittently on eager dispatch storms)
+    model = SphericalModel.vlp16(width=360)
+    _, dirs_scan = model.rays()
+    points = jnp.asarray(np.asarray(dirs_scan) * 50.0)
+    mask = jnp.ones(points.shape[0], bool)
+
+    rng = np.random.default_rng(0)
+    trans = rng.uniform(-40, 40, (n_particles, 3)).astype(np.float32)
+    yaw = rng.uniform(-np.pi, np.pi, n_particles).astype(np.float32)
+    poses = Transform.from_xyz_euler(
+        jnp.asarray(trans),
+        jnp.stack(
+            [jnp.zeros(n_particles), jnp.zeros(n_particles), jnp.asarray(yaw)], -1
+        ),
+    )
+    cloud = ParticleCloud.create(n_particles).with_poses(poses)
+    key = jax.random.PRNGKey(0)
+
+    modes = {"0": (False,), "1": (True,), "both": (False, True)}[which]
+    for cluster in modes:
+        cfg = SensorUpdateConfig.create(
+            samples=samples, engine="binned", cluster=cluster
+        )
+        out = sensor_update(bins, cloud, key, points, mask, Transform.identity(), cfg)
+        jax.block_until_ready(out.likelihood.mean)
+        times = []
+        for _ in range(3):
+            t0 = time.time()
+            out = sensor_update(
+                bins, cloud, key, points, mask, Transform.identity(), cfg
+            )
+            jax.block_until_ready(out.likelihood.mean)
+            times.append(time.time() - t0)
+        best = min(times)
+        rays = n_particles * samples
+        print(
+            f"cluster={cluster}: {best*1e3:.1f} ms, "
+            f"{rays/best/1e6:.2f} M particle-beam rays/s  (times {['%.3f' % t for t in times]})"
+        )
+
+
+if __name__ == "__main__":
+    main()

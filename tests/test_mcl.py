@@ -310,3 +310,54 @@ def test_sensor_update_binned_engine_matches_bvh(key):
     # disagreements between the two engines
     close = np.isclose(a, b, rtol=1e-3, atol=1e-3)
     assert close.mean() > 0.97, f"only {close.mean():.2%} close"
+
+
+def test_sensor_update_cluster_is_pure_reordering(key):
+    """Morton+heading clustering must not change any particle's score."""
+    from rmcl_tpu.bvh.bins import build_bins
+    from rmcl_tpu.geom.mesh import make_room_scene as _mrs
+
+    mesh = _mrs(n_pillars=3, seed=2)
+    bvh = build_bvh(mesh)
+    bins = build_bins(mesh, bin_size=32, bins_per_super=8)
+    true_pose = Transform.from_pose_tuple(jnp.asarray([0.5, -0.5, 1.0, 0, 0, 0.4]))
+    points, mask = make_scan(bvh, true_pose)
+
+    n = 96
+    rng = np.random.default_rng(7)
+    trans = rng.uniform([-4, -3, 0.5], [4, 3, 1.5], (n, 3)).astype(np.float32)
+    yaw = rng.uniform(-np.pi, np.pi, n).astype(np.float32)
+    poses = Transform.from_xyz_euler(
+        jnp.asarray(trans), jnp.stack([jnp.zeros(n), jnp.zeros(n), jnp.asarray(yaw)], -1)
+    )
+    cloud = ParticleCloud.create(n).with_poses(poses)
+
+    cfg_on = SensorUpdateConfig.create(samples=16, engine="binned", cluster=True)
+    cfg_off = SensorUpdateConfig.create(samples=16, engine="binned", cluster=False)
+    out_on = sensor_update(bins, cloud, key, points, mask, Transform.identity(), cfg_on)
+    out_off = sensor_update(bins, cloud, key, points, mask, Transform.identity(), cfg_off)
+    np.testing.assert_allclose(
+        np.asarray(out_on.likelihood.mean),
+        np.asarray(out_off.likelihood.mean),
+        rtol=1e-5,
+        atol=1e-7,
+    )
+
+
+def test_cluster_order_properties():
+    """ops.order.cluster_order: valid inverse permutation + locality."""
+    from rmcl_tpu.ops.order import cluster_order
+
+    rng = np.random.default_rng(0)
+    pos = rng.uniform(-10, 10, (512, 3)).astype(np.float32)
+    hd = rng.normal(size=(512, 3)).astype(np.float32)
+    order, inv = jax.jit(cluster_order)(jnp.asarray(pos), jnp.asarray(hd))
+    order = np.asarray(order)
+    inv = np.asarray(inv)
+    assert sorted(order.tolist()) == list(range(512))
+    np.testing.assert_array_equal(order[inv], np.arange(512))
+    # locality: mean distance between sort-adjacent points must beat the
+    # unsorted ordering by a wide margin
+    d_sorted = np.linalg.norm(np.diff(pos[order], axis=0), axis=1).mean()
+    d_orig = np.linalg.norm(np.diff(pos, axis=0), axis=1).mean()
+    assert d_sorted < 0.5 * d_orig

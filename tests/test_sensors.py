@@ -120,3 +120,112 @@ def test_simulate_rotated_pose():
     t_rot = simulate_ranges(bvh, model, tsm)
     np.testing.assert_allclose(np.asarray(t_id), 2.0, atol=1e-4)
     np.testing.assert_allclose(np.asarray(t_rot), 50.0, atol=1e-3)
+
+
+# --- per-ray time motion compensation (de-skew) -----------------------------
+
+
+def test_deskew_rotating_sensor_reconstructs_world_point():
+    """Points captured while the base spins at constant yaw rate must all
+    land on the same world point after de-skew."""
+    from rmcl_tpu.sensors.deskew import deskew_points
+
+    w = 0.8  # rad/s yaw rate
+    T = 0.1  # scan period = odom sample spacing
+    P = np.asarray([3.0, 1.0, 0.5], np.float32)  # fixed odom-frame point
+
+    t_i = np.linspace(0.0, T, 33).astype(np.float32)
+    yaw_i = w * t_i
+    # sensor-frame capture at time t: p_i = R(-yaw_i) @ P (Tsb = identity)
+    ca, sa = np.cos(-yaw_i), np.sin(-yaw_i)
+    p_i = np.stack(
+        [ca * P[0] - sa * P[1], sa * P[0] + ca * P[1], np.full_like(ca, P[2])], -1
+    )
+
+    tbo_a = Transform.identity()
+    tbo_b = Transform.from_xyz_euler(
+        jnp.zeros(3), jnp.asarray([0.0, 0.0, w * T])
+    )
+    out = deskew_points(
+        jnp.asarray(p_i),
+        jnp.asarray(t_i),
+        jnp.float32(0.0),  # reference stamp = scan start
+        Transform.identity(),
+        tbo_a,
+        jnp.float32(0.0),
+        tbo_b,
+        jnp.float32(T),
+    )
+    # sensor frame at t=0 coincides with the odom frame
+    np.testing.assert_allclose(np.asarray(out), P[None].repeat(33, 0), atol=1e-5)
+
+
+def test_deskew_translation_and_extrapolation():
+    """Linear base motion: de-skew removes the skew; stamps beyond the last
+    odom sample extrapolate along the same velocity."""
+    from rmcl_tpu.sensors.deskew import deskew_points
+
+    v = np.asarray([2.0, 0.0, 0.0], np.float32)  # m/s
+    P = np.asarray([0.0, 5.0, 0.0], np.float32)
+    t_i = np.asarray([0.0, 0.05, 0.1, 0.15], np.float32)  # last two extrapolate
+    # capture at time t: base at v*t, sensor point = P - v*t
+    p_i = P[None] - v[None] * t_i[:, None]
+
+    tbo_a = Transform.identity()
+    tbo_b = Transform.from_xyz_euler(jnp.asarray(v * 0.1), jnp.zeros(3))
+    out = deskew_points(
+        jnp.asarray(p_i),
+        jnp.asarray(t_i),
+        jnp.float32(0.0),
+        Transform.identity(),
+        tbo_a,
+        jnp.float32(0.0),
+        tbo_b,
+        jnp.float32(0.1),
+    )
+    np.testing.assert_allclose(np.asarray(out), P[None].repeat(4, 0), atol=1e-5)
+
+
+def test_micp_node_deskew_ingest():
+    """motion_compensation: true + stamped odom + per-ray stamps de-skews
+    at ingest; without the flag the raw points are kept."""
+    from rmcl_tpu.config.tree import ParamTree
+    from rmcl_tpu.geom.map import MeshMap
+    from rmcl_tpu.io import msgs
+    from rmcl_tpu.micp.node import MICPLocalization
+
+    from rmcl_tpu.io.conversions import scan_info_to_model
+
+    map_ = MeshMap.from_mesh(make_box((10.0, 10.0, 4.0)))
+    n = 16
+    r = np.full(n, 2.0, np.float32)
+    stamps = np.linspace(0.0, 0.1, n).astype(np.float32)
+    info = msgs.ScanInfo(
+        phi_n=1, theta_n=16, phi_min=0.0, phi_inc=0.1,
+        theta_min=-np.pi, theta_inc=2 * np.pi / 16,
+        range_min=0.1, range_max=20.0,
+    )
+    msg = msgs.ScanStamped(
+        header=msgs.Header(stamp=1.0),
+        info=info,
+        data=msgs.RangeData(ranges=r, stamps=stamps),
+    )
+
+    for enabled in (False, True):
+        node = MICPLocalization(
+            map_, ParamTree({"motion_compensation": enabled})
+        )
+        node.on_odometry(Transform.identity(), stamp=1.0)
+        node.on_odometry(
+            Transform.from_xyz_euler(jnp.asarray([0.2, 0.0, 0.0]), jnp.zeros(3)),
+            stamp=1.1,
+        )
+        node.on_scan("s", msg)
+        pts = node.sensors["s"].points
+        raw = np.asarray(
+            scan_info_to_model(info).polar_to_cartesian(jnp.asarray(r))
+        )
+        if enabled:
+            assert np.abs(pts - raw).max() > 0.01  # actually moved
+        else:
+            np.testing.assert_allclose(pts, raw, atol=1e-7)
