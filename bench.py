@@ -119,10 +119,19 @@ def main():
     out = correction(bins, data_points, data_mask, trans_est, dirs_j)
     jax.block_until_ready(out[0])
 
+    # every timing iteration gets a DISTINCT estimate (tiny z jitter, same
+    # workload statistically): the relay backend memoizes identical
+    # (program, input) executions, which inflates repeat timings by orders
+    # of magnitude — only cold executions are real (TPU_NOTES.md)
+    ests = [
+        trans_j + jnp.asarray([0.0, 0.0, 0.2 + 1e-4 * (i + 1)])
+        for i in range(iters)
+    ]
+    jax.block_until_ready(ests)
     times = []
-    for _ in range(iters):
+    for est in ests:
         t0 = time.time()
-        out = correction(bins, data_points, data_mask, trans_est, dirs_j)
+        out = correction(bins, data_points, data_mask, est, dirs_j)
         jax.block_until_ready(out[0])
         times.append(time.time() - t0)
     best = min(times)

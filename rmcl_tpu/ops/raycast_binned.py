@@ -110,10 +110,17 @@ def _cone_box_test(oc, oh, a, tan_th, t_hi, bmin, bmax):
     inv = 1.0 / a_safe
     b0 = bmin - oh - oc
     b1 = bmax + oh - oc
+    # anisotropic cone inflation: the displacement off the axis is
+    # PERPENDICULAR to it, so its reach along axis k is r*sqrt(1 - a_k^2),
+    # not r — exact per-axis projection of the cone cross-section. Strictly
+    # tighter than the isotropic r (which spuriously inflated the slab
+    # along the dominant direction axis), still never false-culls.
+    s_perp = jnp.sqrt(jnp.maximum(1.0 - a * a, 0.0))
 
     def slab(r):
-        t0 = (b0 - r) * inv
-        t1 = (b1 + r) * inv
+        rk = r * s_perp
+        t0 = (b0 - rk) * inv
+        t1 = (b1 + rk) * inv
         tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
         tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
         return tn, tf
