@@ -53,7 +53,12 @@ def main():
 
     n = int(np.sqrt(faces / 2))
     mesh = make_sphere(n, n, radius=50.0)
-    bins = build_bins(mesh, bin_size=64)
+    bin_size = int(os.environ.get("BENCH_BIN_SIZE", 64))
+    c_bin = int(os.environ.get("BENCH_CBIN", 64))
+    az_tile = int(os.environ.get("BENCH_AZ_TILE", 8))
+    el_tile = int(os.environ.get("BENCH_EL_TILE", 1))
+    poses_per_tile = int(os.environ.get("BENCH_POSES_PER_TILE", 16))
+    bins = build_bins(mesh, bin_size=bin_size)
 
     model = SphericalModel.vlp16(width=900)  # 900 x 16 = 14,400 rays/pose
     n_dirs = model.n_rays
@@ -68,10 +73,10 @@ def main():
     # perm/inv gathers cost ~40% of the correction at this ray count.
     sweep = TiledSweep(
         trans_true, model.width, model.height,
-        poses_per_tile=16, az_tile=8, el_tile=1,
+        poses_per_tile=poses_per_tile, az_tile=az_tile, el_tile=el_tile,
     )
     cast_kw = dict(block_size=sweep.block_size, dir_groups=sweep.dir_groups,
-                   c_bin=64, block_chunk=512, sort_blocks=True)
+                   c_bin=c_bin, block_chunk=512, sort_blocks=True)
 
     def cast_sweep(bins, trans, dirs):
         """Closest-hit for all poses x all scan dirs (identity rotations,

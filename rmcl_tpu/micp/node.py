@@ -203,6 +203,15 @@ class MICPLocalization:
         s.stamp = stamp
         s.outdated = True
 
+    def print_setup(self, color: Optional[bool] = None) -> str:
+        """Console setup report (reference printSetup —
+        micp_localization.cpp:313-411). Returns the text and prints it."""
+        from rmcl_tpu.utils.console import micp_setup_banner
+
+        text = micp_setup_banner(self, color=color)
+        print(text)
+        return text
+
     # -- odometry / initialization ----------------------------------------
 
     def on_odometry(self, tbo: Transform, stamp: Optional[float] = None):

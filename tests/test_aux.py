@@ -144,3 +144,23 @@ def test_replay_drives_mcl_node():
     stats = node.estimate()
     err = np.linalg.norm(np.asarray(stats.pose.trans) - np.asarray(true_pose.trans))
     assert err < 0.25, err
+
+
+def test_micp_setup_banner():
+    """print_setup renders the reference printSetup-style report."""
+    from rmcl_tpu.config.tree import ParamTree
+    from rmcl_tpu.geom.map import MeshMap
+    from rmcl_tpu.geom.mesh import make_box
+    from rmcl_tpu.micp.node import MICPLocalization
+    from rmcl_tpu.utils.console import TextColors, colorize
+
+    node = MICPLocalization(
+        MeshMap.from_mesh(make_box((2.0, 2.0, 2.0))),
+        ParamTree({"sensors": {"lidar": {"weight": 2.0}}}),
+    )
+    text = node.print_setup(color=False)
+    assert "MAP" in text and "SENSORS" in text
+    assert "lidar" in text and "weight: 2.0" in text
+    assert "triangles: 12" in text
+    assert "\033[" not in text  # color off
+    assert "\033[" in colorize("x", TextColors.GREEN, force=True)
