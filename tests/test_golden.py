@@ -29,3 +29,18 @@ def test_micp_trajectory_matches_golden():
     # and the physics: the drift is fully corrected
     err = np.linalg.norm(track[:, :3] - true_xyz, axis=1)
     assert err.max() < 5e-3, err
+
+
+def test_mcl_trajectory_matches_golden():
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "golden"))
+    from gen_mcl_track import run_track
+
+    rows, true_t = run_track()
+    gold = np.load(
+        os.path.join(os.path.dirname(__file__), "golden", "mcl_track.npz")
+    )
+    np.testing.assert_allclose(rows, gold["rows"], rtol=1e-4, atol=1e-5)
+    # physics: the filter converged near the true pose
+    assert np.linalg.norm(rows[-1, :3] - true_t) < 0.2
