@@ -94,6 +94,12 @@ class MICPLocalization:
             disable_correction=bool(self.config.get("disable_correction", False)),
             solver=str(self.config.get("solver", "p2l_gn")),
         )
+        # ray engine for RC correspondences: 'bvh' (exact traversal) or
+        # 'binned' (dense engine — the TPU hot path; needs MeshMap bins).
+        # CP sensors always use the exact BVH's distance queries.
+        self.engine = str(self.config.get("engine", "bvh"))
+        if self.engine == "binned" and getattr(map_, "bins", None) is None:
+            raise ValueError("engine='binned' needs a MeshMap with triangle bins")
         self.sensors: Dict[str, MICPSensorState] = {}
         for name, sub in self.config.subtree("sensors").items():
             self.sensors[name] = MICPSensorState(
@@ -254,8 +260,14 @@ class MICPLocalization:
             )
             for s in active
         ]
+        has_cp = any(s.config.corr_type == "CP" for s in active)
+        accel = (
+            self.map.bins
+            if (self.engine == "binned" and not has_cp)
+            else self.map.bvh
+        )
         tom_new, stats = correct_once_jit(
-            self.map.bvh,
+            accel,
             sensor_data,
             self.tom,
             self.tbo,

@@ -26,10 +26,11 @@ Array = jax.Array
 
 
 def simulate(
-    bvh: BVH,
+    bvh: "BVH | TriangleBins",
     model: SensorModel,
     tsm: Transform,
     chunk_size: int = 262144,
+    **binned_kw,
 ) -> RayHits:
     """Simulate the sensor at pose(s) ``tsm`` (sensor→map).
 
@@ -37,7 +38,15 @@ def simulate(
     Points and normals are expressed in the sensor frame (rmagine
     convention: the caller folds Tsb/Tbm itself — reference
     MICPSensor.hpp:146-151 computes Tbm = Tom * Tbo then simulates).
+
+    The acceleration structure selects the engine: a ``BVH`` uses the
+    exact traversal (``ops.raycast``); ``TriangleBins`` uses the dense
+    binned engine (``ops.raycast_binned`` — the TPU hot path; scan grids
+    are coherent by construction). ``binned_kw`` forwards tuning knobs
+    (``c_super``/``c_bin``/``block_size``/...) to the binned engine.
     """
+    from rmcl_tpu.bvh.bins import TriangleBins
+
     o_s, d_s = model.rays()  # (N, 3) sensor frame
     batch_shape = tsm.batch_shape
     # map-frame rays: origins/dirs for every pose in the batch
@@ -45,14 +54,22 @@ def simulate(
     o_m = tsm_b.apply(o_s)
     d_m = tsm_b.rotate(d_s)
 
-    hits = cast_rays(
-        bvh,
-        o_m,
-        d_m,
-        t_min=model.range.min,
-        t_max=jnp.minimum(jnp.float32(model.range.max), NO_HIT_T),
-        chunk_size=chunk_size,
-    )
+    t_max = jnp.minimum(jnp.float32(model.range.max), NO_HIT_T)
+    if isinstance(bvh, TriangleBins):
+        from rmcl_tpu.ops.raycast_binned import cast_rays_binned
+
+        hits = cast_rays_binned(
+            bvh, o_m, d_m, t_min=model.range.min, t_max=t_max, **binned_kw
+        )
+    else:
+        hits = cast_rays(
+            bvh,
+            o_m,
+            d_m,
+            t_min=model.range.min,
+            t_max=t_max,
+            chunk_size=chunk_size,
+        )
     # fold back into the sensor frame
     inv = tsm_b.inverse()
     point_s = jnp.where(

@@ -186,3 +186,62 @@ def test_correct_once_cpc_sensor():
     for _ in range(10):
         tom, _ = correct_once(bvh, [sensor], tom, Transform.identity(), jnp.float32(0.0))
     assert np.linalg.norm(np.asarray(tom.trans)) < 0.01
+
+
+def test_correct_once_binned_engine_matches_bvh():
+    """correct_once over TriangleBins (dense engine) converges like the
+    exact BVH and yields the same pose."""
+    from rmcl_tpu.bvh.bins import build_bins
+
+    mesh = make_room_scene(n_pillars=3, seed=2)
+    bvh = build_bvh(mesh)
+    bins = build_bins(mesh, bin_size=32, bins_per_super=8)
+    model = SphericalModel.create(
+        width=180, height=8, phi_min=-0.3, phi_max=0.2, range_max=30.0
+    )
+    true_pose = Transform.from_pose_tuple(jnp.asarray([0.4, -0.3, 1.0, 0, 0, 0.3]))
+    sensor = make_sensor_data(bvh, model, true_pose)
+
+    tbo = true_pose  # drift-free odom; tom must converge to identity
+    results = []
+    for accel in (bvh, bins):
+        tom = Transform.from_xyz_euler(
+            jnp.asarray([0.06, -0.04, 0.05]), jnp.asarray([0.0, 0.0, 0.03])
+        )
+        progress = jnp.float32(0.0)
+        for _ in range(4):
+            tom, stats = correct_once(accel, [sensor], tom, tbo, progress)
+            progress = stats.convergence_progress
+        results.append(np.concatenate([np.asarray(tom.trans), np.asarray(tom.rot)]))
+        assert float(jnp.linalg.norm(tom.trans)) < 5e-3
+    np.testing.assert_allclose(results[0], results[1], atol=1e-4)
+
+
+def test_micp_node_engine_binned():
+    """MICPLocalization engine: binned drives corrections through the dense
+    engine (MeshMap bins) and still tracks."""
+    from rmcl_tpu.config.tree import ParamTree
+    from rmcl_tpu.geom.map import MeshMap
+    from rmcl_tpu.micp.node import MICPLocalization
+
+    map_ = MeshMap.from_mesh(make_room_scene(n_pillars=3, seed=2))
+    model = SphericalModel.create(
+        width=180, height=8, phi_min=-0.3, phi_max=0.2, range_max=30.0
+    )
+    true_pose = Transform.from_pose_tuple(jnp.asarray([0.4, -0.3, 1.0, 0, 0, 0.3]))
+    hits = simulate(map_.bvh, model, true_pose)
+
+    node = MICPLocalization(
+        map_,
+        ParamTree({
+            "engine": "binned",
+            "initial_pose_guess": [0.35, -0.3, 0.97, 0, 0, 0.27],
+            "sensors": {"lidar": {"correspondences": {"max_dist": 1.0}}},
+        }),
+    )
+    node.on_odometry(true_pose)
+    node.set_static_dataset("lidar", model, hits.point, hits.hit)
+    for _ in range(6):
+        node.step()
+    err = float(jnp.linalg.norm(node.pose_base_map().trans - true_pose.trans))
+    assert err < 5e-3, err
