@@ -68,6 +68,82 @@ class MCLConfig:
     min_particles_for_resample: int = 10  # reference sanity check :633-639
     seed: int = 0
 
+    @staticmethod
+    def from_params(params) -> "MCLConfig":
+        """Build from a ParamTree with the reference's YAML schema
+        (rmcl_localization.cpp:346-393 + per-updater updateParams:
+        TFMotionUpdaterCPU.cpp:108-114, PCDSensorUpdaterEmbree.cpp:124-133,
+        GladiatorResamplerCPU.cpp:43-52)::
+
+            max_particles: 100000
+            motion_update: {forget_rate: 0.5, forget_rate_per_second: 0.1,
+                            check_collisions: false}
+            sensor_update: {correspondence_type: RC, samples: 100,
+                            dist_sigma: 2.0, sensor_range_min: 0.05,
+                            sensor_range_max: 80.0,
+                            real_hit_sim_miss_error: 100.0, ...,
+                            engine: bvh}
+            resampling:    {type: gladiator, min_noise_tx: 0.03, ...,
+                            likelihood_forget_per_meter: 0.3,
+                            likelihood_forget_per_radian: 0.2,
+                            max_induction_particles: 50000}
+        """
+        g = params.get
+        corr = g("sensor_update.correspondence_type", "RC")
+        corr = {0: "RC", 1: "CP"}.get(corr, str(corr))
+        return MCLConfig(
+            n_particles=int(g("max_particles", 100_000)),
+            seed=int(g("seed", 0)),
+            resampler=str(g("resampling.type", "gladiator")),
+            max_induction_particles=int(
+                g("resampling.max_induction_particles", 50_000)
+            ),
+            motion=MotionUpdateConfig.create(
+                forget_rate=float(g("motion_update.forget_rate", 0.5)),
+                forget_rate_per_second=float(
+                    g("motion_update.forget_rate_per_second", 0.1)
+                ),
+                check_collisions=bool(
+                    g("motion_update.check_collisions", False)
+                ),
+            ),
+            sensor=SensorUpdateConfig.create(
+                samples=int(g("sensor_update.samples", 100)),
+                correspondence_type=corr,
+                dist_sigma=float(g("sensor_update.dist_sigma", 2.0)),
+                real_hit_sim_miss_error=float(
+                    g("sensor_update.real_hit_sim_miss_error", 100.0)
+                ),
+                real_miss_sim_hit_error=float(
+                    g("sensor_update.real_miss_sim_hit_error", 100.0)
+                ),
+                real_miss_sim_miss_error=float(
+                    g("sensor_update.real_miss_sim_miss_error", 0.0)
+                ),
+                range_min=float(g("sensor_update.sensor_range_min", 0.05)),
+                range_max=float(g("sensor_update.sensor_range_max", 80.0)),
+                engine=str(g("sensor_update.engine", "bvh")),
+            ),
+            resampling=ResamplerConfig.create(
+                min_noise_t=(
+                    float(g("resampling.min_noise_tx", 0.03)),
+                    float(g("resampling.min_noise_ty", 0.03)),
+                    float(g("resampling.min_noise_tz", 0.0)),
+                ),
+                min_noise_r=(
+                    float(g("resampling.min_noise_roll", 0.0)),
+                    float(g("resampling.min_noise_pitch", 0.0)),
+                    float(g("resampling.min_noise_yaw", 0.01)),
+                ),
+                likelihood_forget_per_meter=float(
+                    g("resampling.likelihood_forget_per_meter", 0.3)
+                ),
+                likelihood_forget_per_radian=float(
+                    g("resampling.likelihood_forget_per_radian", 0.2)
+                ),
+            ),
+        )
+
 
 class MCLNode:
     """Monte-Carlo localization over a mesh map.

@@ -361,3 +361,44 @@ def test_cluster_order_properties():
     d_sorted = np.linalg.norm(np.diff(pos[order], axis=0), axis=1).mean()
     d_orig = np.linalg.norm(np.diff(pos, axis=0), axis=1).mean()
     assert d_sorted < 0.5 * d_orig
+
+
+def test_mcl_config_from_params():
+    """MCLConfig.from_params maps the reference YAML schema (param groups
+    rmcl_localization.cpp:346-393 + updater updateParams)."""
+    from rmcl_tpu.config.tree import ParamTree
+
+    cfg = MCLConfig.from_params(ParamTree({
+        "max_particles": 4096,
+        "motion_update": {"forget_rate": 0.7, "check_collisions": True},
+        "sensor_update": {
+            "correspondence_type": 1,  # reference int encoding -> CP
+            "samples": 32,
+            "dist_sigma": 0.9,
+            "sensor_range_max": 50.0,
+        },
+        "resampling": {
+            "type": "residual",
+            "min_noise_tx": 0.1,
+            "min_noise_yaw": 0.05,
+            "likelihood_forget_per_meter": 0.4,
+            "max_induction_particles": 1000,
+        },
+    }))
+    assert cfg.n_particles == 4096
+    assert cfg.resampler == "residual"
+    assert cfg.max_induction_particles == 1000
+    assert float(cfg.motion.forget_rate) == np.float32(0.7)
+    assert cfg.motion.check_collisions is True
+    assert cfg.sensor.correspondence_type == "CP"
+    assert cfg.sensor.samples == 32
+    assert float(cfg.sensor.dist_sigma) == np.float32(0.9)
+    assert float(cfg.sensor.range_max) == 50.0
+    np.testing.assert_allclose(
+        np.asarray(cfg.resampling.min_noise),
+        [0.1, 0.03, 0.0, 0.0, 0.0, 0.05],
+    )
+    assert float(cfg.resampling.likelihood_forget_per_meter) == np.float32(0.4)
+    # defaults-only tree works too
+    d = MCLConfig.from_params(ParamTree())
+    assert d.n_particles == 100_000 and d.resampler == "gladiator"
