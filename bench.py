@@ -155,5 +155,50 @@ def main():
     )
 
 
+def _run_with_retries():
+    """Run the measurement in child processes with a timeout + retries.
+
+    The relay TPU backend intermittently hangs (remote-compile stalls,
+    worker crashes) in ways the process itself cannot recover from; a
+    fresh process usually succeeds. Parent prints exactly the child's
+    final JSON line."""
+    import subprocess
+
+    attempts = int(os.environ.get("BENCH_ATTEMPTS", 3))
+    timeout = float(os.environ.get("BENCH_TIMEOUT", 840))
+    env = dict(os.environ, BENCH_CHILD="1")
+    last_err = "no attempts ran"
+    for i in range(attempts):
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                timeout=timeout,
+                capture_output=True,
+                text=True,
+            )
+        except subprocess.TimeoutExpired:
+            last_err = f"attempt {i + 1}: timeout after {timeout}s"
+            print(last_err, file=sys.stderr)
+            continue
+        lines = [l for l in r.stdout.strip().splitlines() if l.startswith("{")]
+        if r.returncode == 0 and lines:
+            print(lines[-1])
+            return 0
+        last_err = f"attempt {i + 1}: rc={r.returncode} {r.stderr.strip()[-400:]}"
+        print(last_err, file=sys.stderr)
+    print(json.dumps({
+        "metric": "micp_correction_rays_per_sec_1Mfaces",
+        "value": 0.0,
+        "unit": "corr-rays/s",
+        "vs_baseline": 0.0,
+        "error": last_err[-200:],
+    }))
+    return 1
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_CHILD"):
+        main()
+    else:
+        sys.exit(_run_with_retries())
