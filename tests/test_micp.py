@@ -245,3 +245,38 @@ def test_micp_node_engine_binned():
         node.step()
     err = float(jnp.linalg.norm(node.pose_base_map().trans - true_pose.trans))
     assert err < 5e-3, err
+
+
+def test_correct_once_pinhole_and_o1dn_models():
+    """Corrections work for every sensor-model family (the reference has
+    one RCC class per model x backend; here one function serves all).
+    Multi-sensor: pinhole depth camera + generic o1dn lidar together."""
+    from rmcl_tpu.sensors.models import O1DnModel, PinholeModel
+
+    mesh = make_room_scene(n_pillars=3, seed=2)
+    bvh = build_bvh(mesh)
+    true_pose = Transform.from_pose_tuple(jnp.asarray([0.4, -0.3, 1.0, 0, 0, 0.3]))
+
+    pin = PinholeModel.create(
+        width=64, height=48, fx=40.0, fy=40.0, cx=32.0, cy=24.0, range_max=30.0
+    )
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(256, 3)).astype(np.float32)
+    d[:, 2] = np.abs(d[:, 2]) * 0.3  # mostly horizontal fan
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o1dn = O1DnModel.create(jnp.asarray(d), range_max=30.0)
+
+    sensors = [
+        make_sensor_data(bvh, pin, true_pose),
+        make_sensor_data(bvh, o1dn, true_pose),
+    ]
+    tbo = true_pose
+    tom = Transform.from_xyz_euler(
+        jnp.asarray([0.05, -0.04, 0.06]), jnp.asarray([0.0, 0.0, 0.03])
+    )
+    progress = jnp.float32(0.0)
+    for _ in range(5):
+        tom, stats = correct_once(bvh, sensors, tom, tbo, progress)
+        progress = stats.convergence_progress
+    assert float(jnp.linalg.norm(tom.trans)) < 1e-2
+    assert float(stats.valid_matches) > 200  # both sensors contributed
