@@ -171,7 +171,14 @@ def sensor_update(
     if config.correspondence_type == "CP":
         # CPC: distance from the measured point (map frame) to the surface
         p_meas_m = tsm_b.apply(dirs_s * ranges[:, None])  # (N, S, 3)
-        cp = closest_points(bvh, p_meas_m, chunk_size=chunk_size)
+        if config.engine == "binned":
+            from rmcl_tpu.ops.closest_point import closest_points_binned
+
+            cp = closest_points_binned(
+                bvh, p_meas_m, c_super=config.c_super, c_bin=config.c_bin
+            )
+        else:
+            cp = closest_points(bvh, p_meas_m, chunk_size=chunk_size)
         error = jnp.where(cp.found, cp.dist, config.real_hit_sim_miss_error)
     else:
         if config.engine == "binned":

@@ -73,9 +73,17 @@ def find_cpc(
     the nearest mesh surface point within ``max_dist``
     (reference CPCEmbree::find — CPCEmbree.cpp:18-44: transform into map
     frame, ``map->closestPoint``, write back in sensor frame,
-    hit = ``cp.d <= max_dist``)."""
+    hit = ``cp.d <= max_dist``). ``bvh`` may be ``TriangleBins`` — the
+    dense binned distance engine then serves the query."""
+    from rmcl_tpu.bvh.bins import TriangleBins
+
     p_map = tsm.apply(dataset_points)
-    cp = closest_points(bvh, p_map, max_dist=max_dist, chunk_size=chunk_size)
+    if isinstance(bvh, TriangleBins):
+        from rmcl_tpu.ops.closest_point import closest_points_binned
+
+        cp = closest_points_binned(bvh, p_map, max_dist=max_dist)
+    else:
+        cp = closest_points(bvh, p_map, max_dist=max_dist, chunk_size=chunk_size)
     inv = tsm.inverse()
     found = dataset_mask & cp.found
     normal = cp.normal

@@ -260,12 +260,7 @@ class MICPLocalization:
             )
             for s in active
         ]
-        has_cp = any(s.config.corr_type == "CP" for s in active)
-        accel = (
-            self.map.bins
-            if (self.engine == "binned" and not has_cp)
-            else self.map.bvh
-        )
+        accel = self.map.bins if self.engine == "binned" else self.map.bvh
         tom_new, stats = correct_once_jit(
             accel,
             sensor_data,

@@ -179,19 +179,12 @@ def find_correspondences(
     """One correspondence search per sensor from the pose estimate
     (reference correctOnce :900-908 → Correspondences_::find(Tom*Tbo)).
 
-    ``bvh`` may also be ``TriangleBins`` (dense binned engine) for
-    RC sensors; CP sensors need the exact BVH's distance queries."""
+    ``bvh`` may also be ``TriangleBins`` — both RC (dense binned ray cast)
+    and CP (dense binned distance query) dispatch on the structure type."""
     out = []
     for s in sensors:
         tsm = tbm @ s.tsb
         if s.config.corr_type == "CP":
-            from rmcl_tpu.bvh.types import BVH as _BVH
-
-            if not isinstance(bvh, _BVH):
-                raise TypeError(
-                    "CP correspondences need the exact BVH (closest-point "
-                    "queries); engine='binned' supports RC sensors only"
-                )
             out.append(
                 find_cpc(bvh, s.points, s.mask, tsm, s.config.max_dist, chunk_size=chunk_size)
             )

@@ -87,3 +87,64 @@ def test_closest_points_max_dist_gate():
     assert not bool(np.asarray(cp.found)[0])
     cp2 = closest_points(bvh, q, max_dist=2.5)
     assert bool(np.asarray(cp2.found)[0])
+
+
+# --- dense binned engine -----------------------------------------------------
+
+
+def test_closest_points_binned_matches_exact():
+    """Binned closest-point engine agrees with the exact BVH distance query
+    (point, distance, prim, found) on arbitrary query orders."""
+    from rmcl_tpu.bvh.bins import build_bins
+    from rmcl_tpu.bvh.builder import build_bvh
+    from rmcl_tpu.geom.mesh import make_room_scene
+    from rmcl_tpu.ops.closest_point import closest_points, closest_points_binned
+
+    mesh = make_room_scene(n_pillars=3, seed=2)
+    bvh = build_bvh(mesh)
+    bins = build_bins(mesh, bin_size=32, bins_per_super=8)
+
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(
+        rng.uniform([-5, -4, -0.5], [5, 4, 2.5], (2048, 3)).astype(np.float32)
+    )
+    a = closest_points(bvh, q)
+    b = closest_points_binned(bins, q, c_super=48, c_bin=256)
+
+    np.testing.assert_array_equal(np.asarray(a.found), np.asarray(b.found))
+    np.testing.assert_allclose(
+        np.asarray(a.dist), np.asarray(b.dist), rtol=1e-5, atol=1e-5
+    )
+    # closest points may differ on exact ties; distances must agree
+    d_ab = np.linalg.norm(np.asarray(a.point) - np.asarray(b.point), axis=1)
+    assert (d_ab < 1e-3).mean() > 0.99
+
+
+def test_closest_points_binned_max_dist_and_batch():
+    from rmcl_tpu.bvh.bins import build_bins
+    from rmcl_tpu.geom.mesh import make_sphere
+    from rmcl_tpu.ops.closest_point import closest_points_binned
+
+    mesh = make_sphere(32, 32, radius=2.0)
+    bins = build_bins(mesh, bin_size=16, bins_per_super=8)
+    q = jnp.asarray([[[0.0, 0.0, 0.0], [10.0, 0.0, 0.0]]])  # (1, 2, 3) batch
+    out = closest_points_binned(bins, q, max_dist=3.0)
+    assert out.found.shape == (1, 2)
+    assert bool(out.found[0, 0]) and not bool(out.found[0, 1])
+    np.testing.assert_allclose(float(out.dist[0, 0]), 2.0, atol=0.02)
+
+
+def test_closest_points_binned_cluster_exactness():
+    """Morton clustering must not change any result."""
+    from rmcl_tpu.bvh.bins import build_bins
+    from rmcl_tpu.geom.mesh import make_room_scene
+    from rmcl_tpu.ops.closest_point import closest_points_binned
+
+    mesh = make_room_scene(n_pillars=2, seed=4)
+    bins = build_bins(mesh, bin_size=32, bins_per_super=8)
+    rng = np.random.default_rng(1)
+    q = jnp.asarray(rng.uniform(-4, 4, (777, 3)).astype(np.float32))
+    a = closest_points_binned(bins, q, cluster=True, c_super=48, c_bin=256)
+    b = closest_points_binned(bins, q, cluster=False, c_super=48, c_bin=256)
+    np.testing.assert_allclose(np.asarray(a.dist), np.asarray(b.dist), atol=1e-6)
+    np.testing.assert_array_equal(np.asarray(a.prim_id), np.asarray(b.prim_id))

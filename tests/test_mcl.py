@@ -402,3 +402,37 @@ def test_mcl_config_from_params():
     # defaults-only tree works too
     d = MCLConfig.from_params(ParamTree())
     assert d.n_particles == 100_000 and d.resampler == "gladiator"
+
+
+def test_sensor_update_cpc_binned_matches_bvh(key):
+    """CP particle metric through the binned distance engine scores like
+    the exact path."""
+    from rmcl_tpu.bvh.bins import build_bins
+    from rmcl_tpu.geom.mesh import make_room_scene as _mrs
+
+    mesh = _mrs(n_pillars=3, seed=2)
+    bvh = build_bvh(mesh)
+    bins = build_bins(mesh, bin_size=32, bins_per_super=8)
+    true_pose = Transform.from_pose_tuple(jnp.asarray([0.5, -0.5, 1.0, 0, 0, 0.4]))
+    points, mask = make_scan(bvh, true_pose)
+
+    n = 96
+    rng = np.random.default_rng(5)
+    trans = rng.uniform([-4, -3, 0.5], [4, 3, 1.5], (n, 3)).astype(np.float32)
+    yaw = rng.uniform(-np.pi, np.pi, n).astype(np.float32)
+    poses = Transform.from_xyz_euler(
+        jnp.asarray(trans), jnp.stack([jnp.zeros(n), jnp.zeros(n), jnp.asarray(yaw)], -1)
+    )
+    cloud = ParticleCloud.create(n).with_poses(poses)
+
+    cfg_a = SensorUpdateConfig.create(samples=16, correspondence_type="CP")
+    cfg_b = SensorUpdateConfig.create(
+        samples=16, correspondence_type="CP", engine="binned",
+        c_super=48, c_bin=256,
+    )
+    a = sensor_update(bvh, cloud, key, points, mask, Transform.identity(), cfg_a)
+    b = sensor_update(bins, cloud, key, points, mask, Transform.identity(), cfg_b)
+    np.testing.assert_allclose(
+        np.asarray(a.likelihood.mean), np.asarray(b.likelihood.mean),
+        rtol=1e-3, atol=1e-4,
+    )

@@ -280,3 +280,34 @@ def test_correct_once_pinhole_and_o1dn_models():
         progress = stats.convergence_progress
     assert float(jnp.linalg.norm(tom.trans)) < 1e-2
     assert float(stats.valid_matches) > 200  # both sensors contributed
+
+
+def test_correct_once_cpc_binned_matches_bvh():
+    """CP correspondences through the dense binned distance engine converge
+    to the same pose as the exact BVH path."""
+    from rmcl_tpu.bvh.bins import build_bins
+
+    mesh = make_room_scene(n_pillars=3, seed=2)
+    bvh = build_bvh(mesh)
+    bins = build_bins(mesh, bin_size=32, bins_per_super=8)
+    model = SphericalModel.create(
+        width=180, height=8, phi_min=-0.3, phi_max=0.2, range_max=30.0
+    )
+    true_pose = Transform.from_pose_tuple(jnp.asarray([0.4, -0.3, 1.0, 0, 0, 0.3]))
+    sensor = make_sensor_data(
+        bvh, model, true_pose,
+        config=MICPSensorConfig.create(max_dist=1.0, corr_type="CP"),
+    )
+    tbo = true_pose
+    results = []
+    for accel in (bvh, bins):
+        tom = Transform.from_xyz_euler(
+            jnp.asarray([0.05, -0.04, 0.04]), jnp.asarray([0.0, 0.0, 0.02])
+        )
+        progress = jnp.float32(0.0)
+        for _ in range(5):
+            tom, stats = correct_once(accel, [sensor], tom, tbo, progress)
+            progress = stats.convergence_progress
+        results.append(np.concatenate([np.asarray(tom.trans), np.asarray(tom.rot)]))
+        assert float(jnp.linalg.norm(tom.trans)) < 1e-2
+    np.testing.assert_allclose(results[0], results[1], atol=1e-3)
