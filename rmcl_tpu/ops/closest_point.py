@@ -99,6 +99,55 @@ def _dist2_point_aabb(q, bmin, bmax):
     return jnp.sum(d * d, -1)
 
 
+def _ericson_vw_planes(qx, qy, qz, ax, ay, az, abx, aby, abz, acx, acy, acz):
+    """Barycentric (v, w) of the closest point on triangle(s), scalar
+    component planes (pure elementwise ops — any broadcastable shapes).
+
+    Shared by the exact traversal loop and the dense binned engine; the
+    closest point is ``a + v*ab + w*ac``."""
+    apx, apy, apz = qx - ax, qy - ay, qz - az
+    d1 = abx * apx + aby * apy + abz * apz
+    d2 = acx * apx + acy * apy + acz * apz
+    bpx, bpy, bpz = apx - abx, apy - aby, apz - abz
+    d3 = abx * bpx + aby * bpy + abz * bpz
+    d4 = acx * bpx + acy * bpy + acz * bpz
+    cpx, cpy, cpz = apx - acx, apy - acy, apz - acz
+    d5 = abx * cpx + aby * cpy + abz * cpz
+    d6 = acx * cpx + acy * cpy + acz * cpz
+
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+    denom_face = jnp.maximum(va + vb + vc, 1e-30)
+    v_face = vb / denom_face
+    w_face = vc / denom_face
+
+    def safe_div(a, b):
+        return a / jnp.where(jnp.abs(b) > 1e-30, b, 1e-30)
+
+    v_ab = jnp.clip(safe_div(d1, d1 - d3), 0.0, 1.0)
+    w_ac = jnp.clip(safe_div(d2, d2 - d6), 0.0, 1.0)
+    t_bc = jnp.clip(safe_div(d4 - d3, (d4 - d3) + (d5 - d6)), 0.0, 1.0)
+
+    in_a = (d1 <= 0) & (d2 <= 0)
+    in_b = (d3 >= 0) & (d4 <= d3)
+    in_c = (d6 >= 0) & (d5 <= d6)
+    no_vert = ~in_a & ~in_b & ~in_c
+    in_ab = no_vert & (vc <= 0) & (d1 >= 0) & (d3 <= 0)
+    in_ac = no_vert & (vb <= 0) & (d2 >= 0) & (d6 <= 0)
+    in_bc = no_vert & (va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0)
+
+    v = jnp.where(in_a | in_c, 0.0, jnp.where(in_b, 1.0, v_face))
+    w = jnp.where(in_a | in_b, 0.0, jnp.where(in_c, 1.0, w_face))
+    v = jnp.where(in_ab, v_ab, v)
+    w = jnp.where(in_ab, 0.0, w)
+    v = jnp.where(in_ac, 0.0, v)
+    w = jnp.where(in_ac, w_ac, w)
+    v = jnp.where(in_bc, 1.0 - t_bc, v)
+    w = jnp.where(in_bc, t_bc, w)
+    return v, w
+
+
 def _query_batch(nodes, root_link, q, max_d2):
     """Hand-batched stackless closest-point traversal. Returns
     (best_d2, best_point, best_slot).
@@ -124,47 +173,9 @@ def _query_batch(nodes, root_link, q, max_d2):
         acx, acy, acz = w[6], w[7], w[8]
 
         # ---- leaf: closest point on triangle (Ericson, scalar form) -----
-        apx, apy, apz = qx - ax, qy - ay, qz - az
-        d1 = abx * apx + aby * apy + abz * apz
-        d2 = acx * apx + acy * apy + acz * apz
-        bpx, bpy, bpz = apx - abx, apy - aby, apz - abz
-        d3 = abx * bpx + aby * bpy + abz * bpz
-        d4 = acx * bpx + acy * bpy + acz * bpz
-        cpx, cpy, cpz = apx - acx, apy - acy, apz - acz
-        d5 = abx * cpx + aby * cpy + abz * cpz
-        d6 = acx * cpx + acy * cpy + acz * cpz
-
-        va = d3 * d6 - d5 * d4
-        vb = d5 * d2 - d1 * d6
-        vc = d1 * d4 - d3 * d2
-        denom_face = jnp.maximum(va + vb + vc, 1e-30)
-        v_face = vb / denom_face
-        w_face = vc / denom_face
-
-        def safe_div(a, b):
-            return a / jnp.where(jnp.abs(b) > 1e-30, b, 1e-30)
-
-        v_ab = jnp.clip(safe_div(d1, d1 - d3), 0.0, 1.0)
-        w_ac = jnp.clip(safe_div(d2, d2 - d6), 0.0, 1.0)
-        t_bc = jnp.clip(safe_div(d4 - d3, (d4 - d3) + (d5 - d6)), 0.0, 1.0)
-
-        in_a = (d1 <= 0) & (d2 <= 0)
-        in_b = (d3 >= 0) & (d4 <= d3)
-        in_c = (d6 >= 0) & (d5 <= d6)
-        no_vert = ~in_a & ~in_b & ~in_c
-        in_ab = no_vert & (vc <= 0) & (d1 >= 0) & (d3 <= 0)
-        in_ac = no_vert & (vb <= 0) & (d2 >= 0) & (d6 <= 0)
-        in_bc = no_vert & (va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0)
-
-        v = jnp.where(in_a | in_c, 0.0, jnp.where(in_b, 1.0, v_face))
-        ww = jnp.where(in_a | in_b, 0.0, jnp.where(in_c, 1.0, w_face))
-        v = jnp.where(in_ab, v_ab, v)
-        ww = jnp.where(in_ab, 0.0, ww)
-        v = jnp.where(in_ac, 0.0, v)
-        ww = jnp.where(in_ac, w_ac, ww)
-        v = jnp.where(in_bc, 1.0 - t_bc, v)
-        ww = jnp.where(in_bc, t_bc, ww)
-
+        v, ww = _ericson_vw_planes(
+            qx, qy, qz, ax, ay, az, abx, aby, abz, acx, acy, acz
+        )
         px = ax + v * abx + ww * acx
         py = ay + v * aby + ww * acy
         pz = az + v * abz + ww * acz
@@ -434,48 +445,12 @@ def closest_points_binned(
             acx, acy, acz = comp(6), comp(7), comp(8)
 
             # Ericson closest-point-on-triangle, scalar planes (Cb, B, Rq)
-            apx, apy, apz = qx - ax, qy - ay, qz - az
-            d1 = abx * apx + aby * apy + abz * apz
-            d2_ = acx * apx + acy * apy + acz * apz
-            bpx, bpy, bpz = apx - abx, apy - aby, apz - abz
-            d3 = abx * bpx + aby * bpy + abz * bpz
-            d4 = acx * bpx + acy * bpy + acz * bpz
-            cpx, cpy, cpz = apx - acx, apy - acy, apz - acz
-            d5 = abx * cpx + aby * cpy + abz * cpz
-            d6 = acx * cpx + acy * cpy + acz * cpz
-
-            va = d3 * d6 - d5 * d4
-            vb = d5 * d2_ - d1 * d6
-            vc = d1 * d4 - d3 * d2_
-            denom_face = jnp.maximum(va + vb + vc, 1e-30)
-            v = vb / denom_face
-            w = vc / denom_face
-
-            sdiv = lambda a, b: a / jnp.where(jnp.abs(b) > 1e-30, b, 1e-30)
-            v_ab = jnp.clip(sdiv(d1, d1 - d3), 0.0, 1.0)
-            w_ac = jnp.clip(sdiv(d2_, d2_ - d6), 0.0, 1.0)
-            t_bc = jnp.clip(sdiv(d4 - d3, (d4 - d3) + (d5 - d6)), 0.0, 1.0)
-
-            in_a = (d1 <= 0) & (d2_ <= 0)
-            in_b = (d3 >= 0) & (d4 <= d3)
-            in_c = (d6 >= 0) & (d5 <= d6)
-            no_vert = ~in_a & ~in_b & ~in_c
-            in_ab = no_vert & (vc <= 0) & (d1 >= 0) & (d3 <= 0)
-            in_ac = no_vert & (vb <= 0) & (d2_ >= 0) & (d6 <= 0)
-            in_bc = no_vert & (va <= 0) & ((d4 - d3) >= 0) & ((d5 - d6) >= 0)
-
-            v = jnp.where(in_a | in_c, 0.0, jnp.where(in_b, 1.0, v))
-            w = jnp.where(in_a | in_b, 0.0, jnp.where(in_c, 1.0, w))
-            v = jnp.where(in_ab, v_ab, v)
-            w = jnp.where(in_ab, 0.0, w)
-            v = jnp.where(in_ac, 0.0, v)
-            w = jnp.where(in_ac, w_ac, w)
-            v = jnp.where(in_bc, 1.0 - t_bc, v)
-            w = jnp.where(in_bc, t_bc, w)
-
-            dx = apx - v * abx - w * acx
-            dy = apy - v * aby - w * acy
-            dz = apz - v * abz - w * acz
+            v, w = _ericson_vw_planes(
+                qx, qy, qz, ax, ay, az, abx, aby, abz, acx, acy, acz
+            )
+            dx = (qx - ax) - v * abx - w * acx
+            dy = (qy - ay) - v * aby - w * acy
+            dz = (qz - az) - v * abz - w * acz
             d2p = dx * dx + dy * dy + dz * dz  # (Cb, B, Rq)
             # degenerate padded triangle rows (all zeros) yield the distance
             # to v0=(0,0,0) — mask them via the real-slot count per bin?
