@@ -22,7 +22,10 @@ from rmcl_tpu.bvh.types import BVH, SENTINEL_LINK
 
 Array = jax.Array
 
-_SENT = jnp.int32(SENTINEL_LINK)
+# python int, not a jnp scalar: module-level jnp constants become
+# TRACERS if the module is first imported inside a jit trace, poisoning
+# every later trace (measured: shard_map 'non-shard_map tracers' crash)
+_SENT = int(SENTINEL_LINK)
 
 
 @jax.tree_util.register_dataclass

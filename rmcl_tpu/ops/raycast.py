@@ -42,8 +42,11 @@ from rmcl_tpu.bvh.types import BVH, SENTINEL_LINK
 
 Array = jax.Array
 
-NO_HIT_T = jnp.float32(3.0e38)
-_SENT = jnp.int32(SENTINEL_LINK)
+# python floats/ints (weak-typed), NOT jnp scalars: module-level jnp
+# constants become tracers when the module is first imported inside a
+# jit trace, poisoning every later trace
+NO_HIT_T = 3.0e38
+_SENT = int(SENTINEL_LINK)
 
 
 @jax.tree_util.register_dataclass

@@ -38,7 +38,9 @@ from rmcl_tpu.ops.raycast import NO_HIT_T, RayHits
 
 Array = jax.Array
 
-_BIG = jnp.float32(3.0e38)
+# python float (weak-typed), NOT jnp.float32: a module-level jnp scalar
+# becomes a tracer if this module is first imported inside a jit trace
+_BIG = 3.0e38
 
 
 def _interval_div(n_lo, n_hi, d_lo, d_hi):

@@ -29,7 +29,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 Array = jax.Array
 
-_BIG = jnp.float32(3.0e38)
+_BIG = 3.0e38  # python float: see raycast_binned._BIG note
 
 
 def _intersect_kernel(

@@ -41,7 +41,7 @@ Array = jax.Array
 
 SCENE_AXIS = "scene"
 
-_BIG = jnp.float32(3.0e38)
+_BIG = 3.0e38  # python float: see raycast_binned._BIG note
 # sentinel AABB (min > max) for padded bins/supers: every slab/cone test
 # yields t_near > t_far, so padded entries are never candidates
 _PAD_LO = 1.0e38

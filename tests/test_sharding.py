@@ -155,3 +155,44 @@ def test_psum_likelihood_stats(mesh8, rng):
     s, m = psum_likelihood_stats(put_sharded(cloud, mesh8), mesh8)
     np.testing.assert_allclose(float(s), w.sum(), rtol=1e-5)
     np.testing.assert_allclose(float(m), w.max(), rtol=1e-6)
+
+
+def test_sharded_sensor_update_binned_engine(mesh8, key):
+    """The dense binned engine runs under shard_map (particles sharded,
+    bins replicated) and matches the single-device result."""
+    from rmcl_tpu.bvh.bins import build_bins
+    from rmcl_tpu.geom.mesh import make_room_scene
+
+    mesh_geo = make_room_scene(n_pillars=2, seed=4)
+    bvh = build_bvh(mesh_geo)
+    bins = build_bins(mesh_geo, bin_size=32, bins_per_super=8)
+    true_pose = Transform.from_pose_tuple(jnp.asarray([0.3, -0.2, 1.0, 0, 0, 0.2]))
+    model = SphericalModel.create(
+        width=90, height=4, phi_min=-0.3, phi_max=0.2, range_max=30.0
+    )
+    hits = simulate(bvh, model, true_pose)
+
+    n = 64 * 8
+    rng = np.random.default_rng(2)
+    trans = rng.uniform([-4, -3, 0.5], [4, 3, 1.5], (n, 3)).astype(np.float32)
+    yaw = rng.uniform(-np.pi, np.pi, n).astype(np.float32)
+    poses = Transform.from_xyz_euler(
+        jnp.asarray(trans),
+        jnp.stack([jnp.zeros(n), jnp.zeros(n), jnp.asarray(yaw)], -1),
+    )
+    cloud = ParticleCloud.create(n).with_poses(poses)
+    cfg = SensorUpdateConfig.create(
+        samples=16, engine="binned", c_super=48, c_bin=256
+    )
+
+    ref = sensor_update(bins, cloud, key, hits.point, hits.hit, Transform.identity(), cfg)
+    out = sharded_sensor_update(
+        bins, put_sharded(cloud, mesh8), key, hits.point, hits.hit,
+        Transform.identity(), cfg, mesh8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.likelihood.mean),
+        np.asarray(ref.likelihood.mean),
+        rtol=1e-4,
+        atol=1e-6,
+    )
