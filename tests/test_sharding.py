@@ -196,3 +196,37 @@ def test_sharded_sensor_update_binned_engine(mesh8, key):
         rtol=1e-4,
         atol=1e-6,
     )
+
+
+def test_sharded_correct_once_binned_engine(mesh8):
+    """MICP correction over TriangleBins under auto-SPMD (rays sharded,
+    bins replicated) converges like the single-device path."""
+    from rmcl_tpu.bvh.bins import build_bins
+    from rmcl_tpu.geom.mesh import make_room_scene
+    from rmcl_tpu.micp.pipeline import MICPSensorConfig, MICPSensorData
+    from rmcl_tpu.parallel.sharded import shard_sensor_data, sharded_correct_once
+
+    geo = make_room_scene(n_pillars=2, seed=4)
+    bvh = build_bvh(geo)
+    bins = build_bins(geo, bin_size=32, bins_per_super=8)
+    model = SphericalModel.create(
+        width=128, height=8, phi_min=-0.3, phi_max=0.2, range_max=30.0
+    )
+    true_pose = Transform.from_pose_tuple(jnp.asarray([0.3, -0.2, 1.0, 0, 0, 0.2]))
+    hits = simulate(bvh, model, true_pose)
+    sensor = MICPSensorData(
+        model=model, points=hits.point, mask=hits.hit,
+        tsb=Transform.identity(), config=MICPSensorConfig.create(max_dist=1.0),
+    )
+    sensors_s = shard_sensor_data([sensor], mesh8)
+    tom = put_replicated(
+        Transform.from_xyz_euler(jnp.asarray([0.05, -0.04, 0.03]), jnp.zeros(3)),
+        mesh8,
+    )
+    tbo = put_replicated(true_pose, mesh8)
+    for _ in range(3):
+        tom, stats = sharded_correct_once(
+            bins, sensors_s, tom, tbo, jnp.float32(0.0), mesh8
+        )
+    err = float(jnp.linalg.norm((tom @ tbo).trans - true_pose.trans))
+    assert err < 1e-3, err
