@@ -1,0 +1,16 @@
+#!/bin/bash
+# Headline-bench config sweep — one child process per config with retries
+# (relay backend hangs nondeterministically; bench.py self-retries too).
+# Usage: bash scripts/sweep_bench.sh
+cd "$(dirname "$0")/.."
+CONFIGS=(
+  ""                                                        # baseline 64/64 16p8a1e
+  "BENCH_BIN_SIZE=32 BENCH_CBIN=128"
+  "BENCH_AZ_TILE=4 BENCH_EL_TILE=2"
+  "BENCH_AZ_TILE=16 BENCH_POSES_PER_TILE=8"
+  "BENCH_BIN_SIZE=32 BENCH_CBIN=96 BENCH_AZ_TILE=4 BENCH_EL_TILE=2"
+)
+for cfg in "${CONFIGS[@]}"; do
+  echo "--- config: ${cfg:-baseline}"
+  env $cfg BENCH_ATTEMPTS=2 BENCH_TIMEOUT=840 python bench.py
+done
