@@ -35,7 +35,9 @@ from rmcl_tpu.math.gaussian import Gaussian1D, MAX_N_MEAS
 from rmcl_tpu.math.se3 import Transform
 from rmcl_tpu.math.stats import gaussian_pdf
 from rmcl_tpu.mcl.particles import ParticleCloud
-from rmcl_tpu.ops.closest_point import closest_points
+from rmcl_tpu.ops.order import cluster_order
+from rmcl_tpu.ops.raycast_binned import cast_rays_binned
+from rmcl_tpu.ops.closest_point import closest_points, closest_points_binned
 from rmcl_tpu.ops.raycast import cast_rays
 from rmcl_tpu.sensors.models import RangeInterval
 
@@ -157,8 +159,6 @@ def sensor_update(
         and config.correspondence_type != "CP"
         and config.cluster
     ):
-        from rmcl_tpu.ops.order import cluster_order
-
         fw = cloud.poses.rotate(jnp.asarray([1.0, 0.0, 0.0], jnp.float32))
         order, perm_inv = cluster_order(cloud.poses.trans, fw)
         tsm = jax.tree.map(lambda x: jnp.take(x, order, axis=0), tsm)
@@ -172,8 +172,6 @@ def sensor_update(
         # CPC: distance from the measured point (map frame) to the surface
         p_meas_m = tsm_b.apply(dirs_s * ranges[:, None])  # (N, S, 3)
         if config.engine == "binned":
-            from rmcl_tpu.ops.closest_point import closest_points_binned
-
             cp = closest_points_binned(
                 bvh, p_meas_m, c_super=config.c_super, c_bin=config.c_bin
             )
@@ -184,8 +182,6 @@ def sensor_update(
         if config.engine == "binned":
             # dense engine: beam-major order (all particles of one beam form
             # coherent-ish blocks once the cloud has concentrated)
-            from rmcl_tpu.ops.raycast_binned import cast_rays_binned
-
             o_bm = jnp.swapaxes(orig_m, 0, 1).reshape(-1, 3)
             d_bm = jnp.swapaxes(dirs_m, 0, 1).reshape(-1, 3)
             h = cast_rays_binned(

@@ -26,7 +26,8 @@ import jax.numpy as jnp
 
 from rmcl_tpu.bvh.types import BVH
 from rmcl_tpu.math.se3 import Transform
-from rmcl_tpu.ops.closest_point import closest_points
+from rmcl_tpu.bvh.bins import TriangleBins
+from rmcl_tpu.ops.closest_point import closest_points, closest_points_binned
 from rmcl_tpu.sensors.models import SensorModel
 from rmcl_tpu.sensors.simulate import simulate
 
@@ -75,12 +76,8 @@ def find_cpc(
     frame, ``map->closestPoint``, write back in sensor frame,
     hit = ``cp.d <= max_dist``). ``bvh`` may be ``TriangleBins`` — the
     dense binned distance engine then serves the query."""
-    from rmcl_tpu.bvh.bins import TriangleBins
-
     p_map = tsm.apply(dataset_points)
     if isinstance(bvh, TriangleBins):
-        from rmcl_tpu.ops.closest_point import closest_points_binned
-
         cp = closest_points_binned(bvh, p_map, max_dist=max_dist)
     else:
         cp = closest_points(bvh, p_map, max_dist=max_dist, chunk_size=chunk_size)

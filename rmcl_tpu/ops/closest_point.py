@@ -395,7 +395,7 @@ def closest_points_binned(
 
     inv_perm = None
     if cluster and n > block_size:
-        from rmcl_tpu.ops.order import cluster_order
+        from rmcl_tpu.ops.order import cluster_order  # local: avoids ops.order<->ops cycle risk
 
         order, inv_perm = cluster_order(q, None)
         q = jnp.take(q, order, axis=0)

@@ -17,9 +17,11 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
+from rmcl_tpu.bvh.bins import TriangleBins
 from rmcl_tpu.bvh.types import BVH
 from rmcl_tpu.math.se3 import Transform
 from rmcl_tpu.ops.raycast import NO_HIT_T, RayHits, cast_rays
+from rmcl_tpu.ops.raycast_binned import cast_rays_binned
 from rmcl_tpu.sensors.models import SensorModel
 
 Array = jax.Array
@@ -45,8 +47,6 @@ def simulate(
     are coherent by construction). ``binned_kw`` forwards tuning knobs
     (``c_super``/``c_bin``/``block_size``/...) to the binned engine.
     """
-    from rmcl_tpu.bvh.bins import TriangleBins
-
     o_s, d_s = model.rays()  # (N, 3) sensor frame
     batch_shape = tsm.batch_shape
     # map-frame rays: origins/dirs for every pose in the batch
@@ -56,8 +56,6 @@ def simulate(
 
     t_max = jnp.minimum(jnp.float32(model.range.max), NO_HIT_T)
     if isinstance(bvh, TriangleBins):
-        from rmcl_tpu.ops.raycast_binned import cast_rays_binned
-
         hits = cast_rays_binned(
             bvh, o_m, d_m, t_min=model.range.min, t_max=t_max, **binned_kw
         )
