@@ -235,3 +235,36 @@ def laser_scan_to_scan(scan: msgs.LaserScan, skip_begin: int = 0, skip_end: int 
         info=info,
         data=msgs.RangeData(ranges=np.asarray(scan.ranges, np.float32)[idx]),
     )
+
+
+def scan_to_pointcloud(msg: msgs.ScanStamped) -> msgs.PointCloud2:
+    """Spherical scan → unorganized cloud (the reference's scan→PointCloud
+    renderers, conversions.h:140-165 family; used for debug clouds —
+    pc2_to_scan.cpp debug output). Invalid rays become NaN rows (the
+    PointCloud2 invalid-point convention)."""
+    pts, mask = scan_to_points(msg)
+    out = pts.copy()
+    out[~mask] = np.nan
+    return msgs.PointCloud2(
+        header=msg.header,
+        points=out,
+        stamps=None if msg.data.stamps is None else np.asarray(msg.data.stamps),
+        intensities=(
+            None
+            if msg.data.intensities is None
+            else np.asarray(msg.data.intensities)
+        ),
+    )
+
+
+def o1dn_to_pointcloud(msg: msgs.O1DnStamped) -> msgs.PointCloud2:
+    """O1Dn scan → unorganized cloud (same renderer family)."""
+    model = o1dn_info_to_model(msg.info)
+    r = np.asarray(msg.data.ranges, np.float32)
+    pts = np.asarray(model.polar_to_cartesian(r))
+    mask = (r >= msg.info.range_min) & (r <= msg.info.range_max)
+    if msg.data.mask is not None:
+        mask = mask & np.asarray(msg.data.mask, bool)
+    out = pts.copy()
+    out[~mask] = np.nan
+    return msgs.PointCloud2(header=msg.header, points=out)

@@ -208,3 +208,26 @@ def test_segment_scan_detects_obstacle_and_stale_map():
     ranges_far = np.where(obstacle, ranges + 3.0, ranges)
     out2 = segment_scan(bvh, model, pose, jnp.asarray(ranges_far))
     assert bool(np.asarray(out2.map_outlier)[obstacle].all())
+
+
+def test_scan_to_pointcloud_roundtrip(rng):
+    """scan -> cloud renderer: valid rays keep their cartesian points,
+    invalid rays become NaN rows; cloud -> scan -> cloud is stable."""
+    from rmcl_tpu.io.conversions import scan_to_pointcloud, scan_to_points
+
+    info = msgs.ScanInfo(
+        phi_n=4, theta_n=32, phi_min=-0.2, phi_inc=0.1,
+        theta_min=-np.pi, theta_inc=2 * np.pi / 32,
+        range_min=0.5, range_max=20.0,
+    )
+    r = rng.uniform(1.0, 10.0, 128).astype(np.float32)
+    r[::7] = 0.0  # below range_min -> invalid
+    msg = msgs.ScanStamped(
+        header=msgs.Header(stamp=1.5), info=info, data=msgs.RangeData(ranges=r)
+    )
+    cloud = scan_to_pointcloud(msg)
+    pts, mask = scan_to_points(msg)
+    assert cloud.header.stamp == 1.5
+    np.testing.assert_allclose(cloud.points[mask], pts[mask])
+    assert np.isnan(cloud.points[~mask]).all()
+    np.testing.assert_array_equal(cloud.valid_mask(), mask)
