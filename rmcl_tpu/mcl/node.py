@@ -165,6 +165,12 @@ class MCLNode:
             )
         self.key = jax.random.PRNGKey(self.config.seed)
         self.cloud = ParticleCloud.create(self.config.n_particles)
+        # per-stage runtimes (the reference updaters' `runtime` Float64
+        # topics — PCDSensorUpdaterEmbree.cpp:345-349); read via
+        # node.timer.report() / node.timer.ema
+        from rmcl_tpu.utils.timing import StageTimer
+
+        self.timer = StageTimer()
         self.tbo_last: Optional[Transform] = None  # odometry bookkeeping
         self.stamp_last: Optional[float] = None
         self.motion_updates = 0
@@ -220,13 +226,14 @@ class MCLNode:
         if dt <= 1e-7:
             return
         delta = self.tbo_last.inverse() @ tbo  # T_bnew_bold
-        self.cloud = motion_update(
-            self.cloud,
-            delta,
-            jnp.float32(dt),
-            self.config.motion,
-            bvh=self.bvh if self.config.motion.check_collisions else None,
-        )
+        with self.timer.stage("motion_update"):
+            self.cloud = motion_update(
+                self.cloud,
+                delta,
+                jnp.float32(dt),
+                self.config.motion,
+                bvh=self.bvh if self.config.motion.check_collisions else None,
+            )
         self.tbo_last, self.stamp_last = tbo, stamp
         self.motion_updates += 1
 
@@ -235,21 +242,18 @@ class MCLNode:
     ) -> None:
         """Sensor stage on one point-cloud message (reference sensorUpdate
         :482-549)."""
-        # CP correspondences always need the BVH (closest-point queries)
-        use_bins = (
-            self.config.sensor.engine == "binned"
-            and self.config.sensor.correspondence_type != "CP"
-        )
-        accel = self.bins if use_bins else self.bvh
-        self.cloud = sensor_update(
-            accel,
-            self.cloud,
-            self._next_key(),
-            jnp.asarray(points_s, jnp.float32),
-            jnp.asarray(points_mask, bool),
-            tsb,
-            self.config.sensor,
-        )
+        # binned engine serves both RC ray casts and CP distance queries
+        accel = self.bins if self.config.sensor.engine == "binned" else self.bvh
+        with self.timer.stage("sensor_update"):
+            self.cloud = sensor_update(
+                accel,
+                self.cloud,
+                self._next_key(),
+                jnp.asarray(points_s, jnp.float32),
+                jnp.asarray(points_mask, bool),
+                tsb,
+                self.config.sensor,
+            )
         self.sensor_updates += 1
 
     def resample(self) -> bool:
@@ -260,7 +264,8 @@ class MCLNode:
         if int(np.asarray(self.cloud.n_alive)) < self.config.min_particles_for_resample:
             return False
         fn = _RESAMPLERS[self.config.resampler]
-        self.cloud = fn(self.cloud, self._next_key(), self.config.resampling)
+        with self.timer.stage("resampling"):
+            self.cloud = fn(self.cloud, self._next_key(), self.config.resampling)
         return True
 
     # -- outputs ----------------------------------------------------------

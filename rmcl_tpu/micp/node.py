@@ -94,9 +94,9 @@ class MICPLocalization:
             disable_correction=bool(self.config.get("disable_correction", False)),
             solver=str(self.config.get("solver", "p2l_gn")),
         )
-        # ray engine for RC correspondences: 'bvh' (exact traversal) or
-        # 'binned' (dense engine — the TPU hot path; needs MeshMap bins).
-        # CP sensors always use the exact BVH's distance queries.
+        # ray engine: 'bvh' (exact traversal) or 'binned' (dense engine —
+        # the TPU hot path; needs MeshMap bins). Serves both RC ray casts
+        # and CP distance queries.
         self.engine = str(self.config.get("engine", "bvh"))
         if self.engine == "binned" and getattr(map_, "bins", None) is None:
             raise ValueError("engine='binned' needs a MeshMap with triangle bins")
@@ -130,6 +130,7 @@ class MICPLocalization:
         self.corrections = 0
         self.last_stats: Optional[MICPStats] = None
         self._runtime_ema = 0.0
+        self._runtime_total = 0.0
 
     # -- sensor ingest -----------------------------------------------------
 
@@ -275,6 +276,16 @@ class MICPLocalization:
         self.corrections += 1
         dt = time.time() - t0
         self._runtime_ema = 0.9 * self._runtime_ema + 0.1 * dt
+        # rolling average printed every 1000 corrections (reference
+        # MEASURE_TIMES telemetry — micp_localization.cpp:1120-1161)
+        self._runtime_total += dt
+        if self.corrections % 1000 == 0:
+            print(
+                f"[micp] {self.corrections} corrections, avg "
+                f"{self._runtime_total / 1000 * 1e3:.2f} ms "
+                f"(ema {self._runtime_ema * 1e3:.2f} ms)"
+            )
+            self._runtime_total = 0.0
         for s in active:
             s.outdated = False
         return stats
