@@ -207,6 +207,12 @@ def pointcloud_to_o1dn(
         data.normals = cloud.normals[::width_skip]
     if cloud.intensities is not None:
         data.intensities = cloud.intensities[::width_skip]
+    if cloud.stamps is not None:
+        # per-point capture offsets survive the conversion so downstream
+        # motion compensation (sensors.deskew) keeps working
+        data.stamps = np.asarray(cloud.stamps)[::width_skip]
+    if cloud.labels is not None:
+        data.labels = np.asarray(cloud.labels)[::width_skip]
     return msgs.O1DnStamped(header=cloud.header, info=info, data=data)
 
 

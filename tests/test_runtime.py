@@ -231,3 +231,20 @@ def test_scan_to_pointcloud_roundtrip(rng):
     np.testing.assert_allclose(cloud.points[mask], pts[mask])
     assert np.isnan(cloud.points[~mask]).all()
     np.testing.assert_array_equal(cloud.valid_mask(), mask)
+
+
+def test_pointcloud_to_o1dn_carries_stamps_and_labels(rng):
+    from rmcl_tpu.io.conversions import pointcloud_to_o1dn
+
+    n = 40
+    pts = rng.normal(size=(n, 3)).astype(np.float32) + [5, 0, 0]
+    cloud = msgs.PointCloud2(
+        header=msgs.Header(stamp=2.0),
+        points=pts,
+        stamps=np.linspace(0, 0.1, n).astype(np.float32),
+        labels=np.arange(n, dtype=np.int32),
+    )
+    msg = pointcloud_to_o1dn(cloud, width_skip=2)
+    assert msg.data.stamps is not None and msg.data.stamps.shape == (20,)
+    np.testing.assert_allclose(msg.data.stamps, cloud.stamps[::2])
+    np.testing.assert_array_equal(msg.data.labels, cloud.labels[::2])
