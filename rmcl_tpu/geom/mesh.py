@@ -600,3 +600,122 @@ def make_room_scene(size=(10.0, 8.0, 3.0), n_pillars: int = 4, seed: int = 0) ->
         mesh = mesh.concat(pillar)
     mesh.name = "room"
     return mesh
+
+
+def _wall_panel(p0, p1, height, z0=0.0, subdiv=1) -> "TriangleMesh":
+    """Vertical rectangular panel from p0 (x,y) to p1 (x,y), subdivided.
+
+    Double-faced by winding convention is unnecessary: ray casting treats
+    triangles as two-sided (the engines flip normals toward the ray)."""
+    p0 = np.asarray(p0, np.float32)
+    p1 = np.asarray(p1, np.float32)
+    ts = np.linspace(0.0, 1.0, subdiv + 1, dtype=np.float32)
+    zs = np.linspace(z0, z0 + height, subdiv + 1, dtype=np.float32)
+    line = p0[None] + ts[:, None] * (p1 - p0)[None]  # (s+1, 2)
+    verts = np.concatenate(
+        [
+            np.repeat(line, subdiv + 1, axis=0),
+            np.tile(zs, subdiv + 1)[:, None],
+        ],
+        axis=1,
+    ).astype(np.float32)
+    faces = []
+    for i in range(subdiv):
+        for j in range(subdiv):
+            a = i * (subdiv + 1) + j
+            b = a + 1
+            c = a + subdiv + 1
+            d = c + 1
+            faces.append([a, c, b])
+            faces.append([b, c, d])
+    return TriangleMesh(verts, np.asarray(faces, np.int32), "wall")
+
+
+def make_building_scene(
+    rooms_x: int = 4,
+    rooms_y: int = 3,
+    room_size: float = 6.0,
+    height: float = 3.0,
+    door_width: float = 1.2,
+    subdiv: int = 4,
+    n_clutter: int = 2,
+    seed: int = 0,
+) -> TriangleMesh:
+    """Multi-room building floor: grid of rooms joined by door openings,
+    cluttered with random boxes — the "Hilti-style building mesh" workload
+    class of BASELINE.json config 2. Triangle count scales with
+    ``subdiv``² per wall panel (rooms 4x3: subdiv 14 ≈ 47k tris,
+    subdiv 45 ≈ 480k tris)."""
+    rng = np.random.default_rng(seed)
+    W, H = rooms_x * room_size, rooms_y * room_size
+    parts = []
+
+    # floor + ceiling
+    parts.append(
+        make_plane((W, H), (W / 2, H / 2, 0.0), subdiv=subdiv * max(rooms_x, rooms_y))
+    )
+    parts.append(
+        make_plane((W, H), (W / 2, H / 2, height), subdiv=subdiv * max(rooms_x, rooms_y))
+    )
+
+    def wall_with_door(p0, p1, door_center_t):
+        """Wall from p0 to p1 with a door gap around fractional position t."""
+        p0 = np.asarray(p0, np.float32)
+        p1 = np.asarray(p1, np.float32)
+        length = float(np.linalg.norm(p1 - p0))
+        half = door_width / 2.0 / length
+        t0, t1 = door_center_t - half, door_center_t + half
+        segs = []
+        if t0 > 1e-3:
+            segs.append(_wall_panel(p0, p0 + t0 * (p1 - p0), height, subdiv=subdiv))
+        if t1 < 1.0 - 1e-3:
+            segs.append(_wall_panel(p0 + t1 * (p1 - p0), p1, height, subdiv=subdiv))
+        # lintel above the door (door height = 2/3 of wall height)
+        segs.append(
+            _wall_panel(
+                p0 + t0 * (p1 - p0),
+                p0 + t1 * (p1 - p0),
+                height / 3.0,
+                z0=height * 2.0 / 3.0,
+                subdiv=max(1, subdiv // 2),
+            )
+        )
+        return segs
+
+    # outer walls (no doors)
+    parts.append(_wall_panel((0, 0), (W, 0), height, subdiv=subdiv * rooms_x))
+    parts.append(_wall_panel((0, H), (W, H), height, subdiv=subdiv * rooms_x))
+    parts.append(_wall_panel((0, 0), (0, H), height, subdiv=subdiv * rooms_y))
+    parts.append(_wall_panel((W, 0), (W, H), height, subdiv=subdiv * rooms_y))
+
+    # inner walls with doors
+    for ix in range(1, rooms_x):
+        x = ix * room_size
+        for iy in range(rooms_y):
+            y0, y1 = iy * room_size, (iy + 1) * room_size
+            parts.extend(
+                wall_with_door((x, y0), (x, y1), float(rng.uniform(0.25, 0.75)))
+            )
+    for iy in range(1, rooms_y):
+        y = iy * room_size
+        for ix in range(rooms_x):
+            x0, x1 = ix * room_size, (ix + 1) * room_size
+            parts.extend(
+                wall_with_door((x0, y), (x1, y), float(rng.uniform(0.25, 0.75)))
+            )
+
+    # clutter boxes per room
+    for ix in range(rooms_x):
+        for iy in range(rooms_y):
+            for _ in range(n_clutter):
+                cx = ix * room_size + rng.uniform(1.0, room_size - 1.0)
+                cy = iy * room_size + rng.uniform(1.0, room_size - 1.0)
+                dims = rng.uniform(0.3, 1.2, 2)
+                h = rng.uniform(0.4, height * 0.8)
+                parts.append(make_box((dims[0], dims[1], h), (cx, cy, h / 2)))
+
+    mesh = parts[0]
+    for p in parts[1:]:
+        mesh = mesh.concat(p)
+    mesh.name = "building"
+    return mesh
