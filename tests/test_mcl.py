@@ -436,3 +436,46 @@ def test_sensor_update_cpc_binned_matches_bvh(key):
         np.asarray(a.likelihood.mean), np.asarray(b.likelihood.mean),
         rtol=1e-3, atol=1e-4,
     )
+
+
+def test_kidnapped_robot_recovery():
+    """Kidnapped-robot recovery (reference docs/RMCL.md + the
+    global_localization service): converge at pose A, teleport the robot to
+    pose B, re-seed globally, converge again."""
+    from rmcl_tpu.mcl.node import MCLConfig, MCLNode
+
+    bvh = build_bvh(make_room_scene(n_pillars=3, seed=2))
+    model = SphericalModel.create(
+        width=180, height=8, phi_min=-0.3, phi_max=0.2, range_max=30.0
+    )
+    node = MCLNode(
+        bvh,
+        MCLConfig(
+            n_particles=2048,
+            sensor=SensorUpdateConfig.create(samples=48, dist_sigma=0.4),
+            seed=11,
+        ),
+    )
+    box = ((-4, -3, 0.5, 0, 0, -np.pi), (4, 3, 1.5, 0, 0, np.pi))
+
+    def run_until(pose, steps):
+        hits = simulate(bvh, model, pose)
+        for s in range(steps):
+            node.motion_update(Transform.identity(), stamp=0.1 * (s + 1))
+            node.sensor_update(hits.point, hits.hit, Transform.identity())
+            node.resample()
+        node.tbo_last = None  # reset odometry epoch between phases
+        return node.estimate()
+
+    pose_a = Transform.from_pose_tuple(jnp.asarray([0.5, -0.5, 1.0, 0, 0, 0.4]))
+    node.global_localization(*box)
+    st = run_until(pose_a, 25)
+    err_a = float(np.linalg.norm(np.asarray(st.pose.trans) - np.asarray(pose_a.trans)))
+    assert err_a < 0.3, err_a
+
+    # kidnap: new true pose far away; recovery = global re-seed
+    pose_b = Transform.from_pose_tuple(jnp.asarray([-2.5, 1.5, 1.0, 0, 0, -1.2]))
+    node.global_localization(*box)
+    st = run_until(pose_b, 25)
+    err_b = float(np.linalg.norm(np.asarray(st.pose.trans) - np.asarray(pose_b.trans)))
+    assert err_b < 0.3, err_b
