@@ -125,7 +125,15 @@ def build_bins(
     extent = np.maximum(scene_max - scene_min, 1e-12)
 
     if method == "median":
-        order = _median_split_order(centroid, bin_size)
+        # native kd median split when available (the numpy version's python
+        # node loop is superlinear in practice: ~2 s at 1M tris, ~60 s at
+        # 4M; the C++ nth_element version is ~15-60x faster)
+        try:
+            from rmcl_tpu.bvh import native
+
+            order = native.bin_order(centroid, bin_size)
+        except Exception:
+            order = _median_split_order(centroid, bin_size)
     else:
         order = np.argsort(
             morton_codes_3d((centroid - scene_min) / extent), kind="stable"

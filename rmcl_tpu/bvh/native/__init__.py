@@ -85,3 +85,32 @@ def build_bvh_sah_arrays(
     if rc != 0:
         raise RuntimeError(f"native builder failed with code {rc}")
     return nodes, np.int32(root[0]), leaf_order, aabb
+
+
+def bin_order(centroids: np.ndarray, bin_size: int) -> np.ndarray:
+    """Native kd median-split bin ordering (matches
+    bvh.bins._median_split_order). Raises if the library is unavailable."""
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native builder library unavailable")
+    if not hasattr(lib, "_bin_order_ready"):
+        lib.rmcl_bin_order.restype = ctypes.c_int
+        lib.rmcl_bin_order.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+        lib._bin_order_ready = True
+    c = np.ascontiguousarray(centroids, np.float32)
+    n = c.shape[0]
+    out = np.empty(n, np.int64)
+    rc = lib.rmcl_bin_order(
+        c.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        np.int64(n),
+        np.int32(bin_size),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+    )
+    if rc != 0:
+        raise RuntimeError(f"native bin_order failed with code {rc}")
+    return out

@@ -259,3 +259,59 @@ int rmcl_build_bvh_sah(const float *verts, int32_t n_verts, const int32_t *faces
 }
 
 }  // extern "C"
+
+extern "C" {
+
+// kd-style recursive median partition of triangle centroids into compact
+// leaves of exactly `bin_size` (matching rmcl_tpu.bvh.bins._median_split_order:
+// widest-axis split, left child rounded to a multiple of bin_size, leaves
+// emitted in DFS order). Returns 0 on success; order_out must hold n int64.
+int rmcl_bin_order(const float *centroids /* (n,3) */, int64_t n,
+                   int32_t bin_size, int64_t *order_out) {
+  if (n <= 0 || bin_size <= 0) return 1;
+  std::vector<int64_t> order(n);
+  for (int64_t i = 0; i < n; ++i) order[i] = i;
+
+  struct Seg { int64_t lo, hi; };
+  std::vector<Seg> stack;
+  stack.push_back({0, n});
+  int64_t pos = 0;
+  while (!stack.empty()) {
+    Seg s = stack.back();
+    stack.pop_back();
+    int64_t len = s.hi - s.lo;
+    if (len <= bin_size) {
+      std::memcpy(order_out + pos, order.data() + s.lo, size_t(len) * 8);
+      pos += len;
+      continue;
+    }
+    // widest centroid axis over the segment
+    float lo[3] = {3e38f, 3e38f, 3e38f}, hi[3] = {-3e38f, -3e38f, -3e38f};
+    for (int64_t i = s.lo; i < s.hi; ++i) {
+      const float *c = centroids + order[i] * 3;
+      for (int k = 0; k < 3; ++k) {
+        lo[k] = std::min(lo[k], c[k]);
+        hi[k] = std::max(hi[k], c[k]);
+      }
+    }
+    int axis = 0;
+    float w = hi[0] - lo[0];
+    if (hi[1] - lo[1] > w) { axis = 1; w = hi[1] - lo[1]; }
+    if (hi[2] - lo[2] > w) { axis = 2; }
+    // left gets the largest multiple of bin_size <= len/2 (at least one bin)
+    int64_t n_left = std::max<int64_t>(
+        bin_size, ((len / 2) / bin_size) * bin_size);
+    std::nth_element(
+        order.begin() + s.lo, order.begin() + s.lo + n_left - 1,
+        order.begin() + s.hi,
+        [centroids, axis](int64_t a, int64_t b) {
+          return centroids[a * 3 + axis] < centroids[b * 3 + axis];
+        });
+    // DFS: push right first so left is emitted first
+    stack.push_back({s.lo + n_left, s.hi});
+    stack.push_back({s.lo, s.lo + n_left});
+  }
+  return pos == n ? 0 : 2;
+}
+
+}  // extern "C"
