@@ -164,3 +164,28 @@ def test_micp_setup_banner():
     assert "triangles: 12" in text
     assert "\033[" not in text  # color off
     assert "\033[" in colorize("x", TextColors.GREEN, force=True)
+
+
+def test_orbax_sharded_checkpoint_roundtrip(tmp_path, key):
+    """Orbax pytree checkpoint path (multi-host-capable superset)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from rmcl_tpu.mcl.particles import ParticleCloud
+    from rmcl_tpu.utils.checkpoint import load_sharded, save_sharded
+
+    cloud = ParticleCloud.create(128)
+    cloud = dataclasses.replace(
+        cloud,
+        likelihood=dataclasses.replace(
+            cloud.likelihood, mean=jnp.linspace(0, 1, 128)
+        ),
+    )
+    path = str(tmp_path / "ckpt")
+    save_sharded(path, cloud)
+    out = load_sharded(path, ParticleCloud.create(128))
+    np.testing.assert_allclose(
+        np.asarray(out.likelihood.mean), np.asarray(cloud.likelihood.mean)
+    )
+    np.testing.assert_allclose(np.asarray(out.poses.rot), np.asarray(cloud.poses.rot))
