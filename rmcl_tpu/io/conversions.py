@@ -264,7 +264,9 @@ def scan_to_pointcloud(msg: msgs.ScanStamped) -> msgs.PointCloud2:
 
 
 def o1dn_to_pointcloud(msg: msgs.O1DnStamped) -> msgs.PointCloud2:
-    """O1Dn scan → unorganized cloud (same renderer family)."""
+    """O1Dn scan → unorganized cloud (same renderer family). Per-ray
+    channels (stamps/intensities/labels/normals) ride along so the
+    o1dn → cloud → o1dn roundtrip preserves them (de-skew needs stamps)."""
     model = o1dn_info_to_model(msg.info)
     r = np.asarray(msg.data.ranges, np.float32)
     pts = np.asarray(model.polar_to_cartesian(r))
@@ -273,4 +275,12 @@ def o1dn_to_pointcloud(msg: msgs.O1DnStamped) -> msgs.PointCloud2:
         mask = mask & np.asarray(msg.data.mask, bool)
     out = pts.copy()
     out[~mask] = np.nan
-    return msgs.PointCloud2(header=msg.header, points=out)
+    opt = lambda x: None if x is None else np.asarray(x)
+    return msgs.PointCloud2(
+        header=msg.header,
+        points=out,
+        normals=opt(msg.data.normals),
+        intensities=opt(msg.data.intensities),
+        stamps=opt(msg.data.stamps),
+        labels=opt(msg.data.labels),
+    )

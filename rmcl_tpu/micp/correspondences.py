@@ -53,10 +53,16 @@ def find_rcc(
     model: SensorModel,
     tsm: Transform,
     chunk_size: int = 262144,
+    c_super: int = 24,
+    c_bin: int = 96,
 ) -> Correspondences:
     """Ray-cast correspondences: one simulated hit per sensor pixel from the
-    current pose estimate ``tsm`` (sensor→map = Tbm_est * Tsb)."""
-    hits = simulate(bvh, model, tsm, chunk_size=chunk_size)
+    current pose estimate ``tsm`` (sensor→map = Tbm_est * Tsb).
+    ``c_super``/``c_bin`` tune the dense engine when ``bvh`` is bins."""
+    if isinstance(bvh, TriangleBins):
+        hits = simulate(bvh, model, tsm, c_super=c_super, c_bin=c_bin)
+    else:
+        hits = simulate(bvh, model, tsm, chunk_size=chunk_size)
     return Correspondences(
         model_points=hits.point, model_normals=hits.normal, found=hits.hit
     )
@@ -69,6 +75,8 @@ def find_cpc(
     tsm: Transform,
     max_dist: float | Array,
     chunk_size: int = 65536,
+    c_super: int = 24,
+    c_bin: int = 96,
 ) -> Correspondences:
     """Closest-point correspondences: for every dataset point (sensor frame),
     the nearest mesh surface point within ``max_dist``
@@ -78,7 +86,9 @@ def find_cpc(
     dense binned distance engine then serves the query."""
     p_map = tsm.apply(dataset_points)
     if isinstance(bvh, TriangleBins):
-        cp = closest_points_binned(bvh, p_map, max_dist=max_dist)
+        cp = closest_points_binned(
+            bvh, p_map, max_dist=max_dist, c_super=c_super, c_bin=c_bin
+        )
     else:
         cp = closest_points(bvh, p_map, max_dist=max_dist, chunk_size=chunk_size)
     inv = tsm.inverse()

@@ -93,6 +93,8 @@ class MICPLocalization:
             adaptive_max_dist=bool(self.config.get("adaptive_max_dist", True)),
             disable_correction=bool(self.config.get("disable_correction", False)),
             solver=str(self.config.get("solver", "p2l_gn")),
+            c_super=int(self.config.get("engine_options.c_super", 24)),
+            c_bin=int(self.config.get("engine_options.c_bin", 96)),
         )
         # ray engine: 'bvh' (exact traversal) or 'binned' (dense engine —
         # the TPU hot path; needs MeshMap bins). Serves both RC ray casts
@@ -228,7 +230,12 @@ class MICPLocalization:
         (``motion_compensation: true``)."""
         self.tbo = tbo
         if stamp is not None:
-            self._odom_hist.append((float(stamp), tbo))
+            # duplicate/re-published stamps carry no velocity info: replace
+            # the last sample instead of forming a degenerate pair
+            if self._odom_hist and abs(self._odom_hist[-1][0] - float(stamp)) < 1e-3:
+                self._odom_hist[-1] = (float(stamp), tbo)
+            else:
+                self._odom_hist.append((float(stamp), tbo))
             del self._odom_hist[:-2]
         if self.tom is None:
             self.tom = self._initial_guess @ tbo.inverse()

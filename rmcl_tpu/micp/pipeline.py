@@ -90,6 +90,12 @@ class MICPConfig:
     disable_correction: bool = dataclasses.field(default=False, metadata=dict(static=True))
     solver: str = dataclasses.field(default="p2l_gn", metadata=dict(static=True))
     gn_damping: float = dataclasses.field(default=1e-6, metadata=dict(static=True))
+    # dense binned engine candidate budgets (when the acceleration structure
+    # is TriangleBins). Budget saturation silently drops geometry (false
+    # sim-misses / farther closest points) — RAISE for large maps; see
+    # ops.raycast_binned and TPU_NOTES.md.
+    c_super: int = dataclasses.field(default=24, metadata=dict(static=True))
+    c_bin: int = dataclasses.field(default=96, metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -175,21 +181,32 @@ def find_correspondences(
     sensors: Sequence[MICPSensorData],
     tbm: Transform,
     chunk_size: int = 262144,
+    c_super: int = 24,
+    c_bin: int = 96,
 ) -> Tuple[Correspondences, ...]:
     """One correspondence search per sensor from the pose estimate
     (reference correctOnce :900-908 → Correspondences_::find(Tom*Tbo)).
 
     ``bvh`` may also be ``TriangleBins`` — both RC (dense binned ray cast)
-    and CP (dense binned distance query) dispatch on the structure type."""
+    and CP (dense binned distance query) dispatch on the structure type;
+    ``c_super``/``c_bin`` are the binned engine's candidate budgets."""
     out = []
     for s in sensors:
         tsm = tbm @ s.tsb
         if s.config.corr_type == "CP":
             out.append(
-                find_cpc(bvh, s.points, s.mask, tsm, s.config.max_dist, chunk_size=chunk_size)
+                find_cpc(
+                    bvh, s.points, s.mask, tsm, s.config.max_dist,
+                    chunk_size=chunk_size, c_super=c_super, c_bin=c_bin,
+                )
             )
         else:
-            out.append(find_rcc(bvh, s.model, tsm, chunk_size=chunk_size))
+            out.append(
+                find_rcc(
+                    bvh, s.model, tsm,
+                    chunk_size=chunk_size, c_super=c_super, c_bin=c_bin,
+                )
+            )
     return tuple(out)
 
 
@@ -209,7 +226,10 @@ def correct_once(
     the BVH flows in as an argument (never a closed-over constant).
     """
     tbm = tom @ tbo
-    corrs = find_correspondences(bvh, sensors, tbm, chunk_size=chunk_size)
+    corrs = find_correspondences(
+        bvh, sensors, tbm, chunk_size=chunk_size,
+        c_super=config.c_super, c_bin=config.c_bin,
+    )
 
     # lift per-sensor data into the odom frame once; the GN loop then works
     # in a single common frame (frames fold per reference MICPSensor.hpp:158

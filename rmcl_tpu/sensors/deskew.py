@@ -42,13 +42,18 @@ def deskew_points(
     tbo_b: Transform,  # base -> odom @ stamp_b
     stamp_b: Array,
 ) -> Array:
-    """De-skewed points, sensor frame at ``stamp_ref``. Differentiable."""
-    dt = jnp.maximum(jnp.abs(stamp_b - stamp_a), 1e-9) * jnp.sign(
-        jnp.where(stamp_b == stamp_a, 1.0, stamp_b - stamp_a)
-    )
+    """De-skewed points, sensor frame at ``stamp_ref``. Differentiable.
+
+    Degenerate odom pairs (|stamp_b - stamp_a| below 1 ms — duplicate or
+    re-published samples) carry no velocity information: alphas collapse
+    to 1 so the compensation becomes the identity instead of extrapolating
+    the (noise) pose delta by ~1e8."""
+    dt_raw = stamp_b - stamp_a
+    degenerate = jnp.abs(dt_raw) < 1e-3
+    dt = jnp.where(degenerate, 1.0, dt_raw)
     t_abs = stamp_ref + rel_stamps  # (N,)
-    alpha_i = (t_abs - stamp_a) / dt
-    alpha_r = (stamp_ref - stamp_a) / dt
+    alpha_i = jnp.where(degenerate, 1.0, (t_abs - stamp_a) / dt)
+    alpha_r = jnp.where(degenerate, 1.0, (stamp_ref - stamp_a) / dt)
 
     tbo_i = Transform.interp(tbo_a, tbo_b, alpha_i)  # (N,) batch
     tbo_r = Transform.interp(tbo_a, tbo_b, alpha_r)

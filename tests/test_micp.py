@@ -364,3 +364,27 @@ def test_building_scene_combined_sensors_tracking():
     rot_err = float(jnp.linalg.norm(np.asarray(tom.rot) - np.asarray([1, 0, 0, 0])))
     assert err < 1e-2, err
     assert rot_err < 1e-2, rot_err
+
+
+def test_micp_engine_budget_plumbing():
+    """engine_options.c_bin reaches the binned engine: a degenerate budget
+    (c_bin=1) must change results on a scene needing more candidates."""
+    from rmcl_tpu.bvh.bins import build_bins
+
+    mesh = make_room_scene(n_pillars=3, seed=2)
+    bvh = build_bvh(mesh)
+    bins = build_bins(mesh, bin_size=32, bins_per_super=8)
+    model = SphericalModel.create(
+        width=90, height=4, phi_min=-0.3, phi_max=0.2, range_max=30.0
+    )
+    true_pose = Transform.from_pose_tuple(jnp.asarray([0.4, -0.3, 1.0, 0, 0, 0.3]))
+    sensor = make_sensor_data(bvh, model, true_pose)
+    tom0 = Transform.from_xyz_euler(jnp.asarray([0.05, 0.0, 0.0]), jnp.zeros(3))
+    outs = []
+    for cb in (1, 96):
+        cfg = MICPConfig(c_bin=cb, c_super=max(1, cb // 4))
+        tom, stats = correct_once(
+            bins, [sensor], tom0, true_pose, jnp.float32(0.0), config=cfg
+        )
+        outs.append(float(stats.valid_matches))
+    assert outs[0] < outs[1], outs  # starved budget finds fewer matches

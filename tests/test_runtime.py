@@ -248,3 +248,27 @@ def test_pointcloud_to_o1dn_carries_stamps_and_labels(rng):
     assert msg.data.stamps is not None and msg.data.stamps.shape == (20,)
     np.testing.assert_allclose(msg.data.stamps, cloud.stamps[::2])
     np.testing.assert_array_equal(msg.data.labels, cloud.labels[::2])
+
+
+def test_o1dn_to_pointcloud_roundtrip_channels(rng):
+    """o1dn -> cloud -> o1dn keeps stamps/intensities (de-skew chain)."""
+    from rmcl_tpu.io.conversions import o1dn_to_pointcloud, pointcloud_to_o1dn
+
+    n = 24
+    d = rng.normal(size=(n, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    msg = msgs.O1DnStamped(
+        header=msgs.Header(stamp=3.0),
+        info=msgs.O1DnInfo(
+            orig=np.zeros(3, np.float32), dirs=d, range_min=0.1, range_max=50.0
+        ),
+        data=msgs.RangeData(
+            ranges=rng.uniform(1, 10, n).astype(np.float32),
+            stamps=np.linspace(0, 0.1, n).astype(np.float32),
+            intensities=rng.uniform(0, 1, n).astype(np.float32),
+        ),
+    )
+    cloud = o1dn_to_pointcloud(msg)
+    back = pointcloud_to_o1dn(cloud)
+    np.testing.assert_allclose(back.data.stamps, msg.data.stamps)
+    np.testing.assert_allclose(back.data.intensities, msg.data.intensities)

@@ -229,3 +229,39 @@ def test_micp_node_deskew_ingest():
             assert np.abs(pts - raw).max() > 0.01  # actually moved
         else:
             np.testing.assert_allclose(pts, raw, atol=1e-7)
+
+
+def test_deskew_degenerate_odom_pair_is_identity():
+    """Duplicate/equal-stamp odom samples carry no velocity: de-skew must
+    become the identity instead of extrapolating the noise delta by ~1e8
+    (regression: dt was floored to 1e-9)."""
+    from rmcl_tpu.sensors.deskew import deskew_points
+
+    p = np.asarray([[1.0, 2.0, 0.5], [3.0, -1.0, 0.2]], np.float32)
+    t_i = np.asarray([0.0, 0.05], np.float32)
+    tbo_a = Transform.identity()
+    tbo_b = Transform.from_xyz_euler(jnp.asarray([0.01, 0.0, 0.0]), jnp.zeros(3))
+    out = deskew_points(
+        jnp.asarray(p), jnp.asarray(t_i), jnp.float32(1.0),
+        Transform.identity(), tbo_a, jnp.float32(1.0), tbo_b, jnp.float32(1.0),
+    )
+    np.testing.assert_allclose(np.asarray(out), p, atol=1e-6)
+
+
+def test_micp_node_dedupes_equal_stamp_odometry():
+    from rmcl_tpu.config.tree import ParamTree
+    from rmcl_tpu.geom.map import MeshMap
+    from rmcl_tpu.micp.node import MICPLocalization
+
+    node = MICPLocalization(
+        MeshMap.from_mesh(make_box((2.0, 2.0, 2.0))),
+        ParamTree({"motion_compensation": True}),
+    )
+    node.on_odometry(Transform.identity(), stamp=1.0)
+    node.on_odometry(
+        Transform.from_xyz_euler(jnp.asarray([0.01, 0, 0]), jnp.zeros(3)),
+        stamp=1.0,  # duplicate stamp: replaces, doesn't pair
+    )
+    assert len(node._odom_hist) == 1
+    node.on_odometry(Transform.identity(), stamp=1.1)
+    assert len(node._odom_hist) == 2
