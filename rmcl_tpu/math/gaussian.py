@@ -14,8 +14,11 @@ These are the two accumulators the whole reference stack is built on
   ``T * stats`` (reference micp_localization.cpp:912-937,
   MICPSensor.hpp:179-183).
 
-Both merges are **commutative and associative**, which is what makes them
-``psum``-able across TPU shards (SURVEY.md §5 "Distributed communication").
+Both merges are **commutative**; they are associative EXCEPT for
+``Gaussian1D``'s ``MAX_N_MEAS`` clamp once totals exceed the cap (matching
+the reference's sequential per-sample clamp). For reduction-order-stable
+``psum``/tree reductions, merge partials UNclamped (``max_n=jnp.inf``) and
+clamp once at the end — the pattern ``mcl.sensor_update`` uses.
 ``sigma`` follows the rmagine convention of being a *variance*.
 """
 
@@ -178,7 +181,13 @@ class CrossStatistics:
         """Frame change ``T * stats`` — lift statistics from sensor to base
         frame (reference MICPSensor.hpp:179-183)."""
         R = Quaternion.to_matrix(T.rot)
-        cov = jnp.einsum("...ik,...kl,...jl->...ij", R, self.covariance, R)
+        # HIGHEST precision: this covariance feeds the Umeyama SVD, where
+        # default TPU matmul precision visibly degrades poses (see
+        # from_masked_points)
+        cov = jnp.einsum(
+            "...ik,...kl,...jl->...ij", R, self.covariance, R,
+            precision=jax.lax.Precision.HIGHEST,
+        )
         return CrossStatistics(
             dataset_mean=T.apply(self.dataset_mean),
             model_mean=T.apply(self.model_mean),

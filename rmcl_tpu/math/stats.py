@@ -4,7 +4,10 @@ pose covariance, Gaussian pose sampling.
 TPU-native equivalents of rmagine's ``umeyama_transform``, ``markley_mean``,
 ``covariance`` and ``chol`` (SURVEY.md §2.9; usage sites
 reference micp_localization.cpp:952-953, rmcl_localization.cpp:188,703,716).
-Everything here is pure jnp, differentiable, and batched over leading dims.
+Everything is pure jnp and differentiable. ``kabsch_rotation`` /
+``umeyama_transform`` are batched over leading dims; the particle-set
+reductions (``markley_mean``, ``weighted_pose_mean``,
+``pose_covariance_6x6``) take a single (N, ...) set.
 """
 
 from __future__ import annotations
@@ -56,8 +59,15 @@ def markley_mean(quats: Array, weights: Array) -> Array:
     eigenvector of M = Σ w_i q_i q_i^T.
 
     Replaces rmagine ``markley_mean`` (reference rmcl_localization.cpp:703).
-    quats: (N, 4) wxyz; weights: (N,). Returns (4,) unit quaternion."""
-    w = weights / jnp.maximum(jnp.sum(weights), 1e-12)
+    quats: (N, 4) wxyz; weights: (N,). Returns (4,) unit quaternion.
+    All-zero weights fall back to the unweighted mean (a zero matrix would
+    otherwise make eigh return e3 = a 180-degree rotation)."""
+    w_sum = jnp.sum(weights)
+    w = jnp.where(
+        w_sum > 0.0,
+        weights / jnp.maximum(w_sum, 1e-12),
+        1.0 / weights.shape[0],
+    )
     M = jnp.einsum("n,ni,nj->ij", w, quats, quats)
     _, vecs = jnp.linalg.eigh(M)  # ascending eigenvalues
     q = vecs[..., -1]
@@ -67,8 +77,14 @@ def markley_mean(quats: Array, weights: Array) -> Array:
 
 def weighted_pose_mean(poses: Transform, weights: Array) -> Transform:
     """Weighted mean pose: arithmetic mean translation + Markley mean rotation
-    (reference estimateStats, rmcl_localization.cpp:642-731)."""
-    w = weights / jnp.maximum(jnp.sum(weights), 1e-12)
+    (reference estimateStats, rmcl_localization.cpp:642-731). All-zero
+    weights fall back to the unweighted mean (see markley_mean)."""
+    w_sum = jnp.sum(weights)
+    w = jnp.where(
+        w_sum > 0.0,
+        weights / jnp.maximum(w_sum, 1e-12),
+        1.0 / weights.shape[0],
+    )
     t_mean = jnp.einsum("n,ni->i", w, poses.trans)
     q_mean = markley_mean(poses.rot, weights)
     return Transform(rot=q_mean, trans=t_mean)

@@ -67,8 +67,11 @@ def _perturb_poses(
     t_new = poses.trans + eps[:, :3]
     roll, pitch, yaw = Quaternion.to_euler(poses.rot)
     q_new = Quaternion.from_euler(roll + eps[:, 3], pitch + eps[:, 4], yaw + eps[:, 5])
+    # SQUARED translation distance is intentional reference parity: the
+    # reference exponentiates forget_per_meter by l2normSquared()
+    # (GladiatorResamplerCPU.cpp:156-160, its "// in meter" comment
+    # notwithstanding); rot_dist is the quaternion imaginary-part norm
     trans_d2 = jnp.sum(eps[:, :3] ** 2, axis=-1)
-    # reference: rot_dist = quaternion imaginary-part norm of the pose diff
     dq = Quaternion.mul(Quaternion.conj(poses.rot), q_new)
     rot_d = jnp.linalg.norm(dq[:, 1:], axis=-1)
     return Transform(rot=q_new, trans=t_new), trans_d2, rot_d
@@ -85,7 +88,9 @@ def gladiator_resample(
     k_enemy, k_noise = jax.random.split(key)
     enemy = jax.random.randint(k_enemy, (n,), 0, n)
 
-    L_self = cloud.likelihood.mean
+    # dead particles never win a duel (score -inf); every other consumer
+    # masks likelihood by `alive`, so must the tournament
+    L_self = jnp.where(cloud.alive, cloud.likelihood.mean, -jnp.inf)
     L_enemy = jnp.take(L_self, enemy)
     lose = L_enemy > L_self  # copy the enemy
 
@@ -135,15 +140,9 @@ def _copy_from_indices(
         n_meas=jnp.take(cloud.likelihood.n_meas, src),
     )
     noise6 = config.min_noise[None, :] * noise_scale[:, None]
-    n = src.shape[0]
-    eps = jax.random.normal(key, (n, 6)) * noise6
-    t_new = poses_src.trans + eps[:, :3]
-    roll, pitch, yaw = Quaternion.to_euler(poses_src.rot)
-    q_new = Quaternion.from_euler(roll + eps[:, 3], pitch + eps[:, 4], yaw + eps[:, 5])
-    trans_d2 = jnp.sum(eps[:, :3] ** 2, axis=-1)
-    dq = Quaternion.mul(Quaternion.conj(poses_src.rot), q_new)
-    rot_d = jnp.linalg.norm(dq[:, 1:], axis=-1)
-    # product-of-powers reduction (ResidualResamplerCPU.cpp:160-166)
+    perturbed, trans_d2, rot_d = _perturb_poses(key, poses_src, noise6)
+    # product-of-powers reduction (ResidualResamplerCPU.cpp:160-166);
+    # trans_d2 is SQUARED by reference parity (see _perturb_poses)
     reduction = jnp.power(config.likelihood_forget_per_meter, trans_d2) * jnp.power(
         config.likelihood_forget_per_radian, rot_d
     )
@@ -152,7 +151,7 @@ def _copy_from_indices(
     )
     return dataclasses.replace(
         cloud,
-        poses=Transform(rot=q_new, trans=t_new),
+        poses=perturbed,
         likelihood=lik_new,
         state_sigma=jnp.take(cloud.state_sigma, src, axis=0),
         alive=jnp.take(cloud.alive, src, axis=0),
@@ -184,14 +183,22 @@ def residual_resample(
     n_resid = jnp.maximum(n - n_det, 1)
     u0 = jax.random.uniform(k_resid)
     pos = (u0 + (slots - n_det).astype(jnp.float32)) / n_resid.astype(jnp.float32)
-    src_resid = jnp.searchsorted(jnp.cumsum(r_norm), pos, side="left")
+    src_resid = jnp.searchsorted(jnp.cumsum(r_norm), pos, side="right")
 
     src = jnp.where(slots < n_det, src_det, src_resid).astype(jnp.int32)
     src = jnp.clip(src, 0, n - 1)
 
+    # degenerate guard (reference resample sanity :633-639): all-zero
+    # weights would collapse the cloud onto slot n-1 with saturated noise —
+    # resample becomes the identity with zero perturbation instead
+    degenerate = jnp.sum(cloud.weights()) <= 0.0
+    src = jnp.where(degenerate, slots, src)
+
     L_max = jnp.maximum(jnp.max(cloud.likelihood.mean), 1e-30)
     L_max_normed = jnp.take(cloud.likelihood.mean, src) / L_max
-    noise_scale = 1.0 / jnp.maximum(L_max_normed, 1e-3)
+    noise_scale = jnp.where(
+        degenerate, 0.0, 1.0 / jnp.maximum(L_max_normed, 1e-3)
+    )
     return _copy_from_indices(cloud, src, k_noise, config, noise_scale)
 
 
@@ -207,8 +214,11 @@ def systematic_resample(
     pos = (u0 + jnp.arange(n)) / n
     src = jnp.searchsorted(jnp.cumsum(w), pos, side="right").astype(jnp.int32)
     src = jnp.clip(src, 0, n - 1)
+    degenerate = jnp.sum(w) <= 0.0  # see residual_resample guard
+    src = jnp.where(degenerate, jnp.arange(n), src)
     return _copy_from_indices(
-        cloud, src, k_noise, config, jnp.ones((n,), jnp.float32)
+        cloud, src, k_noise, config,
+        jnp.where(degenerate, 0.0, jnp.ones((n,), jnp.float32)),
     )
 
 

@@ -60,12 +60,14 @@ def estimate_stats(
     Lv = jnp.where(alive, L, 0.0)
     L_mean = jnp.sum(Lv) / n
     L_var = jnp.sum(jnp.where(alive, L * L, 0.0)) / n - L_mean * L_mean
-    L_min = jnp.min(jnp.where(alive, L, jnp.inf))
-    L_max = jnp.max(jnp.where(alive, L, -jnp.inf))
+    any_alive = jnp.any(alive)
+    fin = lambda x: jnp.where(any_alive, x, 0.0)  # no infs for empty clouds
+    L_min = fin(jnp.min(jnp.where(alive, L, jnp.inf)))
+    L_max = fin(jnp.max(jnp.where(alive, L, -jnp.inf)))
 
     t = cloud.poses.trans
-    bb_min = jnp.min(jnp.where(alive[:, None], t, jnp.inf), axis=0)
-    bb_max = jnp.max(jnp.where(alive[:, None], t, -jnp.inf), axis=0)
+    bb_min = fin(jnp.min(jnp.where(alive[:, None], t, jnp.inf), axis=0))
+    bb_max = fin(jnp.max(jnp.where(alive[:, None], t, -jnp.inf), axis=0))
 
     w = Lv  # weight ∝ likelihood mean (reference :703-704 normalizes by sum)
     pose = weighted_pose_mean(cloud.poses, w)

@@ -1,5 +1,6 @@
 """RMCL particle filter tests: stage kernels + end-to-end localization."""
 
+import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -479,3 +480,65 @@ def test_kidnapped_robot_recovery():
     st = run_until(pose_b, 25)
     err_b = float(np.linalg.norm(np.asarray(st.pose.trans) - np.asarray(pose_b.trans)))
     assert err_b < 0.3, err_b
+
+
+def test_resamplers_degenerate_all_zero_weights(key):
+    """All-zero likelihoods (e.g. full collision kill) must not collapse the
+    cloud onto one slot or saturate the noise — resampling becomes the
+    identity with zero perturbation."""
+    from rmcl_tpu.mcl.resampling import residual_resample, systematic_resample
+
+    n = 64
+    rng = np.random.default_rng(0)
+    poses = Transform.from_xyz_euler(
+        jnp.asarray(rng.uniform(-3, 3, (n, 3)).astype(np.float32)),
+        jnp.zeros((n, 3), jnp.float32),
+    )
+    cloud = ParticleCloud.create(n).with_poses(poses)
+    cloud = dataclasses.replace(
+        cloud,
+        likelihood=dataclasses.replace(
+            cloud.likelihood, mean=jnp.zeros(n, jnp.float32)
+        ),
+    )
+    cfg = ResamplerConfig.create()
+    for fn in (residual_resample, systematic_resample):
+        out = fn(cloud, key, cfg)
+        np.testing.assert_allclose(
+            np.asarray(out.poses.trans), np.asarray(cloud.poses.trans), atol=1e-6
+        )
+
+
+def test_gladiator_dead_enemies_never_win(key):
+    """alive=False particles must not propagate through duels."""
+    n = 32
+    rng = np.random.default_rng(1)
+    poses = Transform.from_xyz_euler(
+        jnp.asarray(rng.uniform(-3, 3, (n, 3)).astype(np.float32)),
+        jnp.zeros((n, 3), jnp.float32),
+    )
+    cloud = ParticleCloud.create(n).with_poses(poses)
+    alive = jnp.asarray([i % 2 == 0 for i in range(n)])
+    # dead particles carry HIGH stale likelihood (the trap)
+    lik = jnp.where(alive, 0.1, 10.0)
+    cloud = dataclasses.replace(
+        cloud,
+        alive=alive,
+        likelihood=dataclasses.replace(cloud.likelihood, mean=lik),
+    )
+    out = gladiator_resample(cloud, key, ResamplerConfig.create())
+    # every live slot must stay alive (a dead enemy can never win)
+    assert bool(jnp.all(jnp.where(alive, out.alive, True)))
+
+
+def test_estimate_stats_empty_cloud_is_finite():
+    cloud = ParticleCloud.create(16)
+    cloud = dataclasses.replace(cloud, alive=jnp.zeros(16, bool))
+    st = estimate_stats(cloud)
+    for v in (st.likelihood_min, st.likelihood_max, st.shift,
+              st.trans_bb_min, st.trans_bb_max):
+        assert np.isfinite(np.asarray(v)).all()
+    # zero weights: pose mean falls back to the unweighted mean, not a flip
+    np.testing.assert_allclose(
+        np.asarray(st.pose.rot), [1, 0, 0, 0], atol=1e-5
+    )
