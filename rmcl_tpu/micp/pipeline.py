@@ -287,14 +287,17 @@ def correct_once(
         t_onew_oold = (delta @ t_onew_oold).normalized()
 
     # final merged cross statistics for reporting (one extra reduction —
-    # reference publishes match counts + covariance trace per correction)
+    # reference publishes match counts + covariance trace per correction).
+    # UNWEIGHTED, like the reference's Cmerged_o (micp_localization.cpp:
+    # 912-940 keeps the weighted merge ONLY for the solve): a weight-scaled
+    # n_meas would cap match_ratio at the weight and under-report matches.
     merged_final = CrossStatistics.empty()
     for d_o, m_o, n_o, ok, scfg in lifted:
         max_dist = _annealed_max_dist(scfg, convergence_progress, config.adaptive_max_dist)
         corr_o = Correspondences(model_points=m_o, model_normals=n_o, found=ok)
         merged_final = merged_final + statistics_p2l(
             t_onew_oold, d_o, corr_o, ok, max_dist
-        ).scale_weight(scfg.weight)
+        )
 
     if config.disable_correction:
         t_onew_oold = Transform.identity()

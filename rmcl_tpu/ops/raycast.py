@@ -33,7 +33,6 @@ from __future__ import annotations
 
 import dataclasses
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -84,7 +83,8 @@ def _traverse_batch(nodes, root_link, o, d, t_min, t_max):
     slower on v5e; the transpose of `nodes` below is a one-time cost.
     """
     R = o.shape[0]
-    # 16 word planes (N,) — full-lane gathers inside the loop
+    # 14 of the 16 slot words as (N,) planes (words 14-15 — inst id / pad —
+    # are not needed in the loop) — full-lane gathers
     W = [nodes[:, k] for k in range(14)]
 
     ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]

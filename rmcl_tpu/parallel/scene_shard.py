@@ -25,7 +25,6 @@ clustering problem.
 from __future__ import annotations
 
 from functools import partial
-from typing import Optional
 
 import jax
 import jax.numpy as jnp
@@ -112,6 +111,8 @@ def put_scene_sharded(sbins: TriangleBins, mesh: Mesh) -> TriangleBins:
     static_argnames=(
         "mesh", "ray_sharded", "block_size", "c_super", "c_bin",
         "block_chunk", "flip_normals", "sub_blocks", "dir_groups",
+        "use_pallas", "pallas_interpret", "shared_dir", "payload",
+        "sort_blocks",
     ),
 )
 def cast_rays_scene_sharded(

@@ -28,7 +28,7 @@ from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from rmcl_tpu.bvh.types import BVH
 from rmcl_tpu.math.se3 import Transform
@@ -36,7 +36,7 @@ from rmcl_tpu.mcl.particles import ParticleCloud
 from rmcl_tpu.mcl.resampling import ResamplerConfig, _perturb_poses
 from rmcl_tpu.mcl.sensor_update import SensorUpdateConfig, sensor_update
 from rmcl_tpu.micp.pipeline import MICPConfig, MICPSensorData, MICPStats, correct_once
-from rmcl_tpu.parallel.mesh import RAY_AXIS, put_replicated, put_sharded, replicated, shard_rays
+from rmcl_tpu.parallel.mesh import RAY_AXIS, put_replicated, put_sharded, shard_rays
 
 Array = jax.Array
 
@@ -48,7 +48,8 @@ Array = jax.Array
 
 def shard_sensor_data(sensors: Sequence[MICPSensorData], mesh: Mesh):
     """Place sensor point/mask arrays sharded over rays; models and frames
-    replicated. Ray counts must divide the mesh size (pad upstream)."""
+    replicated. The rays-axis size must divide the ray count (pad the rays
+    up to a multiple of the device count upstream)."""
     out = []
     for s in sensors:
         out.append(
@@ -61,6 +62,16 @@ def shard_sensor_data(sensors: Sequence[MICPSensorData], mesh: Mesh):
             )
         )
     return out
+
+
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _correct_once_jit(config: MICPConfig, chunk_size: int):
+    # memoized per (config, chunk_size): a fresh jax.jit wrapper per call
+    # would re-trace + re-compile the whole correction every tick
+    return jax.jit(partial(correct_once, config=config, chunk_size=chunk_size))
 
 
 def sharded_correct_once(
@@ -83,7 +94,7 @@ def sharded_correct_once(
     because the per-device ray count is already mesh-divided.
     """
     bvh = put_replicated(bvh, mesh)
-    f = jax.jit(partial(correct_once, config=config, chunk_size=chunk_size))
+    f = _correct_once_jit(config, chunk_size)
     return f(bvh, sensors, tom, tbo, convergence_progress)
 
 
@@ -142,7 +153,7 @@ def sharded_gladiator_resample(
     of enemy candidates from its ring neighbor via ``ppermute``, so strong
     hypotheses propagate across shards over successive resampling ticks.
     """
-    n_dev = mesh.devices.size
+    n_dev = mesh.shape[RAY_AXIS]  # ring over the rays axis, not all devices
 
     def local(cloud: ParticleCloud, key: Array) -> ParticleCloud:
         n = cloud.alive.shape[0]  # local shard size
@@ -150,7 +161,9 @@ def sharded_gladiator_resample(
         key = jax.random.fold_in(key, my)
         k_enemy, k_noise, k_pick = jax.random.split(key, 3)
 
-        L_self = cloud.likelihood.mean
+        # dead particles never win duels (same -inf masking as the
+        # single-device gladiator_resample)
+        L_self = jnp.where(cloud.alive, cloud.likelihood.mean, -jnp.inf)
         if exchange and n_dev > 1:
             # rotate a candidate block (poses + likelihood) from the left
             # ring neighbor
@@ -167,7 +180,7 @@ def sharded_gladiator_resample(
             pool_n = n
 
         enemy = jax.random.randint(k_enemy, (n,), 0, pool_n)
-        L_pool = pool.likelihood.mean
+        L_pool = jnp.where(pool.alive, pool.likelihood.mean, -jnp.inf)
         L_enemy = jnp.take(L_pool, enemy)
         lose = L_enemy > L_self
 
