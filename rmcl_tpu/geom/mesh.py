@@ -106,6 +106,27 @@ def _fan_triangulate(idx: list[int]) -> list[list[int]]:
     return [[idx[0], idx[i], idx[i + 1]] for i in range(1, len(idx) - 1)]
 
 
+def _strip_triangulate(idx: list[int]) -> list[list[int]]:
+    """Triangle-strip expansion with alternating winding and -1 restart
+    markers (PLY `tristrips` convention: VTK/Stanford exports)."""
+    out: list[list[int]] = []
+    run: list[int] = []
+    for v in idx:
+        if v < 0:  # restart marker
+            run = []
+            continue
+        run.append(v)
+        if len(run) >= 3:
+            a, b, c = run[-3], run[-2], run[-1]
+            if a != b and b != c and a != c:
+                # alternate winding so normals stay consistent
+                if (len(run) - 3) % 2 == 0:
+                    out.append([a, b, c])
+                else:
+                    out.append([b, a, c])
+    return out
+
+
 def load_obj(path: str) -> TriangleMesh:
     verts: list[list[float]] = []
     faces: list[list[int]] = []
@@ -222,11 +243,12 @@ def load_ply(path: str) -> TriangleMesh:
                 cols = [i for i, p in enumerate(props) if p[1] in ("x", "y", "z")]
                 verts = vals[:, cols[:3]].astype(np.float32)
                 pos += cnt * k
-            elif name == "face":
+            elif name in ("face", "tristrips"):
+                tris = _strip_triangulate if name == "tristrips" else _fan_triangulate
                 for _ in range(cnt):
                     k = int(body[pos])
                     idx = [int(x) for x in body[pos + 1 : pos + 1 + k]]
-                    faces.extend(_fan_triangulate(idx))
+                    faces.extend(tris(idx))
                     pos += 1 + k
             else:  # skip foreign elements (only possible when scalar-only)
                 if any(p[0] == "list" for p in props):
@@ -264,24 +286,32 @@ def load_ply(path: str) -> TriangleMesh:
             rows = np.frombuffer(buf, np.uint8, count=stride * cnt, offset=off).reshape(cnt, stride)
             ks = rows[:, : cdt.itemsize].copy().view(cdt)[:, 0]
             uniform = bool((ks == first_k).all())
-        if uniform:
+        tris = _strip_triangulate if name == "tristrips" else _fan_triangulate
+        if uniform and name != "tristrips":
             idx = rows[:, cdt.itemsize :].copy().view(idt).reshape(cnt, first_k)
             if first_k == 3:
-                faces = idx.astype(np.int32)
+                new = idx.astype(np.int32)
             else:
-                faces = np.concatenate(
+                new = np.concatenate(
                     [np.stack([idx[:, 0], idx[:, i], idx[:, i + 1]], 1)
                      for i in range(1, first_k - 1)], 0
                 ).astype(np.int32)
             off += stride * cnt
-        else:  # ragged lists: per-face scan
+        else:  # ragged lists / tristrips: per-row scan
             out: list[list[int]] = []
             for _ in range(cnt):
                 k = int(np.frombuffer(buf, dtype=cdt, count=1, offset=off)[0])
                 idx1 = np.frombuffer(buf, dtype=idt, count=k, offset=off + cdt.itemsize)
-                out.extend(_fan_triangulate([int(x) for x in idx1]))
+                out.extend(tris([int(x) for x in idx1]))
                 off += cdt.itemsize + k * idt.itemsize
-            faces = np.asarray(out, np.int32).reshape(-1, 3)
+            new = np.asarray(out, np.int32).reshape(-1, 3)
+        # accumulate: a file may carry both `face` and `tristrips` elements
+        if len(faces):
+            faces = np.concatenate(
+                [np.asarray(faces, np.int32).reshape(-1, 3), new], 0
+            )
+        else:
+            faces = new
     assert verts is not None
     return TriangleMesh(verts, np.asarray(faces, np.int32).reshape(-1, 3))
 
@@ -310,9 +340,10 @@ def load_dae(path: str) -> TriangleMesh:
     Supports: <triangles>, <polylist> and <polygons> primitives (n-gons
     fan-triangulated), multi-input index strides, instance_geometry nodes
     with <matrix>/<translate>/<rotate>/<scale> transform stacks (baked to
-    world space), <unit meter=...> scaling, and Y_UP -> Z_UP conversion
-    (ROS convention is Z-up). Geometries not referenced by any visual
-    scene are appended untransformed."""
+    world space), <instance_node> references into <library_nodes>
+    (SketchUp/Gazebo component instancing), <unit meter=...> scaling, and
+    Y_UP -> Z_UP conversion (ROS convention is Z-up). Geometries not
+    referenced by any visual scene are appended untransformed."""
     import xml.etree.ElementTree as ET
 
     tree = ET.parse(path)
@@ -449,7 +480,19 @@ def load_dae(path: str) -> TriangleMesh:
 
     placed, used = [], set()
 
-    def walk(node, M):
+    # <library_nodes> definitions, addressable via <instance_node url="#id">
+    # (SketchUp/Gazebo component instancing)
+    lib_nodes = {}
+    ln = root.find(q("library_nodes"))
+    if ln is not None:
+        for node in ln.findall(q("node")):
+            nid = node.get("id")
+            if nid:
+                lib_nodes["#" + nid] = node
+
+    def walk(node, M, depth=0):
+        if depth > 64:  # cyclic instance_node guard
+            return
         M = M @ node_matrix(node)
         for ig in node.findall(q("instance_geometry")):
             url = ig.get("url", "")
@@ -458,8 +501,12 @@ def load_dae(path: str) -> TriangleMesh:
                 g = geoms[url]
                 v = g.vertices @ M[:3, :3].T + M[:3, 3]
                 placed.append((v, g.faces))
+        for inode in node.findall(q("instance_node")):
+            target = lib_nodes.get(inode.get("url", ""))
+            if target is not None:
+                walk(target, M, depth + 1)
         for child in node.findall(q("node")):
-            walk(child, M)
+            walk(child, M, depth)
 
     scenes = root.find(q("library_visual_scenes"))
     if scenes is not None:
@@ -714,8 +761,11 @@ def make_building_scene(
                 h = rng.uniform(0.4, height * 0.8)
                 parts.append(make_box((dims[0], dims[1], h), (cx, cy, h / 2)))
 
-    mesh = parts[0]
-    for p in parts[1:]:
-        mesh = mesh.concat(p)
-    mesh.name = "building"
+    # single concatenate (pairwise concat over ~80 parts is O(parts^2))
+    offsets = np.cumsum([0] + [p.n_vertices for p in parts[:-1]])
+    mesh = TriangleMesh(
+        np.concatenate([p.vertices for p in parts], 0),
+        np.concatenate([p.faces + o for p, o in zip(parts, offsets)], 0),
+        "building",
+    )
     return mesh

@@ -66,6 +66,14 @@ class SceneGraph:
 
     # -- flattening --------------------------------------------------------
 
+    def instance_pose_table(self) -> "Transform":
+        """Stacked (n_instances,) pose batch — shared by the flattened-scene
+        and TLAS paths."""
+        return Transform(
+            rot=jnp.stack([i.pose.rot for i in self.instances]),
+            trans=jnp.stack([i.pose.trans for i in self.instances]),
+        )
+
     def flatten(self) -> Tuple[TriangleMesh, np.ndarray, np.ndarray]:
         """World-space triangle soup + per-face (prim_id, inst_id).
 
@@ -118,10 +126,7 @@ class SceneAccel:
     bins: TriangleBins
 
     def instance_poses(self) -> Transform:
-        return Transform(
-            rot=jnp.stack([i.pose.rot for i in self.scene.instances]),
-            trans=jnp.stack([i.pose.trans for i in self.scene.instances]),
-        )
+        return self.scene.instance_pose_table()
 
 
 def refine_instance_pose(

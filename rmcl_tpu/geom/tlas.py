@@ -77,10 +77,7 @@ def build_tlas(
         for g in used
     }
     geom_bvh = {g: build_bvh(scene.geometries[g]) for g in used}
-    poses = Transform(
-        rot=jnp.stack([i.pose.rot for i in scene.instances]),
-        trans=jnp.stack([i.pose.trans for i in scene.instances]),
-    )
+    poses = scene.instance_pose_table()
     scales = jnp.asarray([i.scale for i in scene.instances], jnp.float32)
     return SceneTLAS(
         scene=scene,

@@ -123,6 +123,15 @@ def scan_to_points(msg: msgs.ScanStamped) -> Tuple[np.ndarray, np.ndarray]:
 # ---------------------------------------------------------------------------
 
 
+def _safe_inc(inc: float) -> float:
+    """Sign-preserving division guard: negative angle increments are legal
+    (flipped-mount lidars); clamping them positive binned every point out
+    of range."""
+    if abs(inc) < 1e-12:
+        return 1e-12
+    return inc
+
+
 def pointcloud_to_scan(
     cloud: msgs.PointCloud2,
     info: msgs.ScanInfo,
@@ -145,11 +154,11 @@ def pointcloud_to_scan(
     theta = np.arctan2(p[:, 1], p[:, 0])  # horizontal
     phi = np.arctan2(p[:, 2], np.sqrt(p[:, 0] ** 2 + p[:, 1] ** 2))  # vertical
 
-    theta_id = np.floor((theta - info.theta_min) / max(info.theta_inc, 1e-12) + 0.5).astype(int)
-    if abs(info.theta_n * info.theta_inc - 2 * np.pi) < 1e-3:
+    theta_id = np.floor((theta - info.theta_min) / _safe_inc(info.theta_inc) + 0.5).astype(int)
+    if abs(abs(info.theta_n * info.theta_inc) - 2 * np.pi) < 1e-3:  # sign-agnostic
         theta_id = theta_id % info.theta_n  # full-circle grids wrap at ±pi
     phi_id = (
-        np.floor((phi - info.phi_min) / max(info.phi_inc, 1e-12) + 0.5).astype(int)
+        np.floor((phi - info.phi_min) / _safe_inc(info.phi_inc) + 0.5).astype(int)
         if info.phi_n > 1
         else np.zeros(len(p), int)
     )
@@ -196,11 +205,12 @@ def pointcloud_to_o1dn(
     safe = np.maximum(rng, 1e-12)
     dirs = np.where(finite[:, None], pts / safe[:, None], np.asarray([1.0, 0, 0]))
     ranges = np.where(finite, rng, 0.0).astype(np.float32)
+    r_top = float(ranges.max()) if ranges.size else 0.0  # empty clouds are legal
     info = msgs.O1DnInfo(
         orig=np.zeros(3, np.float32),
         dirs=dirs.astype(np.float32),
         range_min=0.0,
-        range_max=float(ranges.max() * 1.5 + 1e-3),
+        range_max=r_top * 1.5 + 1e-3,
     )
     data = msgs.RangeData(ranges=ranges, mask=finite)
     if cloud.normals is not None:
@@ -251,15 +261,14 @@ def scan_to_pointcloud(msg: msgs.ScanStamped) -> msgs.PointCloud2:
     pts, mask = scan_to_points(msg)
     out = pts.copy()
     out[~mask] = np.nan
+    opt = lambda x: None if x is None else np.asarray(x)
     return msgs.PointCloud2(
         header=msg.header,
         points=out,
-        stamps=None if msg.data.stamps is None else np.asarray(msg.data.stamps),
-        intensities=(
-            None
-            if msg.data.intensities is None
-            else np.asarray(msg.data.intensities)
-        ),
+        normals=opt(msg.data.normals),
+        intensities=opt(msg.data.intensities),
+        stamps=opt(msg.data.stamps),
+        labels=opt(msg.data.labels),
     )
 
 

@@ -53,6 +53,7 @@ def segment_scan(
     min_dist_outlier_scan: float = 0.15,
     min_dist_outlier_map: float = 0.15,
     chunk_size: int = 262144,
+    mask_real: Array | None = None,
 ) -> SegmentationResult:
     """Classify one scan against the map from pose ``tsm`` (sensor→map).
 
@@ -61,12 +62,20 @@ def segment_scan(
       real valid, sim valid, real >= sim, plane_dist > thresh → map outlier
       real valid, sim invalid → scan outlier
       real invalid, sim valid → map outlier
+
+    ``mask_real`` optionally ANDs the RangeData.mask channel into the
+    real-validity gate (dropped beams are neither scan nor map outliers).
     """
     ranges_real = jnp.asarray(ranges_real, jnp.float32)
     sim = simulate(bvh, model, tsm, chunk_size=chunk_size)
     o_s, d_s = model.rays()
 
     real_valid = model.range.contains(ranges_real)
+    if mask_real is not None:
+        # dropped beams encoded as in-range sentinels (e.g. range 0 with
+        # range_min 0, the pointcloud_to_o1dn convention) must not classify
+        # as dynamic obstacles — AND in the RangeData.mask channel
+        real_valid = real_valid & jnp.asarray(mask_real, bool)
     sim_valid = sim.hit & model.range.contains(sim.t)
 
     p_real = o_s + d_s * ranges_real[..., None]

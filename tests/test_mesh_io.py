@@ -211,3 +211,71 @@ def test_dae_loader(tmp_path):
     # quad fan-triangulated: 2 faces, area = 1 m^2 total after scaling
     areas = mesh.face_areas()
     np.testing.assert_allclose(areas[2:].sum(), 1.0, atol=1e-5)
+
+
+def test_ply_tristrips(tmp_path):
+    """tristrips elements expand as strips (alternating winding, -1
+    restarts), not fans."""
+    ply = b"""ply
+format ascii 1.0
+element vertex 5
+property float x
+property float y
+property float z
+element tristrips 1
+property list uchar int vertex_indices
+end_header
+0 0 0
+1 0 0
+0 1 0
+1 1 0
+2 0 0
+6 0 1 2 3 -1 4
+"""
+    p = tmp_path / "strip.ply"
+    p.write_bytes(ply)
+    m = load_mesh(str(p))
+    # strip 0-1-2-3: triangles (0,1,2) and (2,1,3) [winding flipped];
+    # the -1 restarts so the trailing '4' makes no triangle
+    assert m.faces.shape == (2, 3)
+    np.testing.assert_array_equal(np.sort(m.faces[0]), [0, 1, 2])
+    np.testing.assert_array_equal(np.sort(m.faces[1]), [1, 2, 3])
+    assert (m.faces >= 0).all()
+
+
+def test_dae_instance_node(tmp_path):
+    """<instance_node> into <library_nodes> places the geometry once per
+    reference with the composed transform."""
+    dae = """<?xml version="1.0"?>
+<COLLADA xmlns="http://www.collada.org/2005/11/COLLADASchema" version="1.4.1">
+ <asset><unit meter="1"/><up_axis>Z_UP</up_axis></asset>
+ <library_geometries>
+  <geometry id="tri"><mesh>
+   <source id="pos"><float_array id="arr" count="9">0 0 0 1 0 0 0 1 0</float_array>
+    <technique_common><accessor source="#arr" count="3" stride="3">
+     <param name="X" type="float"/><param name="Y" type="float"/><param name="Z" type="float"/>
+    </accessor></technique_common></source>
+   <vertices id="vts"><input semantic="POSITION" source="#pos"/></vertices>
+   <triangles count="1"><input semantic="VERTEX" source="#vts" offset="0"/>
+    <p>0 1 2</p></triangles>
+  </mesh></geometry>
+ </library_geometries>
+ <library_nodes>
+  <node id="part"><instance_geometry url="#tri"/></node>
+ </library_nodes>
+ <library_visual_scenes>
+  <visual_scene id="scene">
+   <node><translate>10 0 0</translate><instance_node url="#part"/></node>
+   <node><translate>0 20 0</translate><instance_node url="#part"/></node>
+  </visual_scene>
+ </library_visual_scenes>
+ <scene><instance_visual_scene url="#scene"/></scene>
+</COLLADA>
+"""
+    p = tmp_path / "inst.dae"
+    p.write_text(dae)
+    m = load_mesh(str(p))
+    assert m.faces.shape == (2, 3)  # two placements
+    xs = np.sort(np.unique(np.round(m.vertices[:, 0])))
+    ys = np.sort(np.unique(np.round(m.vertices[:, 1])))
+    assert 10.0 in xs and 20.0 in ys  # both transforms applied

@@ -272,3 +272,62 @@ def test_o1dn_to_pointcloud_roundtrip_channels(rng):
     back = pointcloud_to_o1dn(cloud)
     np.testing.assert_allclose(back.data.stamps, msg.data.stamps)
     np.testing.assert_allclose(back.data.intensities, msg.data.intensities)
+
+
+def test_pointcloud_to_scan_negative_increment(rng):
+    """Flipped-mount lidars have negative angle increments (legal in ROS);
+    the binning must not clamp them positive."""
+    from rmcl_tpu.io.conversions import pointcloud_to_scan
+
+    n = 64
+    theta = np.linspace(0.9, -0.9, n)  # descending sweep
+    pts = np.stack(
+        [3 * np.cos(theta), 3 * np.sin(theta), np.zeros(n)], -1
+    ).astype(np.float32)
+    info = msgs.ScanInfo(
+        phi_n=1, theta_n=n, phi_min=0.0, phi_inc=0.0,
+        theta_min=0.9, theta_inc=-1.8 / (n - 1),
+        range_min=0.1, range_max=10.0,
+    )
+    out = pointcloud_to_scan(msgs.PointCloud2(header=msgs.Header(), points=pts), info)
+    assert (np.asarray(out.data.ranges) > 0).mean() > 0.9  # bins filled
+
+
+def test_pointcloud_to_o1dn_empty_cloud():
+    from rmcl_tpu.io.conversions import pointcloud_to_o1dn
+
+    cloud = msgs.PointCloud2(
+        header=msgs.Header(), points=np.zeros((0, 3), np.float32)
+    )
+    msg = pointcloud_to_o1dn(cloud)  # must not raise
+    assert msg.data.ranges.shape == (0,)
+
+
+def test_segment_scan_mask_real():
+    """Dropped beams (mask False) are neither scan nor map outliers."""
+    import jax.numpy as jnp
+
+    from rmcl_tpu.bvh.builder import build_bvh
+    from rmcl_tpu.geom.mesh import make_box
+    from rmcl_tpu.math.se3 import Transform
+    from rmcl_tpu.ops.segmentation import segment_scan
+    from rmcl_tpu.sensors.models import SphericalModel
+
+    bvh = build_bvh(make_box((6.0, 6.0, 3.0), inward=True))
+    model = SphericalModel.create(
+        width=32, height=2, phi_min=-0.1, phi_max=0.1,
+        range_min=0.0, range_max=20.0,  # range_min 0: sentinel 0.0 is "in range"
+    )
+    from rmcl_tpu.sensors.simulate import simulate
+
+    sim = simulate(bvh, model, Transform.identity())
+    ranges = np.asarray(sim.t, np.float32).copy()
+    ranges[::4] = 0.0  # dropped beams, encoded as 0 with range_min == 0
+    mask = np.ones(model.n_rays, bool)
+    mask[::4] = False
+
+    no_mask = segment_scan(bvh, model, Transform.identity(), ranges)
+    masked = segment_scan(bvh, model, Transform.identity(), ranges, mask_real=mask)
+    # without the mask the sentinel beams are misclassified as outliers
+    assert int(np.asarray(no_mask.scan_outlier).sum()) > 0
+    assert int(np.asarray(masked.scan_outlier[::4]).sum()) == 0
