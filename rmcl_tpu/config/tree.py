@@ -21,7 +21,12 @@ class ParamTree:
     """Read-mostly nested configuration with dotted-path access."""
 
     def __init__(self, data: Optional[Dict[str, Any]] = None):
-        self._data: Dict[str, Any] = dict(data or {})
+        # deep copy: derived trees (subtree/merged/items) must never alias
+        # the parent's nested dicts, or set() on a derived tree silently
+        # rewrites the base config
+        import copy
+
+        self._data: Dict[str, Any] = copy.deepcopy(dict(data or {}))
 
     # -- construction ------------------------------------------------------
 
@@ -37,6 +42,13 @@ class ParamTree:
         if os.path.exists(path_or_str):
             with open(path_or_str) as f:
                 text = f.read()
+        elif "\n" not in path_or_str and path_or_str.strip().endswith(
+            (".yml", ".yaml", ".json")
+        ):
+            # a path-looking string that does not exist is almost certainly
+            # a typo'd filename, not YAML text — fail loudly instead of
+            # parsing the path itself as a one-string document
+            raise FileNotFoundError(path_or_str)
         try:
             import yaml  # type: ignore
 
@@ -114,7 +126,9 @@ class ParamTree:
         return ParamTree(deep(self._data, overlay._data))
 
     def to_dict(self) -> Dict[str, Any]:
-        return self._data
+        import copy
+
+        return copy.deepcopy(self._data)
 
     def __contains__(self, path: str) -> bool:
         sentinel = object()

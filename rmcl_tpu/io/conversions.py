@@ -106,10 +106,14 @@ def laser_scan_to_scan_info(scan: msgs.LaserScan) -> msgs.ScanInfo:
 # ---------------------------------------------------------------------------
 
 
-def scan_to_points(msg: msgs.ScanStamped) -> Tuple[np.ndarray, np.ndarray]:
+def scan_to_points(
+    msg: msgs.ScanStamped, model: Optional[SphericalModel] = None
+) -> Tuple[np.ndarray, np.ndarray]:
     """Polar ranges → sensor-frame cartesian points + validity mask
-    (reference unpackMessage — MICPSphericalSensorCPU.cpp:181-233)."""
-    model = scan_info_to_model(msg.info)
+    (reference unpackMessage — MICPSphericalSensorCPU.cpp:181-233).
+    Pass ``model`` when the caller already built it from msg.info."""
+    if model is None:
+        model = scan_info_to_model(msg.info)
     r = np.asarray(msg.data.ranges, np.float32)
     pts = np.asarray(model.polar_to_cartesian(r))
     mask = (r >= msg.info.range_min) & (r <= msg.info.range_max)

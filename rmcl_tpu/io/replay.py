@@ -10,7 +10,6 @@ stamp order — a deterministic, testable stand-in for live middleware.
 from __future__ import annotations
 
 import dataclasses
-import heapq
 from typing import Any, Callable, Dict, Iterator, List, Optional, Tuple
 
 import numpy as np
@@ -57,6 +56,18 @@ class MessageLog:
             elif r.kind == "cloud":
                 arrays[f"r{i}_points"] = np.asarray(r.payload["points"])
                 arrays[f"r{i}_mask"] = np.asarray(r.payload["mask"])
+            elif r.kind == "scan":
+                # ScanStamped: grid info as a fixed 8-vector + range data
+                info = r.payload.info
+                arrays[f"r{i}_info"] = np.asarray(
+                    [info.phi_n, info.theta_n, info.phi_min, info.phi_inc,
+                     info.theta_min, info.theta_inc, info.range_min,
+                     info.range_max], np.float64)
+                arrays[f"r{i}_ranges"] = np.asarray(r.payload.data.ranges)
+                if r.payload.data.mask is not None:
+                    arrays[f"r{i}_smask"] = np.asarray(r.payload.data.mask)
+                if r.payload.data.stamps is not None:
+                    arrays[f"r{i}_stamps"] = np.asarray(r.payload.data.stamps)
             else:
                 raise ValueError(f"cannot persist record kind '{r.kind}'")
             meta.append((r.stamp, r.kind, r.channel))
@@ -78,6 +89,24 @@ class MessageLog:
             if kind == "odom":
                 payload = Transform(
                     rot=jnp.asarray(z[f"r{i}_rot"]), trans=jnp.asarray(z[f"r{i}_trans"])
+                )
+            elif kind == "scan":
+                from rmcl_tpu.io import msgs
+
+                v = z[f"r{i}_info"]
+                payload = msgs.ScanStamped(
+                    header=msgs.Header(stamp=float(stamp)),
+                    info=msgs.ScanInfo(
+                        phi_n=int(v[0]), theta_n=int(v[1]),
+                        phi_min=float(v[2]), phi_inc=float(v[3]),
+                        theta_min=float(v[4]), theta_inc=float(v[5]),
+                        range_min=float(v[6]), range_max=float(v[7]),
+                    ),
+                    data=msgs.RangeData(
+                        ranges=z[f"r{i}_ranges"],
+                        mask=z.get(f"r{i}_smask"),
+                        stamps=z.get(f"r{i}_stamps"),
+                    ),
                 )
             else:
                 payload = {

@@ -91,10 +91,19 @@ class MCLConfig:
         g = params.get
         corr = g("sensor_update.correspondence_type", "RC")
         corr = {0: "RC", 1: "CP"}.get(corr, str(corr))
+        resampler = str(g("resampling.type", "gladiator"))
+        if resampler not in _RESAMPLERS:
+            raise ValueError(
+                f"unknown resampling.type {resampler!r} "
+                f"(have {sorted(_RESAMPLERS)})"
+            )
         return MCLConfig(
             n_particles=int(g("max_particles", 100_000)),
             seed=int(g("seed", 0)),
-            resampler=str(g("resampling.type", "gladiator")),
+            resampler=resampler,
+            min_particles_for_resample=int(
+                g("resampling.min_particles", 10)
+            ),
             max_induction_particles=int(
                 g("resampling.max_induction_particles", 50_000)
             ),

@@ -17,7 +17,6 @@ steps serialize per stream anyway, so host thread fan-out adds nothing.
 from __future__ import annotations
 
 import dataclasses
-import math
 import time
 from typing import Dict, List, Optional
 
@@ -60,6 +59,9 @@ class MICPSensorState:
     )
     stamp: float = 0.0
     outdated: bool = True  # reference Correspondences `outdated` flag
+    # cached device-side snapshot, rebuilt only when new data arrives (the
+    # reference's outdated flag gates re-upload the same way)
+    device_data: Optional[MICPSensorData] = None
 
     def has_data(self) -> bool:
         return self.points is not None
@@ -145,7 +147,7 @@ class MICPLocalization:
         """Spherical scan message (reference MICPSphericalSensor*::updateMsg)."""
         s = self.ensure_sensor(name)
         s.model = scan_info_to_model(msg.info)
-        s.points, s.mask = scan_to_points(msg)
+        s.points, s.mask = scan_to_points(msg, model=s.model)
         self._finish_update(s, msg.header.stamp, tsb, msg.data.stamps)
 
     def on_depth(self, name: str, msg: msgs.DepthStamped, tsb: Transform = None):
@@ -155,6 +157,8 @@ class MICPLocalization:
         s.points = pts
         z = np.asarray(msg.data.ranges)
         s.mask = (z >= msg.info.range_min) & (z <= msg.info.range_max)
+        if msg.data.mask is not None:
+            s.mask = s.mask & np.asarray(msg.data.mask, bool)
         self._finish_update(s, msg.header.stamp, tsb, msg.data.stamps)
 
     def on_o1dn(self, name: str, msg: msgs.O1DnStamped, tsb: Transform = None):
@@ -173,6 +177,8 @@ class MICPLocalization:
         r = np.asarray(msg.data.ranges, np.float32)
         s.points = np.asarray(s.model.polar_to_cartesian(jnp.asarray(r)))
         s.mask = (r >= msg.info.range_min) & (r <= msg.info.range_max)
+        if msg.data.mask is not None:
+            s.mask = s.mask & np.asarray(msg.data.mask, bool)
         self._finish_update(s, msg.header.stamp, tsb, msg.data.stamps)
 
     def set_static_dataset(self, name: str, model, points, mask, tsb=None):
@@ -211,6 +217,7 @@ class MICPLocalization:
             )
         s.stamp = stamp
         s.outdated = True
+        s.device_data = None  # invalidate the device-side cache
 
     def print_setup(self, color: Optional[bool] = None) -> str:
         """Console setup report (reference printSetup —
@@ -258,16 +265,17 @@ class MICPLocalization:
         if not active:
             return None
         t0 = time.time()
-        sensor_data = [
-            MICPSensorData(
-                model=s.model,
-                points=jnp.asarray(s.points),
-                mask=jnp.asarray(s.mask),
-                tsb=s.tsb,
-                config=s.config,
-            )
-            for s in active
-        ]
+        sensor_data = []
+        for s in active:
+            if s.device_data is None or s.outdated:
+                s.device_data = MICPSensorData(
+                    model=s.model,
+                    points=jnp.asarray(s.points),
+                    mask=jnp.asarray(s.mask),
+                    tsb=s.tsb,
+                    config=s.config,
+                )
+            sensor_data.append(s.device_data)
         accel = self.map.bins if self.engine == "binned" else self.map.bvh
         tom_new, stats = correct_once_jit(
             accel,

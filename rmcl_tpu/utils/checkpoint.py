@@ -9,7 +9,6 @@ orbax checkpoint directory for sharded multi-host state).
 
 from __future__ import annotations
 
-import dataclasses
 import os
 from typing import Any, Dict, Optional
 
@@ -74,10 +73,13 @@ def save_micp_state(path: str, tom: Transform, tbo: Transform, convergence, extr
 
 
 def load_micp_state(path: str):
+    """Returns (tom, tbo, convergence, extra) — symmetric with
+    save_micp_state's ``extra`` dict (like load_mcl_state)."""
     z = np.load(path)
     tom = Transform(rot=jnp.asarray(z["tom_rot"]), trans=jnp.asarray(z["tom_trans"]))
     tbo = Transform(rot=jnp.asarray(z["tbo_rot"]), trans=jnp.asarray(z["tbo_trans"]))
-    return tom, tbo, jnp.asarray(z["convergence"])
+    extra = {k[len("extra_"):]: z[k] for k in z.files if k.startswith("extra_")}
+    return tom, tbo, jnp.asarray(z["convergence"]), extra
 
 
 # -- orbax (sharded, async) -------------------------------------------------

@@ -39,7 +39,8 @@ def save_particles_ply(path: str, cloud: ParticleCloud) -> None:
     ch = particle_cloud_channels(cloud)
     xyz = ch["xyz"][ch["alive"]]
     lik = ch["likelihood"][ch["alive"]]
-    w = lik / max(lik.max(), 1e-12)
+    # degenerate clouds (nothing alive) export an empty file, not a crash
+    w = lik / max(float(lik.max()) if lik.size else 0.0, 1e-12)
     r = ((1.0 - w) * 255).astype(np.uint8)
     g = (w * 255).astype(np.uint8)
     b = np.zeros_like(r)

@@ -70,7 +70,7 @@ def test_micp_checkpoint_roundtrip(tmp_path):
     tbo = Transform.identity()
     p = str(tmp_path / "micp.npz")
     save_micp_state(p, tom, tbo, jnp.float32(0.7))
-    tom2, tbo2, prog = load_micp_state(p)
+    tom2, tbo2, prog, _extra = load_micp_state(p)
     np.testing.assert_allclose(np.asarray(tom2.trans), np.asarray(tom.trans))
     assert float(prog) == np.float32(0.7)
 
@@ -189,3 +189,53 @@ def test_orbax_sharded_checkpoint_roundtrip(tmp_path, key):
         np.asarray(out.likelihood.mean), np.asarray(cloud.likelihood.mean)
     )
     np.testing.assert_allclose(np.asarray(out.poses.rot), np.asarray(cloud.poses.rot))
+
+
+def test_message_log_scan_roundtrip(tmp_path):
+    """save/load persists 'scan' records (advertised kind)."""
+    from rmcl_tpu.io import msgs as _m
+    from rmcl_tpu.io.replay import MessageLog
+
+    log = MessageLog()
+    log.add(0.0, "odom", "tf", Transform.identity())
+    info = _m.ScanInfo(
+        phi_n=2, theta_n=8, phi_min=-0.1, phi_inc=0.2,
+        theta_min=-np.pi, theta_inc=np.pi / 4, range_min=0.1, range_max=20.0,
+    )
+    r = np.linspace(1, 5, 16).astype(np.float32)
+    log.add(
+        0.1, "scan", "lidar",
+        _m.ScanStamped(header=_m.Header(stamp=0.1), info=info,
+                       data=_m.RangeData(ranges=r, stamps=r * 0.01)),
+    )
+    p = str(tmp_path / "log.npz")
+    log.save(p)
+    back = MessageLog.load(p)
+    recs = list(back)
+    assert [x.kind for x in recs] == ["odom", "scan"]
+    sc = recs[1].payload
+    assert sc.info.theta_n == 8 and sc.info.phi_n == 2
+    np.testing.assert_allclose(sc.data.ranges, r)
+    np.testing.assert_allclose(sc.data.stamps, r * 0.01)
+
+
+def test_param_tree_isolation():
+    """Derived trees never alias the parent's nested dicts."""
+    from rmcl_tpu.config.tree import ParamTree
+
+    base = ParamTree({"sensors": {"lidar": {"weight": 1.0}}})
+    sub = base.subtree("sensors")
+    sub.set("lidar.weight", 9.0)
+    assert base.get("sensors.lidar.weight") == 1.0
+    merged = base.merged(ParamTree({"x": 1}))
+    merged.set("sensors.lidar.weight", 5.0)
+    assert base.get("sensors.lidar.weight") == 1.0
+
+
+def test_param_tree_from_yaml_missing_file():
+    import pytest
+
+    from rmcl_tpu.config.tree import ParamTree
+
+    with pytest.raises(FileNotFoundError):
+        ParamTree.from_yaml("configs/typo_name.yaml")
