@@ -66,6 +66,17 @@ class SensorUpdateConfig:
     # budget and remains the default for global-localization phases.
     c_super: int = dataclasses.field(default=24, metadata=dict(static=True))
     c_bin: int = dataclasses.field(default=96, metadata=dict(static=True))
+    # binned engine ray layout:
+    #   "beam":     blocks = many particles x one beam (good once the cloud
+    #               has concentrated: positions tight, headings aligned)
+    #   "particle": blocks = few adjacent particles x their direction-sorted
+    #               beams. Origins are as tight as the particle cluster, so
+    #               the cull's ball bound (origin_box + ball(range)) selects
+    #               only bins within sensor range of the cluster — heading
+    #               spread can't blow the candidate set to pass-all. The
+    #               right choice on indoor/short-range maps and for clouds
+    #               with mixed headings.
+    layout: str = dataclasses.field(default="beam", metadata=dict(static=True))
     dist_sigma: Array = dataclasses.field(default_factory=lambda: jnp.float32(2.0))
     real_hit_sim_miss_error: Array = dataclasses.field(default_factory=lambda: jnp.float32(100.0))
     real_miss_sim_hit_error: Array = dataclasses.field(default_factory=lambda: jnp.float32(100.0))
@@ -87,6 +98,7 @@ class SensorUpdateConfig:
         cluster=True,
         c_super=24,
         c_bin=96,
+        layout="beam",
     ):
         return SensorUpdateConfig(
             samples=samples,
@@ -95,6 +107,7 @@ class SensorUpdateConfig:
             cluster=cluster,
             c_super=c_super,
             c_bin=c_bin,
+            layout=layout,
             dist_sigma=jnp.float32(dist_sigma),
             real_hit_sim_miss_error=jnp.float32(real_hit_sim_miss_error),
             real_miss_sim_hit_error=jnp.float32(real_miss_sim_hit_error),
@@ -146,6 +159,45 @@ def sensor_update(
     sensor_range = RangeInterval(config.range_min, config.range_max)
     real_hit = sensor_range.contains(ranges) & beam_valid  # (S,)
 
+    # particle-major layout: angular-sort the sampled beams (sensor frame —
+    # each particle rotates them rigidly, so stream adjacency survives) and
+    # pad to a lane-friendly multiple. Pad beams are DEAD rays (t_max=0,
+    # excluded from block bounds, never hit) and carry zero fold weight.
+    particle_major = (
+        config.engine == "binned"
+        and config.correspondence_type != "CP"
+        and config.layout == "particle"
+    )
+    beam_w = jnp.ones((S,), jnp.float32)
+    beam_tmax = None
+    if particle_major:
+        az = jnp.arctan2(dirs_s[:, 1], dirs_s[:, 0])
+        el = jnp.arcsin(jnp.clip(dirs_s[:, 2], -1.0, 1.0))
+        band = jnp.clip(
+            ((el + jnp.pi * 0.5) * (8.0 / jnp.pi)).astype(jnp.int32), 0, 7
+        )
+        azq = jnp.clip(
+            ((az + jnp.pi) * (512.0 / (2.0 * jnp.pi))).astype(jnp.int32),
+            0,
+            511,
+        )
+        bsort = jnp.argsort(band * 512 + azq)
+        dirs_s = jnp.take(dirs_s, bsort, axis=0)
+        ranges = jnp.take(ranges, bsort, axis=0)
+        real_hit = jnp.take(real_hit, bsort, axis=0)
+        pad = (-S) % 32
+        if pad:
+            dirs_s = jnp.concatenate(
+                [dirs_s, jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32), (pad, 1))]
+            )
+            ranges = jnp.concatenate([ranges, jnp.zeros((pad,), jnp.float32)])
+            real_hit = jnp.concatenate([real_hit, jnp.zeros((pad,), bool)])
+            beam_w = jnp.concatenate([beam_w, jnp.zeros((pad,), jnp.float32)])
+        from rmcl_tpu.ops.raycast import NO_HIT_T
+
+        beam_tmax = jnp.where(beam_w > 0.0, jnp.float32(NO_HIT_T), jnp.float32(0.0))
+    Sp = dirs_s.shape[0]  # S or padded
+
     # particle sensor poses: Tsm_i = Tbm_i * Tsb  (reference :334-338)
     tsm = cloud.poses @ tsb  # batch (N,)
 
@@ -165,8 +217,8 @@ def sensor_update(
 
     # beam rays in map frame for every (particle, sample)
     tsm_b = tsm.expand_dims(-1)  # (N, 1)
-    orig_m = jnp.broadcast_to(tsm_b.trans, (N, S, 3))
-    dirs_m = tsm_b.rotate(dirs_s)  # (N, S, 3)
+    orig_m = jnp.broadcast_to(tsm_b.trans, (N, Sp, 3))
+    dirs_m = tsm_b.rotate(dirs_s)  # (N, Sp, 3)
 
     if config.correspondence_type == "CP":
         # CPC: distance from the measured point (map frame) to the surface
@@ -179,7 +231,23 @@ def sensor_update(
             cp = closest_points(bvh, p_meas_m, chunk_size=chunk_size)
         error = jnp.where(cp.found, cp.dist, config.real_hit_sim_miss_error)
     else:
-        if config.engine == "binned":
+        if config.engine == "binned" and particle_major:
+            # dense engine, particle-major: each block covers few clustered
+            # particles x their direction-sorted beams; the cull's ball
+            # bound keeps candidates to bins within range of the cluster
+            h = cast_rays_binned(
+                bvh,
+                orig_m.reshape(-1, 3),
+                dirs_m.reshape(-1, 3),
+                t_max=jnp.broadcast_to(beam_tmax[None, :], (N, Sp)).reshape(-1),
+                flip_normals=False,
+                c_super=config.c_super,
+                c_bin=config.c_bin,
+            )
+            hits = jax.tree.map(
+                lambda x: x.reshape(N, Sp, *x.shape[1:]), h
+            )
+        elif config.engine == "binned":
             # dense engine: beam-major order (all particles of one beam form
             # coherent-ish blocks once the cloud has concentrated)
             o_bm = jnp.swapaxes(orig_m, 0, 1).reshape(-1, 3)
@@ -193,7 +261,7 @@ def sensor_update(
                 c_bin=config.c_bin,
             )
             resh = lambda x: jnp.swapaxes(
-                x.reshape(S, N, *x.shape[1:]), 0, 1
+                x.reshape(Sp, N, *x.shape[1:]), 0, 1
             )
             hits = jax.tree.map(resh, h)
         else:
@@ -221,11 +289,14 @@ def sensor_update(
             ),
         )  # (N, S)
 
-    evals = gaussian_pdf(error, config.dist_sigma)  # (N, S)
+    evals = gaussian_pdf(error, config.dist_sigma)  # (N, Sp)
 
     # batch-fold the S evals, then merge into the prior likelihood
-    e_mean = jnp.mean(evals, axis=-1)
-    e_var = jnp.var(evals, axis=-1)
+    # (masked over the real beams — pad beams carry zero weight)
+    e_mean = jnp.sum(evals * beam_w[None, :], axis=-1) / S
+    e_var = (
+        jnp.sum(beam_w[None, :] * (evals - e_mean[:, None]) ** 2, axis=-1) / S
+    )
     if perm_inv is not None:  # undo the coherence clustering
         e_mean = jnp.take(e_mean, perm_inv, axis=0)
         e_var = jnp.take(e_var, perm_inv, axis=0)

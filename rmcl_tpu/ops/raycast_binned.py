@@ -105,6 +105,16 @@ def _cone_box_test(oc, oh, a, tan_th, t_hi, bmin, bmax):
     where the interval-arithmetic formulation it replaces blew up whenever
     a direction-component interval merely *touched* zero.
 
+    The cone slab is intersected with the *ball* test: every reachable
+    point lies in ``origin_box ⊕ ball(t_hi)``, so the box-to-box distance
+    must be ≤ t_hi and the geometric hit distance lies in
+    [dist(origin_box, box), maxdist(origin_box, box)]. For wide-spread
+    blocks (omnidirectional particle beams, where ``tan_th`` saturates at
+    its ~20 clip) the ball interval is the binding one — it caps the reach
+    at t_hi instead of the cone's ~20·t_hi perpendicular inflation — while
+    for narrow cones the slab dominates. Intersection of two conservative
+    bounds stays conservative.
+
     Shapes: oc/oh/a (..., 1, 3), tan_th/t_hi (..., 1), bmin/bmax (..., K, 3).
     Returns (pass (..., K), t_near (..., K), t_far (..., K)).
     """
@@ -112,6 +122,14 @@ def _cone_box_test(oc, oh, a, tan_th, t_hi, bmin, bmax):
     inv = 1.0 / a_safe
     b0 = bmin - oh - oc
     b1 = bmax + oh - oc
+    # ball bound: per-axis separation intervals between the origin box
+    # [oc-oh, oc+oh] and the target box [bmin, bmax]. b0 = bmin - obox_max
+    # (gap when the box is above), -b1 = obox_min - bmax (gap below);
+    # max(b1, -b0) is the farthest per-axis separation.
+    gap = jnp.maximum(jnp.maximum(b0, -b1), 0.0)
+    d_near = jnp.sqrt(jnp.sum(gap * gap, axis=-1))
+    sep = jnp.maximum(b1, -b0)
+    d_far = jnp.sqrt(jnp.sum(sep * sep, axis=-1))
     # anisotropic cone inflation: the displacement off the axis is
     # PERPENDICULAR to it, so its reach along axis k is r*sqrt(1 - a_k^2),
     # not r — exact per-axis projection of the cone cross-section. Strictly
@@ -133,7 +151,9 @@ def _cone_box_test(oc, oh, a, tan_th, t_hi, bmin, bmax):
     # tf0*tan_th (tf0 <= t_hi) — one extra pass tightens near boxes a lot
     r1 = (jnp.clip(tf0, 0.0, t_hi) * tan_th)[..., None]
     tn, tf = slab(r1)
-    ok = (tn <= tf) & (tf >= 0.0) & (tn <= t_hi)
+    tn = jnp.maximum(tn, d_near)
+    tf = jnp.minimum(tf, d_far)
+    ok = (tn <= tf) & (tf >= 0.0) & (tn <= t_hi) & (d_near <= t_hi)
     return ok, jnp.maximum(tn, 0.0), tf
 
 

@@ -186,7 +186,7 @@ def intersect_bins_pallas(
             smem3(1),
             smem3(cb),
             vmem3, vmem3, vmem3, vmem3, vmem3, vmem3, vmem3, vmem3,
-            pl.BlockSpec(memory_space=pltpu.ANY),  # tri stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # tri stays in HBM
         ],
         out_specs=[vmem3, vmem3],
     )

@@ -5,7 +5,11 @@ incoherence: random positions + random yaws), S sampled beams per update.
 Measures particles*samples rays/s for the full sensor_update (cast + score
 + likelihood fold).
 
-Usage: python scripts/probe_mcl.py [n_particles] [samples] [faces] [cluster]
+Usage: python scripts/probe_mcl.py [n_particles] [samples] [faces] [mode] [scene]
+
+mode:  0|1 (cluster off/on, beam-major) | pm (particle-major layout) | both
+scene: sphere (50 m shell — pathological long-range) | rooms (multi-room
+       building, the binned engine's home turf: short beam footprints)
 
 One config per process (cluster = 0|1|both): the relay backend crashes
 nondeterministically on long-lived processes; keep each run small and retry
@@ -37,9 +41,21 @@ def main():
     samples = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     faces = int(sys.argv[3]) if len(sys.argv) > 3 else 1_000_000
     which = sys.argv[4] if len(sys.argv) > 4 else "both"
+    scene = sys.argv[5] if len(sys.argv) > 5 else "sphere"
 
-    n = int(np.sqrt(faces / 2))
-    mesh = make_sphere(n, n, radius=50.0)
+    if scene == "rooms":
+        from rmcl_tpu.geom.mesh import make_building_scene
+
+        subdiv = max(2, int(np.sqrt(faces / 550)))
+        mesh = make_building_scene(rooms_x=4, rooms_y=3, subdiv=subdiv)
+        lo = mesh.vertices.min(0) + 0.5
+        hi = mesh.vertices.max(0) - 0.5
+        hi[2] = min(hi[2], 2.0)
+    else:
+        n = int(np.sqrt(faces / 2))
+        mesh = make_sphere(n, n, radius=50.0)
+        lo, hi = np.float32([-40, -40, -40]), np.float32([40, 40, 40])
+    print(f"scene={scene} faces={mesh.n_faces}")
     bins = build_bins(mesh, bin_size=64)
 
     # analytic scan from the sphere center: every range is exactly the
@@ -47,11 +63,11 @@ def main():
     # backend crashes intermittently on eager dispatch storms)
     model = SphericalModel.vlp16(width=360)
     _, dirs_scan = model.rays()
-    points = jnp.asarray(np.asarray(dirs_scan) * 50.0)
+    points = jnp.asarray(np.asarray(dirs_scan) * (50.0 if scene == "sphere" else 4.0))
     mask = jnp.ones(points.shape[0], bool)
 
     rng = np.random.default_rng(0)
-    trans = rng.uniform(-40, 40, (n_particles, 3)).astype(np.float32)
+    trans = rng.uniform(lo, hi, (n_particles, 3)).astype(np.float32)
     yaw = rng.uniform(-np.pi, np.pi, n_particles).astype(np.float32)
     poses = Transform.from_xyz_euler(
         jnp.asarray(trans),
@@ -62,10 +78,15 @@ def main():
     cloud = ParticleCloud.create(n_particles).with_poses(poses)
     key = jax.random.PRNGKey(0)
 
-    modes = {"0": (False,), "1": (True,), "both": (False, True)}[which]
-    for cluster in modes:
+    modes = {
+        "0": ((False, "beam"),),
+        "1": ((True, "beam"),),
+        "pm": ((True, "particle"),),
+        "both": ((False, "beam"), (True, "beam"), (True, "particle")),
+    }[which]
+    for cluster, layout in modes:
         cfg = SensorUpdateConfig.create(
-            samples=samples, engine="binned", cluster=cluster
+            samples=samples, engine="binned", cluster=cluster, layout=layout
         )
         out = sensor_update(bins, cloud, key, points, mask, Transform.identity(), cfg)
         jax.block_until_ready(out.likelihood.mean)
@@ -80,7 +101,7 @@ def main():
         best = min(times)
         rays = n_particles * samples
         print(
-            f"cluster={cluster}: {best*1e3:.1f} ms, "
+            f"cluster={cluster} layout={layout}: {best*1e3:.1f} ms, "
             f"{rays/best/1e6:.2f} M particle-beam rays/s  (times {['%.3f' % t for t in times]})"
         )
 

@@ -542,3 +542,40 @@ def test_estimate_stats_empty_cloud_is_finite():
     np.testing.assert_allclose(
         np.asarray(st.pose.rot), [1, 0, 0, 0], atol=1e-5
     )
+
+
+def test_sensor_update_particle_layout_matches_bvh(key):
+    """layout='particle' (direction-sorted, padded beams, particle-major
+    blocks) scores particles like the exact-BVH engine. samples=50 is
+    deliberately not a multiple of 32 to exercise the dead-beam padding."""
+    from rmcl_tpu.bvh.bins import build_bins
+    from rmcl_tpu.geom.mesh import make_room_scene as _mrs
+
+    mesh = _mrs(n_pillars=3, seed=2)
+    bvh = build_bvh(mesh)
+    bins = build_bins(mesh, bin_size=32, bins_per_super=8)
+    true_pose = Transform.from_pose_tuple(jnp.asarray([0.5, -0.5, 1.0, 0, 0, 0.4]))
+    points, mask = make_scan(bvh, true_pose)
+
+    n = 128
+    rng = np.random.default_rng(11)
+    trans = rng.uniform([-4, -3, 0.5], [4, 3, 1.5], (n, 3)).astype(np.float32)
+    yaw = rng.uniform(-np.pi, np.pi, n).astype(np.float32)
+    poses = Transform.from_xyz_euler(
+        jnp.asarray(trans), jnp.stack([jnp.zeros(n), jnp.zeros(n), jnp.asarray(yaw)], -1)
+    )
+    cloud = ParticleCloud.create(n).with_poses(poses)
+
+    cfg_bvh = SensorUpdateConfig.create(samples=50, dist_sigma=0.5)
+    cfg_pm = SensorUpdateConfig.create(
+        samples=50, dist_sigma=0.5, engine="binned", layout="particle"
+    )
+    out_bvh = sensor_update(bvh, cloud, key, points, mask, Transform.identity(), cfg_bvh)
+    out_pm = sensor_update(bins, cloud, key, points, mask, Transform.identity(), cfg_pm)
+
+    a = np.asarray(out_bvh.likelihood.mean)
+    b = np.asarray(out_pm.likelihood.mean)
+    close = np.isclose(a, b, rtol=1e-3, atol=1e-3)
+    assert close.mean() > 0.97, f"only {close.mean():.2%} close"
+    # n_meas must count only the 50 real beams, not the padded 64
+    np.testing.assert_allclose(np.asarray(out_pm.likelihood.n_meas), 50.0)

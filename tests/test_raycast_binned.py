@@ -285,3 +285,49 @@ def test_shared_dir_fast_path(rng):
     )
     agree = (np.asarray(fast.prim_id)[both] == np.asarray(ref.prim_id)[both]).mean()
     assert agree > 0.999, agree
+
+
+def test_omnidirectional_block_ball_bound(rng):
+    """Wide-spread (omnidirectional) ray blocks: parity with the exact
+    engine, and the ball bound (origin_box + ball(t_max)) must exclude
+    geometry beyond reach — the candidate count for a range-gated
+    omnidirectional block stays far below the scene's bin count."""
+    from rmcl_tpu.geom.mesh import TriangleMesh
+    from rmcl_tpu.ops.raycast_binned import candidate_stats
+
+    # two boxes 60 m apart; rays live inside box A with t_max=10
+    a = make_box((6.0, 6.0, 3.0), center=(0.0, 0.0, 0.0), inward=True)
+    b = make_box((6.0, 6.0, 3.0), center=(60.0, 0.0, 0.0), inward=True)
+    mesh = TriangleMesh(
+        vertices=np.concatenate([np.asarray(a.vertices), np.asarray(b.vertices)]),
+        faces=np.concatenate(
+            [np.asarray(a.faces), np.asarray(b.faces) + a.vertices.shape[0]]
+        ),
+    )
+    bins = build_bins(mesh, bin_size=8, bins_per_super=4)
+    bvh = build_bvh(mesh)
+
+    # omnidirectional beams from a tight cluster of origins (particle style)
+    d = rng.normal(size=(512, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o = rng.uniform(-0.5, 0.5, size=(512, 3)).astype(np.float32)
+    exact = cast_rays(bvh, jnp.asarray(o), jnp.asarray(d), t_max=10.0)
+    binned = cast_rays_binned(
+        bins, jnp.asarray(o), jnp.asarray(d), t_max=10.0, block_size=128
+    )
+    assert_hits_match(binned, exact)
+
+    # every bin of box B lies beyond reach: candidates must exclude them all
+    counts = np.asarray(
+        candidate_stats(
+            bins,
+            jnp.asarray(o),
+            jnp.asarray(d),
+            t_max=10.0,
+            block_size=128,
+            c_super=64,
+            c_bin=512,
+        )
+    )
+    n_bins_a = (np.asarray(bins.bin_aabb)[:, 0] < 30.0).sum()
+    assert counts.max() <= n_bins_a, (counts.max(), n_bins_a)
