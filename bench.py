@@ -58,7 +58,8 @@ def main():
     az_tile = int(os.environ.get("BENCH_AZ_TILE", 8))
     el_tile = int(os.environ.get("BENCH_EL_TILE", 1))
     poses_per_tile = int(os.environ.get("BENCH_POSES_PER_TILE", 16))
-    bins = build_bins(mesh, bin_size=bin_size)
+    bins_per_super = int(os.environ.get("BENCH_BPS", 64))
+    bins = build_bins(mesh, bin_size=bin_size, bins_per_super=bins_per_super)
 
     model = SphericalModel.vlp16(width=900)  # 900 x 16 = 14,400 rays/pose
     n_dirs = model.n_rays

@@ -9,6 +9,13 @@ CONFIGS=(
   "BENCH_AZ_TILE=4 BENCH_EL_TILE=2"
   "BENCH_AZ_TILE=16 BENCH_POSES_PER_TILE=8"
   "BENCH_BIN_SIZE=32 BENCH_CBIN=96 BENCH_AZ_TILE=4 BENCH_EL_TILE=2"
+  # bins_per_super sweep: trades level-0 test count (n_super) against the
+  # level-1 top_k key count (c_super*S) — the cull phase's dominant sort
+  "BENCH_BPS=32"
+  "BENCH_BPS=16"
+  # CPU-measured pair-work minimum (TPU_NOTES: B=64 8p16a has 1.24x fewer
+  # pairs than the 16p8a baseline, at G=16 hoisting overhead)
+  "BENCH_AZ_TILE=16 BENCH_POSES_PER_TILE=8 BENCH_BIN_SIZE=32 BENCH_CBIN=128"
 )
 for cfg in "${CONFIGS[@]}"; do
   echo "--- config: ${cfg:-baseline}"
