@@ -120,6 +120,13 @@ class MICPLocalization:
 
         guess = self.config.get("initial_pose_guess", [0, 0, 0, 0, 0, 0])
         self._initial_guess = Transform.from_pose_tuple(jnp.asarray(guess, jnp.float32))
+        # fixed offset right-composed onto every externally supplied pose
+        # guess (reference pose_guess_offset, micp_localization.cpp:141-162;
+        # applied in poseCB: Tbm = T_pc_m * T_b_pc * offset — :489)
+        offset = self.config.get("pose_guess_offset", [0, 0, 0, 0, 0, 0])
+        self._pose_guess_offset = Transform.from_pose_tuple(
+            jnp.asarray(offset, jnp.float32)
+        )
         self.tom: Optional[Transform] = None  # set on first odometry
         self.tbo: Transform = Transform.identity()
         self.convergence_progress = jnp.float32(0.0)
@@ -248,9 +255,10 @@ class MICPLocalization:
             self.tom = self._initial_guess @ tbo.inverse()
 
     def set_pose(self, pose_bm: Transform):
-        """/initialpose equivalent: ``Tom = Tbm * ~Tbo`` + stats reset
-        (reference poseCB :413-505)."""
-        self.tom = pose_bm @ self.tbo.inverse()
+        """/initialpose equivalent: ``Tom = (Tbm * offset) * ~Tbo`` + stats
+        reset (reference poseCB :413-505; pose_guess_offset composition
+        :489)."""
+        self.tom = (pose_bm @ self._pose_guess_offset) @ self.tbo.inverse()
         self.convergence_progress = jnp.float32(0.0)
         self.corrections = 0
 

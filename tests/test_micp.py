@@ -388,3 +388,44 @@ def test_micp_engine_budget_plumbing():
         )
         outs.append(float(stats.valid_matches))
     assert outs[0] < outs[1], outs  # starved budget finds fewer matches
+
+
+def test_micp_pose_guess_offset():
+    """pose_guess_offset is right-composed onto externally supplied pose
+    guesses (reference micp_localization.cpp:141-162, poseCB :489) — but
+    NOT onto initial_pose_guess (:276)."""
+    from rmcl_tpu.config.tree import ParamTree
+    from rmcl_tpu.geom.map import MeshMap
+    from rmcl_tpu.micp.node import MICPLocalization
+
+    map_ = MeshMap.from_mesh(make_room_scene(n_pillars=2, seed=0))
+    offset = [0.1, -0.2, 0.0, 0.0, 0.0, 0.3]
+    node = MICPLocalization(
+        map_,
+        ParamTree({
+            "pose_guess_offset": offset,
+            "initial_pose_guess": [1.0, 0.0, 0.5, 0, 0, 0],
+            "sensors": {"lidar": {}},
+        }),
+    )
+    tbo = Transform.from_pose_tuple(jnp.asarray([0.2, 0.1, 0.0, 0, 0, 0.1]))
+    node.on_odometry(tbo)
+    # init handshake: Tom = guess * ~Tbo, no offset
+    want = Transform.from_pose_tuple(
+        jnp.asarray([1.0, 0.0, 0.5, 0, 0, 0])
+    ) @ tbo.inverse()
+    np.testing.assert_allclose(
+        np.asarray(node.tom.trans), np.asarray(want.trans), atol=1e-6
+    )
+
+    # set_pose: Tom = (Tbm * offset) * ~Tbo
+    tbm = Transform.from_pose_tuple(jnp.asarray([0.5, 0.5, 0.2, 0, 0, -0.2]))
+    node.set_pose(tbm)
+    off_t = Transform.from_pose_tuple(jnp.asarray(offset, jnp.float32))
+    want2 = (tbm @ off_t) @ tbo.inverse()
+    np.testing.assert_allclose(
+        np.asarray(node.tom.trans), np.asarray(want2.trans), atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(node.tom.rot), np.asarray(want2.rot), atol=1e-6
+    )
