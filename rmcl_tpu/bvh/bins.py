@@ -110,7 +110,7 @@ def build_bins(
 
     method: 'median' (kd median split, tight AABBs — default) or 'morton'
     (legacy fixed Morton runs)."""
-    tri = mesh.triangles().astype(np.float32)
+    tri = np.asarray(mesh.triangles(), dtype=np.float32)  # no copy if f32
     T = tri.shape[0]
     if prim_ids is None:
         prim_ids = np.arange(T, dtype=np.int32)
@@ -162,15 +162,15 @@ def build_bins(
     normal = np.cross(e1, e2)
     norm_len = np.linalg.norm(normal, axis=1, keepdims=True)
     normal = normal / np.maximum(norm_len, 1e-20)
-    packed = np.concatenate(
-        [
-            v0, e1, e2, normal,
-            prim_ids[:, None].astype(np.float32),
-            inst_ids[:, None].astype(np.float32),
-        ],
-        axis=1,
-    ).astype(np.float32)
-    packed = packed.reshape(n_bins, B, 14).transpose(0, 2, 1).copy()
+    # write component planes straight into the final (n_bins, 14, B) layout
+    # (a concatenate + astype + transpose chain costs three full copies of
+    # a T*14*4-byte array — 1.7 GB of traffic at 10M faces)
+    packed = np.empty((n_bins, 14, B), np.float32)
+    for i, comp in enumerate((v0, e1, e2, normal)):
+        for k in range(3):
+            packed[:, 3 * i + k, :] = comp[:, k].reshape(n_bins, B)
+    packed[:, 12, :] = prim_ids.reshape(n_bins, B)
+    packed[:, 13, :] = inst_ids.reshape(n_bins, B)
 
     bin_min = prim_min.reshape(n_bins, B, 3).min(axis=1)
     bin_max = prim_max.reshape(n_bins, B, 3).max(axis=1)
