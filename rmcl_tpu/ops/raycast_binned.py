@@ -359,13 +359,12 @@ def _subblock_bounds(ob, db, t_min_b, t_max_b, sub_blocks):
     return un(oc), un(oh), un(a), un(tan_th), un(t_hi), un(n_hi), un(dead)
 
 
-def _chunk_candidates(bins, ob, db, t_min_b, t_max_b, cs, cb, sub_blocks):
-    """Two-level cull with per-sub-block cone tests, for one chunk of
-    blocks. Identical contract to :func:`_build_candidates` but tighter
-    (a union of R narrow cones vs one fat block cone) and designed to run
-    inside the fused per-chunk pipeline (small intermediates).
-
-    Returns (cand_bin (Cb, cb), cand_count (Cb,), cand_tnear (Cb, cb))."""
+def _chunk_cull_tests(bins, ob, db, t_min_b, t_max_b, cs, sub_blocks):
+    """Box-test phase of the chunk cull: sub-block bounds, scene cap,
+    level-0 super tests + top_k selection, level-1 bin tests. Returns
+    (valid_bin (Cb, cs*S), gbin (Cb, cs*S), tn_flat (Cb, cs*S), n_hi_b
+    (Cb,)) for :func:`_chunk_select` — split out so the probe harness can
+    time the tests separately from the level-1 top_k."""
     Cb = ob.shape[0]
     S = bins.bins_per_super
     n_super = bins.n_super
@@ -436,6 +435,15 @@ def _chunk_candidates(bins, ob, db, t_min_b, t_max_b, cs, cb, sub_blocks):
     tn_flat = jnp.maximum(tn_bin.reshape(Cb, cs * S), 0.0)
     # |d| scale for parametric conversion: use max over sub-blocks
     n_hi_b = jnp.max(n_hi, axis=1)  # (Cb,)
+    return valid_bin, gbin, tn_flat, n_hi_b
+
+
+def _chunk_select(bins, valid_bin, gbin, tn_flat, n_hi_b, cb):
+    """Selection phase of the chunk cull: the level-1 top_k over cs*S
+    packed keys -> nearest-first candidate list. Returns (cand_bin,
+    cand_count, cand_tnear), each (Cb, cb) / (Cb,)."""
+    Cb = valid_bin.shape[0]
+    n_bins = bins.n_bins
 
     id_bits = max(1, (n_bins - 1).bit_length())
     if id_bits <= 20:
@@ -465,6 +473,19 @@ def _chunk_candidates(bins, ob, db, t_min_b, t_max_b, cs, cb, sub_blocks):
         )
     cand_count = jnp.sum(cand_bin >= 0, axis=1).astype(jnp.int32)
     return cand_bin, cand_count, cand_tnear
+
+
+def _chunk_candidates(bins, ob, db, t_min_b, t_max_b, cs, cb, sub_blocks):
+    """Two-level cull with per-sub-block cone tests, for one chunk of
+    blocks. Identical contract to :func:`_build_candidates` but tighter
+    (a union of R narrow cones vs one fat block cone) and designed to run
+    inside the fused per-chunk pipeline (small intermediates).
+
+    Returns (cand_bin (Cb, cb), cand_count (Cb,), cand_tnear (Cb, cb))."""
+    valid_bin, gbin, tn_flat, n_hi_b = _chunk_cull_tests(
+        bins, ob, db, t_min_b, t_max_b, cs, sub_blocks
+    )
+    return _chunk_select(bins, valid_bin, gbin, tn_flat, n_hi_b, cb)
 
 
 @partial(

@@ -127,9 +127,42 @@ def main():
         cb_, cc_, tn_ = jax.lax.map(f, argz)
         return cc_
 
+    @jax.jit
+    def cand_tests(t, d):
+        """Box-test phase alone (no level-1 top_k) — isolates the cull's
+        cs*S-key sort cost by difference vs `cands`."""
+        o, dd = rays_only(t, d)
+        nb = o.shape[0] // Rb
+        ob = o.reshape(nb, Rb, 3)
+        db = dd.reshape(nb, Rb, 3)
+        tmin = jnp.zeros((nb, Rb), jnp.float32)
+        tmax = jnp.full((nb, Rb), 1e9, jnp.float32)
+        chunk = min(256, nb)
+        pad = (-nb) % chunk
+        if pad:
+            padz = lambda x, fill: jnp.concatenate(
+                [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], 0)
+            ob, db = padz(ob, 0.0), padz(db, 1.0)
+            tmin, tmax = padz(tmin, 0.0), padz(tmax, 0.0)
+        nch = (nb + pad) // chunk
+        argz = (ob.reshape(nch, chunk, Rb, 3), db.reshape(nch, chunk, Rb, 3),
+                tmin.reshape(nch, chunk, Rb), tmax.reshape(nch, chunk, Rb))
+
+        def f(a):
+            vb, gb, tn, nh = rb._chunk_cull_tests(bins, a[0], a[1], a[2], a[3],
+                                                  cs, args.sub_blocks)
+            # reduce (prevents DCE) without a big sort
+            return jnp.sum(vb, axis=1), jnp.sum(tn, axis=1)
+
+        return jax.lax.map(f, argz)
+
+    t_t, _ = timeit(lambda: cand_tests(trans_j, dirs_j), args.iters)
+    print(f"cull box tests only    {t_t*1e3:8.1f} ms")
+
     t_c, cc = timeit(lambda: cands(trans_j, dirs_j), args.iters)
     cc = np.asarray(cc).reshape(-1)
-    print(f"candidates only        {t_c*1e3:8.1f} ms")
+    print(f"candidates only        {t_c*1e3:8.1f} ms  "
+          f"(level-1 top_k by difference ~{(t_c-t_t)*1e3:.1f} ms)")
     print(f"cand count: mean {cc.mean():.1f}  p50 {np.percentile(cc,50):.0f}  "
           f"p95 {np.percentile(cc,95):.0f}  max {cc.max()}  (budget {cb})")
     pair_work = cc.mean() * bins.bin_size  # tris tested per ray (upper bound)
