@@ -59,6 +59,7 @@ def main():
     el_tile = int(os.environ.get("BENCH_EL_TILE", 1))
     poses_per_tile = int(os.environ.get("BENCH_POSES_PER_TILE", 16))
     bins_per_super = int(os.environ.get("BENCH_BPS", 64))
+    c_mid = int(os.environ.get("BENCH_CMID", 0))  # 3-level cull when > 0
     bins = build_bins(mesh, bin_size=bin_size, bins_per_super=bins_per_super)
 
     model = SphericalModel.vlp16(width=900)  # 900 x 16 = 14,400 rays/pose
@@ -77,7 +78,7 @@ def main():
         poses_per_tile=poses_per_tile, az_tile=az_tile, el_tile=el_tile,
     )
     cast_kw = dict(block_size=sweep.block_size, dir_groups=sweep.dir_groups,
-                   c_bin=c_bin, block_chunk=512, sort_blocks=True)
+                   c_bin=c_bin, block_chunk=512, sort_blocks=True, c_mid=c_mid)
 
     def cast_sweep(bins, trans, dirs):
         """Closest-hit for all poses x all scan dirs (identity rotations,

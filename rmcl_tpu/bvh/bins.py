@@ -47,6 +47,11 @@ class TriangleBins:
     bins_per_super: int = dataclasses.field(metadata=dict(static=True))
     aabb_min: Array = None  # (3,) scene bounds
     aabb_max: Array = None
+    # optional middle hierarchy level (groups of bins_per_mid bins) for the
+    # 3-level cull: shrinks the level-1 box-test count and the dominant
+    # packed-key top_k from c_super*S to c_mid*M keys
+    mid_aabb: Array = None  # (n_mid, 6) or None
+    bins_per_mid: int = dataclasses.field(default=8, metadata=dict(static=True))
 
     @property
     def n_bins(self) -> int:
@@ -59,6 +64,10 @@ class TriangleBins:
     @property
     def n_super(self) -> int:
         return self.super_aabb.shape[0]
+
+    @property
+    def n_mid(self) -> int:
+        return 0 if self.mid_aabb is None else self.mid_aabb.shape[0]
 
     def nbytes(self) -> int:
         return int(self.tri.size + self.bin_aabb.size + self.super_aabb.size) * 4
@@ -105,6 +114,7 @@ def build_bins(
     prim_ids: np.ndarray | None = None,
     inst_ids: np.ndarray | None = None,
     method: str = "median",
+    bins_per_mid: int = 8,
 ) -> TriangleBins:
     """Build compact triangle bins (host, vectorized numpy).
 
@@ -188,6 +198,22 @@ def build_bins(
     super_max = bM.reshape(n_super, S, 3).max(axis=1)
     super_aabb = np.concatenate([super_min, super_max], axis=1)
 
+    # middle level: groups of M bins (padded grid aligned to the supers, so
+    # super s owns mids [s*S/M, (s+1)*S/M)). Degenerate padded bins collapse
+    # onto a corner, like the supers above.
+    M = max(1, min(bins_per_mid, S))
+    while S % M:  # clamp to a divisor of S (both are powers of two normally)
+        M -= 1
+    if M > 1:
+        n_mid = n_super * (S // M)
+        mid_min = bm.reshape(n_mid, M, 3).min(axis=1)
+        mid_max = bM.reshape(n_mid, M, 3).max(axis=1)
+        mid_aabb = jnp.asarray(
+            np.concatenate([mid_min, mid_max], axis=1).astype(np.float32)
+        )
+    else:  # mid level degenerates to the bins themselves: skip it
+        mid_aabb = None
+
     return TriangleBins(
         tri=jnp.asarray(packed),
         bin_aabb=jnp.asarray(bin_aabb.astype(np.float32)),
@@ -195,4 +221,6 @@ def build_bins(
         bins_per_super=S,
         aabb_min=jnp.asarray(scene_min.astype(np.float32)),
         aabb_max=jnp.asarray(scene_max.astype(np.float32)),
+        mid_aabb=mid_aabb,
+        bins_per_mid=M,
     )

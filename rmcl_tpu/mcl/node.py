@@ -132,6 +132,11 @@ class MCLConfig:
                 range_min=float(g("sensor_update.sensor_range_min", 0.05)),
                 range_max=float(g("sensor_update.sensor_range_max", 80.0)),
                 engine=str(g("sensor_update.engine", "bvh")),
+                cluster=bool(g("sensor_update.cluster", True)),
+                c_super=int(g("sensor_update.c_super", 24)),
+                c_bin=int(g("sensor_update.c_bin", 96)),
+                c_mid=int(g("sensor_update.c_mid", 0)),
+                layout=str(g("sensor_update.layout", "beam")),
             ),
             resampling=ResamplerConfig.create(
                 min_noise_t=(

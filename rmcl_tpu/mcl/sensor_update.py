@@ -66,6 +66,8 @@ class SensorUpdateConfig:
     # budget and remains the default for global-localization phases.
     c_super: int = dataclasses.field(default=24, metadata=dict(static=True))
     c_bin: int = dataclasses.field(default=96, metadata=dict(static=True))
+    # 3-level cull budget for binned RC ray casts (0 = 2-level)
+    c_mid: int = dataclasses.field(default=0, metadata=dict(static=True))
     # binned engine ray layout:
     #   "beam":     blocks = many particles x one beam (good once the cloud
     #               has concentrated: positions tight, headings aligned)
@@ -98,6 +100,7 @@ class SensorUpdateConfig:
         cluster=True,
         c_super=24,
         c_bin=96,
+        c_mid=0,
         layout="beam",
     ):
         return SensorUpdateConfig(
@@ -107,6 +110,7 @@ class SensorUpdateConfig:
             cluster=cluster,
             c_super=c_super,
             c_bin=c_bin,
+            c_mid=c_mid,
             layout=layout,
             dist_sigma=jnp.float32(dist_sigma),
             real_hit_sim_miss_error=jnp.float32(real_hit_sim_miss_error),
@@ -243,6 +247,7 @@ def sensor_update(
                 flip_normals=False,
                 c_super=config.c_super,
                 c_bin=config.c_bin,
+                c_mid=config.c_mid,
             )
             hits = jax.tree.map(
                 lambda x: x.reshape(N, Sp, *x.shape[1:]), h
@@ -259,6 +264,7 @@ def sensor_update(
                 flip_normals=False,
                 c_super=config.c_super,
                 c_bin=config.c_bin,
+                c_mid=config.c_mid,
             )
             resh = lambda x: jnp.swapaxes(
                 x.reshape(Sp, N, *x.shape[1:]), 0, 1

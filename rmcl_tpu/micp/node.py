@@ -97,6 +97,7 @@ class MICPLocalization:
             solver=str(self.config.get("solver", "p2l_gn")),
             c_super=int(self.config.get("engine_options.c_super", 24)),
             c_bin=int(self.config.get("engine_options.c_bin", 96)),
+            c_mid=int(self.config.get("engine_options.c_mid", 0)),
         )
         # ray engine: 'bvh' (exact traversal) or 'binned' (dense engine —
         # the TPU hot path; needs MeshMap bins). Serves both RC ray casts

@@ -96,6 +96,9 @@ class MICPConfig:
     # ops.raycast_binned and TPU_NOTES.md.
     c_super: int = dataclasses.field(default=24, metadata=dict(static=True))
     c_bin: int = dataclasses.field(default=96, metadata=dict(static=True))
+    # 3-level cull budget for the binned RAY engine (0 = 2-level); candidate
+    # sets verified identical at c_mid=32 on the bench workload (TPU_NOTES)
+    c_mid: int = dataclasses.field(default=0, metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -183,6 +186,7 @@ def find_correspondences(
     chunk_size: int = 262144,
     c_super: int = 24,
     c_bin: int = 96,
+    c_mid: int = 0,
 ) -> Tuple[Correspondences, ...]:
     """One correspondence search per sensor from the pose estimate
     (reference correctOnce :900-908 → Correspondences_::find(Tom*Tbo)).
@@ -205,6 +209,7 @@ def find_correspondences(
                 find_rcc(
                     bvh, s.model, tsm,
                     chunk_size=chunk_size, c_super=c_super, c_bin=c_bin,
+                    c_mid=c_mid,
                 )
             )
     return tuple(out)
@@ -228,7 +233,7 @@ def correct_once(
     tbm = tom @ tbo
     corrs = find_correspondences(
         bvh, sensors, tbm, chunk_size=chunk_size,
-        c_super=config.c_super, c_bin=config.c_bin,
+        c_super=config.c_super, c_bin=config.c_bin, c_mid=config.c_mid,
     )
 
     # lift per-sensor data into the odom frame once; the GN loop then works

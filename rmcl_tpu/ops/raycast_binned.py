@@ -359,20 +359,13 @@ def _subblock_bounds(ob, db, t_min_b, t_max_b, sub_blocks):
     return un(oc), un(oh), un(a), un(tan_th), un(t_hi), un(n_hi), un(dead)
 
 
-def _chunk_cull_tests(bins, ob, db, t_min_b, t_max_b, cs, sub_blocks):
-    """Box-test phase of the chunk cull: sub-block bounds, scene cap,
-    level-0 super tests + top_k selection, level-1 bin tests. Returns
-    (valid_bin (Cb, cs*S), gbin (Cb, cs*S), tn_flat (Cb, cs*S), n_hi_b
-    (Cb,)) for :func:`_chunk_select` — split out so the probe harness can
-    time the tests separately from the level-1 top_k."""
-    Cb = ob.shape[0]
-    S = bins.bins_per_super
-    n_super = bins.n_super
-    n_bins = bins.n_bins
-    R = sub_blocks
-
+def _chunk_level0(bins, ob, db, t_min_b, t_max_b, cs, sub_blocks):
+    """Shared front of the chunk cull: sub-block cone bounds, scene-exit
+    cap, level-0 super tests + top_k. Returns (bounds, sup_ids, sup_valid,
+    n_hi_b) where bounds = (oc, oh, axis, tan_th, t_hi) with (Cb, R, ...)
+    shapes."""
     oc, oh, axis, tan_th, t_hi, n_hi, dead = _subblock_bounds(
-        ob, db, t_min_b, t_max_b, R
+        ob, db, t_min_b, t_max_b, sub_blocks
     )  # (Cb, R, ...)
     axis = jnp.where(dead[..., None], jnp.asarray([1.0, 0.0, 0.0]), axis)
     t_hi = jnp.where(dead, 0.0, t_hi)
@@ -405,6 +398,40 @@ def _chunk_cull_tests(bins, ob, db, t_min_b, t_max_b, cs, sub_blocks):
     score = jnp.where(any_sup, -tn_sup, -_BIG)
     sup_score, sup_ids = jax.lax.top_k(score, cs)  # (Cb, cs)
     sup_valid = sup_score > -_BIG
+    n_hi_b = jnp.max(n_hi, axis=1)  # (Cb,) |d| scale, max over sub-blocks
+    return (oc, oh, axis, tan_th, t_hi), sup_ids, sup_valid, n_hi_b
+
+
+def _group_box_tests(bounds, boxes):
+    """Sub-block cone tests against grouped boxes (Cb, K, G, 6) -> OR over
+    sub-blocks. Returns (any (Cb, K, G), tn (Cb, K, G))."""
+    oc, oh, axis, tan_th, t_hi = bounds
+    pass_b, tn_b, _ = _cone_box_test(
+        oc[:, :, None, None],
+        oh[:, :, None, None],
+        axis[:, :, None, None],
+        tan_th[:, :, None, None],
+        t_hi[:, :, None, None],
+        boxes[:, None, :, :, 0:3],
+        boxes[:, None, :, :, 3:6],
+    )  # (Cb, R, K, G)
+    tn = jnp.min(jnp.where(pass_b, tn_b, _BIG), axis=1)
+    return jnp.any(pass_b, axis=1), tn
+
+
+def _chunk_cull_tests(bins, ob, db, t_min_b, t_max_b, cs, sub_blocks):
+    """Box-test phase of the 2-level chunk cull: bounds + level-0 + level-1
+    bin tests over the cs candidate supers. Returns (valid_bin (Cb, cs*S),
+    gbin, tn_flat, n_hi_b) for :func:`_chunk_select` — split out so the
+    probe harness can time the tests separately from the level-1 top_k."""
+    Cb = ob.shape[0]
+    S = bins.bins_per_super
+    n_super = bins.n_super
+    n_bins = bins.n_bins
+
+    bounds, sup_ids, sup_valid, n_hi_b = _chunk_level0(
+        bins, ob, db, t_min_b, t_max_b, cs, sub_blocks
+    )
 
     # level 1: candidate supers' bins, per sub-block cones, OR
     bin_aabb_g = bins.bin_aabb
@@ -415,17 +442,7 @@ def _chunk_cull_tests(bins, ob, db, t_min_b, t_max_b, cs, sub_blocks):
         )
     bin_aabb_s = bin_aabb_g.reshape(n_super, S, 6)
     sub = jnp.take(bin_aabb_s, sup_ids, axis=0)  # (Cb, cs, S, 6)
-    pass_bin, tn_bin, _ = _cone_box_test(
-        oc[:, :, None, None],
-        oh[:, :, None, None],
-        axis[:, :, None, None],
-        tan_th[:, :, None, None],
-        t_hi[:, :, None, None],
-        sub[:, None, :, :, 0:3],
-        sub[:, None, :, :, 3:6],
-    )  # (Cb, R, cs, S)
-    tn_bin = jnp.min(jnp.where(pass_bin, tn_bin, _BIG), axis=1)
-    any_bin = jnp.any(pass_bin, axis=1)  # (Cb, cs, S)
+    any_bin, tn_bin = _group_box_tests(bounds, sub)  # (Cb, cs, S)
 
     gbin = sup_ids[..., None] * S + jnp.arange(S)[None, None, :]
     valid_bin = (
@@ -433,8 +450,74 @@ def _chunk_cull_tests(bins, ob, db, t_min_b, t_max_b, cs, sub_blocks):
     ).reshape(Cb, cs * S)
     gbin = gbin.reshape(Cb, cs * S)
     tn_flat = jnp.maximum(tn_bin.reshape(Cb, cs * S), 0.0)
-    # |d| scale for parametric conversion: use max over sub-blocks
-    n_hi_b = jnp.max(n_hi, axis=1)  # (Cb,)
+    return valid_bin, gbin, tn_flat, n_hi_b
+
+
+def _chunk_cull_tests3(bins, ob, db, t_min_b, t_max_b, cs, cm, sub_blocks):
+    """3-level variant: level-0 supers -> level-1a mid boxes (groups of
+    M = bins_per_mid bins, top_k to ``cm`` mids) -> level-1b bin tests.
+    Same return contract as :func:`_chunk_cull_tests` but with cm*M
+    level-1 keys instead of cs*S — both the box-test count and the
+    dominant top_k shrink when cm*M << cs*S. Never false-culls beyond the
+    cm-mid budget truncation (nearest-first, like every other budget)."""
+    assert bins.mid_aabb is not None, "bins built without mid level"
+    Cb = ob.shape[0]
+    S = bins.bins_per_super
+    M = bins.bins_per_mid
+    Sm = S // M
+    n_super = bins.n_super
+    n_bins = bins.n_bins
+    n_mid = n_super * Sm
+
+    bounds, sup_ids, sup_valid, n_hi_b = _chunk_level0(
+        bins, ob, db, t_min_b, t_max_b, cs, sub_blocks
+    )
+
+    # level 1a: candidate supers' mids
+    mid_aabb_s = bins.mid_aabb.reshape(n_super, Sm, 6)
+    midw = jnp.take(mid_aabb_s, sup_ids, axis=0)  # (Cb, cs, Sm, 6)
+    any_mid, tn_mid = _group_box_tests(bounds, midw)  # (Cb, cs, Sm)
+    gmid = sup_ids[..., None] * Sm + jnp.arange(Sm)[None, None, :]
+    # exclude mids made entirely of padding (their first bin is past n_bins)
+    valid_mid = (
+        any_mid & sup_valid[..., None] & (gmid * M < n_bins)
+    ).reshape(Cb, cs * Sm)
+    gmid = gmid.reshape(Cb, cs * Sm)
+    tnm = jnp.maximum(tn_mid.reshape(Cb, cs * Sm), 0.0)
+
+    # nearest-first mid selection (packed keys, like _chunk_select)
+    mid_bits = max(1, (n_mid - 1).bit_length())
+    if mid_bits <= 20:
+        idm = jnp.int32((1 << mid_bits) - 1)
+        tb = jax.lax.bitcast_convert_type(tnm, jnp.int32)
+        key = jnp.where(valid_mid, (tb & ~idm) | gmid, jnp.int32(0x7FFFFFF0))
+        kmin = -jax.lax.top_k(-key, cm)[0]
+        mid_sel = jnp.where(kmin != 0x7FFFFFF0, kmin & idm, -1)  # (Cb, cm)
+    else:
+        mscore = jnp.where(valid_mid, -tnm, -_BIG)
+        msc, mpos = jax.lax.top_k(mscore, cm)
+        mid_sel = jnp.where(
+            msc > -_BIG, jnp.take_along_axis(gmid, mpos, axis=1), -1
+        )
+
+    # level 1b: candidate mids' bins
+    bin_aabb_g = bins.bin_aabb
+    pad_bins = n_mid * M - n_bins
+    if pad_bins:
+        bin_aabb_g = jnp.concatenate(
+            [bin_aabb_g, jnp.zeros((pad_bins, 6), jnp.float32)], 0
+        )
+    bin_aabb_m = bin_aabb_g.reshape(n_mid, M, 6)
+    safe_mid = jnp.where(mid_sel >= 0, mid_sel, 0)
+    sub = jnp.take(bin_aabb_m, safe_mid, axis=0)  # (Cb, cm, M, 6)
+    any_bin, tn_bin = _group_box_tests(bounds, sub)  # (Cb, cm, M)
+
+    gbin = safe_mid[..., None] * M + jnp.arange(M)[None, None, :]
+    valid_bin = (
+        any_bin & (mid_sel >= 0)[..., None] & (gbin < n_bins)
+    ).reshape(Cb, cm * M)
+    gbin = gbin.reshape(Cb, cm * M)
+    tn_flat = jnp.maximum(tn_bin.reshape(Cb, cm * M), 0.0)
     return valid_bin, gbin, tn_flat, n_hi_b
 
 
@@ -475,16 +558,24 @@ def _chunk_select(bins, valid_bin, gbin, tn_flat, n_hi_b, cb):
     return cand_bin, cand_count, cand_tnear
 
 
-def _chunk_candidates(bins, ob, db, t_min_b, t_max_b, cs, cb, sub_blocks):
-    """Two-level cull with per-sub-block cone tests, for one chunk of
-    blocks. Identical contract to :func:`_build_candidates` but tighter
-    (a union of R narrow cones vs one fat block cone) and designed to run
-    inside the fused per-chunk pipeline (small intermediates).
+def _chunk_candidates(
+    bins, ob, db, t_min_b, t_max_b, cs, cb, sub_blocks, c_mid=0
+):
+    """Per-sub-block chunk cull. Identical contract to
+    :func:`_build_candidates` but tighter (a union of R narrow cones vs
+    one fat block cone) and designed to run inside the fused per-chunk
+    pipeline (small intermediates). ``c_mid > 0`` routes through the
+    3-level hierarchy (supers -> c_mid mid boxes -> bins).
 
     Returns (cand_bin (Cb, cb), cand_count (Cb,), cand_tnear (Cb, cb))."""
-    valid_bin, gbin, tn_flat, n_hi_b = _chunk_cull_tests(
-        bins, ob, db, t_min_b, t_max_b, cs, sub_blocks
-    )
+    if c_mid:
+        valid_bin, gbin, tn_flat, n_hi_b = _chunk_cull_tests3(
+            bins, ob, db, t_min_b, t_max_b, cs, c_mid, sub_blocks
+        )
+    else:
+        valid_bin, gbin, tn_flat, n_hi_b = _chunk_cull_tests(
+            bins, ob, db, t_min_b, t_max_b, cs, sub_blocks
+        )
     return _chunk_select(bins, valid_bin, gbin, tn_flat, n_hi_b, cb)
 
 
@@ -493,7 +584,7 @@ def _chunk_candidates(bins, ob, db, t_min_b, t_max_b, cs, cb, sub_blocks):
     static_argnames=(
         "block_size", "c_super", "c_bin", "block_chunk", "flip_normals",
         "use_pallas", "pallas_interpret", "shared_dir", "payload",
-        "sub_blocks", "dir_groups", "sort_blocks",
+        "sub_blocks", "dir_groups", "sort_blocks", "c_mid",
     ),
 )
 def cast_rays_binned(
@@ -514,6 +605,7 @@ def cast_rays_binned(
     sub_blocks: int = 4,
     dir_groups: int = 0,
     sort_blocks: bool = False,
+    c_mid: int = 0,
 ) -> RayHits:
     """Dense closest-hit query (drop-in for ops.raycast.cast_rays).
 
@@ -535,6 +627,12 @@ def cast_rays_binned(
     ``use_pallas=True`` routes the intersection phase through the Pallas
     kernel (global candidate build; for study — the fused XLA path is the
     production default).
+
+    ``c_mid=K`` enables the 3-level cull (supers -> K nearest mid boxes of
+    ``bins.bins_per_mid`` bins each -> bins): cuts the level-1 box-test
+    count and the dominant packed-key top_k from cs*S to cm*M keys. Keep
+    ``K*bins_per_mid`` comfortably above ``c_bin`` — the mid budget is a
+    truncation layer like every other budget.
     """
     if shared_dir and not dir_groups:
         dir_groups = 1
@@ -567,6 +665,17 @@ def cast_rays_binned(
     B = bins.bin_size
     cs = min(c_super, bins.n_super)
     cb = min(c_bin, n_bins, cs * S)
+    cm_ = 0
+    if c_mid:  # 3-level cull: supers -> cm_ mid boxes -> bins
+        M = bins.bins_per_mid
+        Sm = S // max(M, 1)
+        if bins.mid_aabb is None or Sm <= 1:
+            cm_ = 0  # degenerate mid level (mids == supers): 2-level is strictly better
+        else:
+            # never let the mid budget under-cover c_bin — raise cm_ to at
+            # least ceil(cb / M) so the only truncation layer is cb itself
+            cm_ = min(max(c_mid, -(-cb // M)), bins.n_mid, cs * Sm)
+            cb = min(cb, cm_ * M)
 
     # --- dense intersection over candidate bins ---------------------------
     # sentinel bin at index n_bins: all-zero rows give inv=0 -> u=v=t=0,
@@ -590,7 +699,7 @@ def cast_rays_binned(
         else:
             ob_c, db_c, tmin_c, tmax_c = args
             cand_c, count_c, tnear_c = _chunk_candidates(
-                bins, ob_c, db_c, tmin_c, tmax_c, cs, cb, sub_blocks
+                bins, ob_c, db_c, tmin_c, tmax_c, cs, cb, sub_blocks, cm_
             )
         Rb_l, G_l = Rb, G
         Bc = ob_c.shape[0]
@@ -794,7 +903,7 @@ def cast_rays_binned(
         # workload). Block-granular (take rows of >= 512 B), not a ray
         # gather.
         cand_fn = lambda a: _chunk_candidates(
-            bins, a[0], a[1], a[2], a[3], cs, cb, sub_blocks
+            bins, a[0], a[1], a[2], a[3], cs, cb, sub_blocks, cm_
         )
         if n_chunks == 1:
             cand_a, count_a, tnear_a = cand_fn(tuple(a[0] for a in args))

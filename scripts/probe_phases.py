@@ -50,6 +50,7 @@ def main():
     ap.add_argument("--c-super", type=int, default=24)
     ap.add_argument("--c-bin", type=int, default=96)
     ap.add_argument("--sub-blocks", type=int, default=4)
+    ap.add_argument("--c-mid", type=int, default=0)
     args = ap.parse_args()
 
     print("devices:", jax.devices())
@@ -67,7 +68,8 @@ def main():
     sweep = TiledSweep(trans, model.width, model.height,
                        poses_per_tile=args.pt, az_tile=args.at, el_tile=args.et)
     kw = dict(block_size=sweep.block_size, dir_groups=sweep.dir_groups,
-              c_super=args.c_super, c_bin=args.c_bin, sub_blocks=args.sub_blocks)
+              c_super=args.c_super, c_bin=args.c_bin, sub_blocks=args.sub_blocks,
+              c_mid=args.c_mid)
     trans_j = jnp.asarray(trans)
     dirs_j = jnp.asarray(np.asarray(dirs_s))
     n_rays = args.poses * model.n_rays
@@ -123,7 +125,8 @@ def main():
         argz = (ob.reshape(nch, chunk, Rb, 3), db.reshape(nch, chunk, Rb, 3),
                 tmin.reshape(nch, chunk, Rb), tmax.reshape(nch, chunk, Rb))
         f = lambda a: rb._chunk_candidates(bins, a[0], a[1], a[2], a[3],
-                                           cs, cb, args.sub_blocks)
+                                           cs, cb, args.sub_blocks,
+                                           args.c_mid)
         cb_, cc_, tn_ = jax.lax.map(f, argz)
         return cc_
 
@@ -149,8 +152,13 @@ def main():
                 tmin.reshape(nch, chunk, Rb), tmax.reshape(nch, chunk, Rb))
 
         def f(a):
-            vb, gb, tn, nh = rb._chunk_cull_tests(bins, a[0], a[1], a[2], a[3],
-                                                  cs, args.sub_blocks)
+            if args.c_mid:
+                vb, gb, tn, nh = rb._chunk_cull_tests3(
+                    bins, a[0], a[1], a[2], a[3], cs, args.c_mid,
+                    args.sub_blocks)
+            else:
+                vb, gb, tn, nh = rb._chunk_cull_tests(
+                    bins, a[0], a[1], a[2], a[3], cs, args.sub_blocks)
             # reduce (prevents DCE) without a big sort
             return jnp.sum(vb, axis=1), jnp.sum(tn, axis=1)
 

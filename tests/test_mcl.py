@@ -377,6 +377,10 @@ def test_mcl_config_from_params():
             "samples": 32,
             "dist_sigma": 0.9,
             "sensor_range_max": 50.0,
+            "engine": "binned",
+            "layout": "particle",
+            "c_mid": 32,
+            "c_bin": 128,
         },
         "resampling": {
             "type": "residual",
@@ -395,6 +399,9 @@ def test_mcl_config_from_params():
     assert cfg.sensor.samples == 32
     assert float(cfg.sensor.dist_sigma) == np.float32(0.9)
     assert float(cfg.sensor.range_max) == 50.0
+    assert cfg.sensor.engine == "binned"
+    assert cfg.sensor.layout == "particle"
+    assert cfg.sensor.c_mid == 32 and cfg.sensor.c_bin == 128
     np.testing.assert_allclose(
         np.asarray(cfg.resampling.min_noise),
         [0.1, 0.03, 0.0, 0.0, 0.0, 0.05],
@@ -579,3 +586,33 @@ def test_sensor_update_particle_layout_matches_bvh(key):
     assert close.mean() > 0.97, f"only {close.mean():.2%} close"
     # n_meas must count only the 50 real beams, not the padded 64
     np.testing.assert_allclose(np.asarray(out_pm.likelihood.n_meas), 50.0)
+
+
+def test_sensor_update_c_mid_matches_two_level(key):
+    """c_mid (3-level cull) leaves binned sensor-update scores unchanged."""
+    from rmcl_tpu.bvh.bins import build_bins
+    from rmcl_tpu.geom.mesh import make_room_scene as _mrs
+
+    mesh = _mrs(n_pillars=3, seed=2)
+    bvh = build_bvh(mesh)
+    bins = build_bins(mesh, bin_size=16, bins_per_super=32, bins_per_mid=8)
+    true_pose = Transform.from_pose_tuple(jnp.asarray([0.5, -0.5, 1.0, 0, 0, 0.4]))
+    points, mask = make_scan(bvh, true_pose)
+
+    n = 96
+    rng = np.random.default_rng(5)
+    trans = rng.uniform([-4, -3, 0.5], [4, 3, 1.5], (n, 3)).astype(np.float32)
+    yaw = rng.uniform(-np.pi, np.pi, n).astype(np.float32)
+    poses = Transform.from_xyz_euler(
+        jnp.asarray(trans), jnp.stack([jnp.zeros(n), jnp.zeros(n), jnp.asarray(yaw)], -1)
+    )
+    cloud = ParticleCloud.create(n).with_poses(poses)
+
+    outs = []
+    for cm in (0, 48):
+        cfg = SensorUpdateConfig.create(
+            samples=24, engine="binned", layout="particle", c_mid=cm
+        )
+        out = sensor_update(bins, cloud, key, points, mask, Transform.identity(), cfg)
+        outs.append(np.asarray(out.likelihood.mean))
+    np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-7)

@@ -331,3 +331,54 @@ def test_omnidirectional_block_ball_bound(rng):
     )
     n_bins_a = (np.asarray(bins.bin_aabb)[:, 0] < 30.0).sum()
     assert counts.max() <= n_bins_a, (counts.max(), n_bins_a)
+
+
+def test_three_level_cull_matches_exact(rng):
+    """c_mid (3-level cull) is result-identical to the 2-level path on a
+    coherent pose sweep and on incoherent random rays."""
+    mesh = make_room_scene(n_pillars=4, seed=3)
+    bins = build_bins(mesh, bin_size=16, bins_per_super=32, bins_per_mid=8)
+    bvh = build_bvh(mesh)
+
+    # coherent scan-style rays from inside the room
+    az = np.linspace(-np.pi, np.pi, 360, endpoint=False)
+    el = np.linspace(-0.4, 0.3, 8)
+    A, E = np.meshgrid(az, el, indexing="ij")
+    d = np.stack(
+        [np.cos(E) * np.cos(A), np.cos(E) * np.sin(A), np.sin(E)], -1
+    ).reshape(-1, 3).astype(np.float32)
+    o = np.broadcast_to(np.float32([0.5, -0.3, 1.2]), d.shape).copy()
+    exact = cast_rays(bvh, jnp.asarray(o), jnp.asarray(d))
+    h3 = cast_rays_binned(bins, jnp.asarray(o), jnp.asarray(d), c_mid=48)
+    assert_hits_match(h3, exact)
+
+    # incoherent rays (exercise wide-spread sub-blocks through the mid level)
+    d2 = rng.normal(size=(1024, 3)).astype(np.float32)
+    d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
+    o2 = rng.uniform([-4, -3, 0.3], [4, 3, 2.5], (1024, 3)).astype(np.float32)
+    exact2 = cast_rays(bvh, jnp.asarray(o2), jnp.asarray(d2))
+    h3b = cast_rays_binned(
+        bins, jnp.asarray(o2), jnp.asarray(d2), block_size=64, c_mid=64
+    )
+    assert_hits_match(h3b, exact2)
+
+
+def test_three_level_cull_sorted_chunks(rng):
+    """c_mid composes with sort_blocks (the production bench path)."""
+    mesh = make_sphere(128, 128, radius=20.0)
+    bins = build_bins(mesh, bin_size=32, bins_per_super=64, bins_per_mid=8)
+    bvh = build_bvh(mesh)
+    az = np.linspace(-np.pi, np.pi, 512, endpoint=False)
+    el = np.linspace(-0.25, 0.25, 4)
+    A, E = np.meshgrid(az, el, indexing="ij")
+    d = np.stack(
+        [np.cos(E) * np.cos(A), np.cos(E) * np.sin(A), np.sin(E)], -1
+    ).reshape(-1, 3).astype(np.float32)
+    o = rng.uniform(-2, 2, (1, 3)).astype(np.float32)
+    o = np.broadcast_to(o, d.shape).copy()
+    exact = cast_rays(bvh, jnp.asarray(o), jnp.asarray(d))
+    h = cast_rays_binned(
+        bins, jnp.asarray(o), jnp.asarray(d),
+        c_mid=32, sort_blocks=True, block_chunk=8,
+    )
+    assert_hits_match(h, exact)
