@@ -40,15 +40,30 @@ def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
+def _place(x, sh: NamedSharding):
+    """device_put that also works on a multi-PROCESS mesh.
+
+    Multi-process ``jax.device_put`` cross-checks that every process passed
+    a bitwise-equal value — with NaN != NaN semantics, so replicating any
+    array containing NaN sentinels (BVH node padding) always trips it.
+    ``make_array_from_callback`` assembles the global array from local
+    slices with no equality round-trip; each process must hold the same
+    full-value array (true for deterministic host-side builds)."""
+    if jax.process_count() == 1:
+        return jax.device_put(x, sh)
+    h = np.asarray(x)
+    return jax.make_array_from_callback(h.shape, sh, lambda idx: h[idx])
+
+
 def put_sharded(tree, mesh: Mesh):
     """Place a pytree of (N, ...) arrays with the leading dim sharded."""
     sh = shard_rays(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, sh), tree)
+    return jax.tree.map(lambda x: _place(x, sh), tree)
 
 
 def put_replicated(tree, mesh: Mesh):
     rep = replicated(mesh)
-    return jax.tree.map(lambda x: jax.device_put(x, rep), tree)
+    return jax.tree.map(lambda x: _place(x, rep), tree)
 
 
 def pad_to_multiple(n: int, k: int) -> int:

@@ -55,8 +55,8 @@ def shard_sensor_data(sensors: Sequence[MICPSensorData], mesh: Mesh):
         out.append(
             MICPSensorData(
                 model=put_replicated(s.model, mesh),
-                points=jax.device_put(s.points, shard_rays(mesh)),
-                mask=jax.device_put(s.mask, shard_rays(mesh)),
+                points=put_sharded(s.points, mesh),
+                mask=put_sharded(s.mask, mesh),
                 tsb=put_replicated(s.tsb, mesh),
                 config=put_replicated(s.config, mesh),
             )
