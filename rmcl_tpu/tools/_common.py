@@ -1,0 +1,39 @@
+"""Shared plumbing for the CLI tools."""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def load_map(path: str, bin_size: int = 64, bins_per_super: int = 64):
+    from rmcl_tpu.geom.map import MeshMap
+
+    return MeshMap.from_file(
+        path, bin_size=bin_size, bins_per_super=bins_per_super
+    )
+
+
+def load_config(path: str | None):
+    from rmcl_tpu.config.tree import ParamTree
+
+    if path is None:
+        return ParamTree()
+    return ParamTree.from_yaml(path)
+
+
+def save_track(path: str, stamps, poses) -> None:
+    """Pose track NPZ: stamps (N,), trans (N, 3), rot (N, 4) wxyz."""
+    np.savez_compressed(
+        path,
+        stamps=np.asarray(stamps, np.float64),
+        trans=np.stack([np.asarray(p.trans) for p in poses]),
+        rot=np.stack([np.asarray(p.rot) for p in poses]),
+    )
+
+
+def pose_tuple(vals):
+    import jax.numpy as jnp
+
+    from rmcl_tpu.math.se3 import Transform
+
+    return Transform.from_pose_tuple(jnp.asarray([float(v) for v in vals]))

@@ -1,0 +1,126 @@
+"""End-to-end tests of the CLI tools (the reference's L6 executables)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from rmcl_tpu.bvh.builder import build_bvh
+from rmcl_tpu.geom.mesh import make_room_scene, save_obj
+from rmcl_tpu.io import msgs
+from rmcl_tpu.io.conversions import model_to_scan_info
+from rmcl_tpu.io.replay import MessageLog
+from rmcl_tpu.math.se3 import Transform
+from rmcl_tpu.sensors.models import SphericalModel
+from rmcl_tpu.sensors.simulate import simulate
+
+
+@pytest.fixture(scope="module")
+def world_and_log(tmp_path_factory):
+    """A room world on disk + a replay log of a short drifting run."""
+    tmp = tmp_path_factory.mktemp("tools")
+    mesh = make_room_scene(n_pillars=3, seed=2)
+    map_path = str(tmp / "world.obj")
+    save_obj(mesh, map_path)
+    bvh = build_bvh(mesh)
+
+    model = SphericalModel.create(
+        width=180, height=8, phi_min=-0.3, phi_max=0.2, range_max=30.0
+    )
+    info = model_to_scan_info(model)
+
+    log = MessageLog()
+    true_poses = []
+    for k in range(6):
+        stamp = 0.1 * k
+        true = Transform.from_pose_tuple(
+            jnp.asarray([0.4 + 0.05 * k, -0.3, 1.0, 0, 0, 0.3])
+        )
+        true_poses.append(true)
+        hits = simulate(bvh, model, true)
+        # odometry = identity-drifting guess (MICP must correct it)
+        log.add_odometry(stamp, Transform.from_pose_tuple(
+            jnp.asarray([0.4, -0.3, 1.0, 0, 0, 0.3])
+        ))
+        ranges = np.where(np.asarray(hits.hit), np.asarray(hits.t), 0.0)
+        log.add(stamp, "scan", "lidar", msgs.ScanStamped(
+            header=msgs.Header(stamp=stamp),
+            info=info,
+            data=msgs.RangeData(ranges=ranges.astype(np.float32),
+                                mask=np.asarray(hits.hit)),
+        ))
+        # cloud records for the RMCL + convert tools (sensor frame)
+        pts = np.where(np.asarray(hits.hit)[:, None], np.asarray(hits.point), np.nan)
+        log.add(stamp, "cloud", "lidar", {
+            "points": pts.astype(np.float32),
+            "mask": np.asarray(hits.hit),
+        })
+    log_path = str(tmp / "run.npz")
+    log.save(log_path)
+    return map_path, log_path, true_poses, tmp
+
+
+def test_micp_localization_cli(world_and_log):
+    from rmcl_tpu.tools.micp_localization import main
+
+    map_path, log_path, true_poses, tmp = world_and_log
+    out = str(tmp / "track_micp.npz")
+    rc = main(["--map", map_path, "--log", log_path, "--out", out,
+               "--steps-per-scan", "3",
+               "--initial-pose-guess", "0.4", "-0.3", "1.0", "0", "0", "0.3"])
+    assert rc == 0
+    z = np.load(out)
+    assert z["trans"].shape[0] == 6
+    # last corrected pose ~ last true pose (odometry was stale by 0.25 m)
+    err = np.linalg.norm(z["trans"][-1] - np.asarray(true_poses[-1].trans))
+    assert err < 0.05, err
+
+
+def test_rmcl_localization_cli(world_and_log):
+    from rmcl_tpu.tools.rmcl_localization import main
+
+    map_path, log_path, true_poses, tmp = world_and_log
+    out = str(tmp / "track_rmcl.npz")
+    rc = main(["--map", map_path, "--log", log_path, "--out", out,
+               "--initial-pose", "0.5", "-0.3", "1.0", "0", "0", "0.3"])
+    assert rc == 0
+    z = np.load(out)
+    assert z["trans"].shape[0] == 6
+    err = np.linalg.norm(z["trans"][-1] - np.asarray(true_poses[-1].trans))
+    assert err < 0.35, err  # particle filter with few updates: coarse
+
+
+def test_map_segmentation_cli(world_and_log):
+    from rmcl_tpu.tools.map_segmentation import main
+
+    map_path, log_path, true_poses, tmp = world_and_log
+    out = str(tmp / "seg.npz")
+    rc = main(["--map", map_path, "--log", log_path, "--out", out,
+               "--pose", "0.4", "-0.3", "1.0", "0", "0", "0.3"])
+    assert rc == 0
+    z = np.load(out)
+    assert int(z["n_scans"]) == 6
+    # first scan was rendered exactly from that pose: nothing is an outlier
+    assert z["s0_scan_outlier"].sum() == 0
+    assert z["s0_map_outlier"].sum() == 0
+
+
+def test_convert_cli(world_and_log):
+    from rmcl_tpu.tools.convert import main
+    from rmcl_tpu.tools.micp_localization import main as micp_main
+
+    map_path, log_path, true_poses, tmp = world_and_log
+    out_log = str(tmp / "run_scan.npz")
+    rc = main(["--log", log_path, "--to", "scan", "--out", out_log,
+               "--width", "180", "--height", "8",
+               "--phi-min", "-0.3", "--phi-max", "0.2",
+               "--range-min", "0.1", "--range-max", "30"])
+    assert rc == 0
+    # the converted log drives the MICP CLI end to end
+    out = str(tmp / "track_conv.npz")
+    rc = micp_main(["--map", map_path, "--log", out_log, "--out", out,
+                    "--steps-per-scan", "3",
+                    "--initial-pose-guess", "0.4", "-0.3", "1.0", "0", "0", "0.3"])
+    assert rc == 0
+    z = np.load(out)
+    err = np.linalg.norm(z["trans"][-1] - np.asarray(true_poses[-1].trans))
+    assert err < 0.08, err
