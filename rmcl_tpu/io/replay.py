@@ -68,6 +68,18 @@ class MessageLog:
                     arrays[f"r{i}_smask"] = np.asarray(r.payload.data.mask)
                 if r.payload.data.stamps is not None:
                     arrays[f"r{i}_stamps"] = np.asarray(r.payload.data.stamps)
+            elif r.kind == "o1dn":
+                # O1DnStamped: one origin + per-ray dirs (generic LiDAR)
+                info = r.payload.info
+                arrays[f"r{i}_orig"] = np.asarray(info.orig, np.float32)
+                arrays[f"r{i}_dirs"] = np.asarray(info.dirs, np.float32)
+                arrays[f"r{i}_rlim"] = np.asarray(
+                    [info.range_min, info.range_max], np.float64)
+                arrays[f"r{i}_ranges"] = np.asarray(r.payload.data.ranges)
+                if r.payload.data.mask is not None:
+                    arrays[f"r{i}_smask"] = np.asarray(r.payload.data.mask)
+                if r.payload.data.stamps is not None:
+                    arrays[f"r{i}_stamps"] = np.asarray(r.payload.data.stamps)
             else:
                 raise ValueError(f"cannot persist record kind '{r.kind}'")
             meta.append((r.stamp, r.kind, r.channel))
@@ -101,6 +113,22 @@ class MessageLog:
                         phi_min=float(v[2]), phi_inc=float(v[3]),
                         theta_min=float(v[4]), theta_inc=float(v[5]),
                         range_min=float(v[6]), range_max=float(v[7]),
+                    ),
+                    data=msgs.RangeData(
+                        ranges=z[f"r{i}_ranges"],
+                        mask=z.get(f"r{i}_smask"),
+                        stamps=z.get(f"r{i}_stamps"),
+                    ),
+                )
+            elif kind == "o1dn":
+                from rmcl_tpu.io import msgs
+
+                rl = z[f"r{i}_rlim"]
+                payload = msgs.O1DnStamped(
+                    header=msgs.Header(stamp=float(stamp)),
+                    info=msgs.O1DnInfo(
+                        orig=z[f"r{i}_orig"], dirs=z[f"r{i}_dirs"],
+                        range_min=float(rl[0]), range_max=float(rl[1]),
                     ),
                     data=msgs.RangeData(
                         ranges=z[f"r{i}_ranges"],

@@ -40,7 +40,7 @@ def main(argv=None) -> int:
     log = MessageLog.load(args.log)
     config = load_config(args.config)
     # default sensor blocks for channels the config doesn't mention
-    channels = {r.channel for r in log if r.kind == "scan"}
+    channels = {r.channel for r in log if r.kind in ("scan", "o1dn")}
     sensors = config.get("sensors", {}) or {}
     for ch in sorted(channels):
         sensors.setdefault(ch, {})
@@ -56,15 +56,22 @@ def main(argv=None) -> int:
     def on_odom(rec):
         node.on_odometry(rec.payload, stamp=rec.stamp)
 
-    def on_scan(rec):
-        node.on_scan(rec.channel, rec.payload)
+    def correct_and_record(stamp):
         for _ in range(args.steps_per_scan):
             node.step()
         if node.tom is not None:
-            stamps.append(rec.stamp)
+            stamps.append(stamp)
             track.append(node.pose_base_map())
 
-    n = replay(log, {"odom": on_odom, "scan": on_scan})
+    def on_scan(rec):
+        node.on_scan(rec.channel, rec.payload)
+        correct_and_record(rec.stamp)
+
+    def on_o1dn(rec):
+        node.on_o1dn(rec.channel, rec.payload)
+        correct_and_record(rec.stamp)
+
+    n = replay(log, {"odom": on_odom, "scan": on_scan, "o1dn": on_o1dn})
     if args.banner:
         print(micp_setup_banner(node))
     print(f"replayed {n} records, {len(track)} corrected poses", flush=True)

@@ -124,3 +124,34 @@ def test_convert_cli(world_and_log):
     z = np.load(out)
     err = np.linalg.norm(z["trans"][-1] - np.asarray(true_poses[-1].trans))
     assert err < 0.08, err
+
+
+def test_micp_cli_o1dn_records(world_and_log, tmp_path):
+    """O1Dn (generic-LiDAR) records roundtrip through MessageLog NPZ and
+    drive the MICP CLI."""
+    from rmcl_tpu.io.conversions import pointcloud_to_o1dn
+    from rmcl_tpu.tools.micp_localization import main
+
+    map_path, log_path, true_poses, tmp = world_and_log
+    src = MessageLog.load(log_path)
+    log = MessageLog()
+    for rec in src:
+        if rec.kind == "odom":
+            log.add(rec.stamp, "odom", rec.channel, rec.payload)
+        elif rec.kind == "cloud":
+            cloud = msgs.PointCloud2(
+                header=msgs.Header(stamp=rec.stamp),
+                points=np.asarray(rec.payload["points"]),
+            )
+            log.add(rec.stamp, "o1dn", "lidar", pointcloud_to_o1dn(cloud))
+    log_o1dn = str(tmp_path / "run_o1dn.npz")
+    log.save(log_o1dn)
+
+    out = str(tmp_path / "track_o1dn.npz")
+    rc = main(["--map", map_path, "--log", log_o1dn, "--out", out,
+               "--steps-per-scan", "3",
+               "--initial-pose-guess", "0.4", "-0.3", "1.0", "0", "0", "0.3"])
+    assert rc == 0
+    z = np.load(out)
+    err = np.linalg.norm(z["trans"][-1] - np.asarray(true_poses[-1].trans))
+    assert err < 0.05, err
