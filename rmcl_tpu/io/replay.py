@@ -68,6 +68,25 @@ class MessageLog:
                     arrays[f"r{i}_smask"] = np.asarray(r.payload.data.mask)
                 if r.payload.data.stamps is not None:
                     arrays[f"r{i}_stamps"] = np.asarray(r.payload.data.stamps)
+            elif r.kind == "depth":
+                # DepthStamped: pinhole intrinsics as a fixed 8-vector
+                info = r.payload.info
+                arrays[f"r{i}_dinfo"] = np.asarray(
+                    [info.width, info.height, info.fx, info.fy, info.cx,
+                     info.cy, info.range_min, info.range_max], np.float64)
+                arrays[f"r{i}_ranges"] = np.asarray(r.payload.data.ranges)
+                if r.payload.data.mask is not None:
+                    arrays[f"r{i}_smask"] = np.asarray(r.payload.data.mask)
+            elif r.kind == "ondn":
+                # OnDnStamped: per-ray origins AND dirs (fully generic)
+                info = r.payload.info
+                arrays[f"r{i}_origs"] = np.asarray(info.origs, np.float32)
+                arrays[f"r{i}_dirs"] = np.asarray(info.dirs, np.float32)
+                arrays[f"r{i}_rlim"] = np.asarray(
+                    [info.range_min, info.range_max], np.float64)
+                arrays[f"r{i}_ranges"] = np.asarray(r.payload.data.ranges)
+                if r.payload.data.mask is not None:
+                    arrays[f"r{i}_smask"] = np.asarray(r.payload.data.mask)
             elif r.kind == "o1dn":
                 # O1DnStamped: one origin + per-ray dirs (generic LiDAR)
                 info = r.payload.info
@@ -118,6 +137,35 @@ class MessageLog:
                         ranges=z[f"r{i}_ranges"],
                         mask=z.get(f"r{i}_smask"),
                         stamps=z.get(f"r{i}_stamps"),
+                    ),
+                )
+            elif kind == "depth":
+                from rmcl_tpu.io import msgs
+
+                v = z[f"r{i}_dinfo"]
+                payload = msgs.DepthStamped(
+                    header=msgs.Header(stamp=float(stamp)),
+                    info=msgs.DepthInfo(
+                        width=int(v[0]), height=int(v[1]), fx=float(v[2]),
+                        fy=float(v[3]), cx=float(v[4]), cy=float(v[5]),
+                        range_min=float(v[6]), range_max=float(v[7]),
+                    ),
+                    data=msgs.RangeData(
+                        ranges=z[f"r{i}_ranges"], mask=z.get(f"r{i}_smask")
+                    ),
+                )
+            elif kind == "ondn":
+                from rmcl_tpu.io import msgs
+
+                rl = z[f"r{i}_rlim"]
+                payload = msgs.OnDnStamped(
+                    header=msgs.Header(stamp=float(stamp)),
+                    info=msgs.OnDnInfo(
+                        origs=z[f"r{i}_origs"], dirs=z[f"r{i}_dirs"],
+                        range_min=float(rl[0]), range_max=float(rl[1]),
+                    ),
+                    data=msgs.RangeData(
+                        ranges=z[f"r{i}_ranges"], mask=z.get(f"r{i}_smask")
                     ),
                 )
             elif kind == "o1dn":

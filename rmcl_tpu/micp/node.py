@@ -107,7 +107,7 @@ class MICPLocalization:
             raise ValueError("engine='binned' needs a MeshMap with triangle bins")
         self.sensors: Dict[str, MICPSensorState] = {}
         for name, sub in self.config.subtree("sensors").items():
-            self.sensors[name] = MICPSensorState(
+            state = MICPSensorState(
                 name=name,
                 config=MICPSensorConfig.create(
                     max_dist=float(sub.get("correspondences.max_dist", 0.5)),
@@ -118,6 +118,15 @@ class MICPLocalization:
                     corr_type=str(sub.get("correspondences.type", "RC")),
                 ),
             )
+            # static sensor→base mount from config (6- or 7-tuple) — the
+            # equivalent of the reference's static TF lookup (fetchTF,
+            # MICPSensor.cpp:94-136); per-message tsb still overrides
+            mount = sub.get("tsb")
+            if mount is not None:
+                state.tsb = Transform.from_pose_tuple(
+                    jnp.asarray(mount, jnp.float32)
+                )
+            self.sensors[name] = state
 
         guess = self.config.get("initial_pose_guess", [0, 0, 0, 0, 0, 0])
         self._initial_guess = Transform.from_pose_tuple(jnp.asarray(guess, jnp.float32))

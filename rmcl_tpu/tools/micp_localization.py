@@ -40,7 +40,9 @@ def main(argv=None) -> int:
     log = MessageLog.load(args.log)
     config = load_config(args.config)
     # default sensor blocks for channels the config doesn't mention
-    channels = {r.channel for r in log if r.kind in ("scan", "o1dn")}
+    channels = {
+        r.channel for r in log if r.kind in ("scan", "depth", "o1dn", "ondn")
+    }
     sensors = config.get("sensors", {}) or {}
     for ch in sorted(channels):
         sensors.setdefault(ch, {})
@@ -71,7 +73,16 @@ def main(argv=None) -> int:
         node.on_o1dn(rec.channel, rec.payload)
         correct_and_record(rec.stamp)
 
-    n = replay(log, {"odom": on_odom, "scan": on_scan, "o1dn": on_o1dn})
+    def on_depth(rec):
+        node.on_depth(rec.channel, rec.payload)
+        correct_and_record(rec.stamp)
+
+    def on_ondn(rec):
+        node.on_ondn(rec.channel, rec.payload)
+        correct_and_record(rec.stamp)
+
+    n = replay(log, {"odom": on_odom, "scan": on_scan, "o1dn": on_o1dn,
+                     "depth": on_depth, "ondn": on_ondn})
     if args.banner:
         print(micp_setup_banner(node))
     print(f"replayed {n} records, {len(track)} corrected poses", flush=True)

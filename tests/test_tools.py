@@ -155,3 +155,75 @@ def test_micp_cli_o1dn_records(world_and_log, tmp_path):
     z = np.load(out)
     err = np.linalg.norm(z["trans"][-1] - np.asarray(true_poses[-1].trans))
     assert err < 0.05, err
+
+
+def test_micp_cli_depth_and_ondn_records(world_and_log, tmp_path):
+    """Depth-camera and OnDn records roundtrip through the NPZ log and
+    drive the MICP CLI, with config-driven sensor mounts (sensors.*.tsb =
+    the reference's static TF sensor->base) — all four reference sensor
+    types are covered."""
+    from rmcl_tpu.bvh.builder import build_bvh as _bb
+    from rmcl_tpu.geom.mesh import make_room_scene as _mrs
+    from rmcl_tpu.sensors.models import PinholeModel
+    from rmcl_tpu.tools.micp_localization import main
+
+    map_path, log_path, true_poses, tmp = world_and_log
+    mesh = _mrs(n_pillars=3, seed=2)
+    bvh = _bb(mesh)
+
+    cam = PinholeModel.create(
+        width=96, height=64, fx=80.0, fy=80.0, cx=48.0, cy=32.0,
+        range_min=0.1, range_max=30.0,
+    )
+    # optical->base mount: camera z (forward) -> base x
+    tsb_tuple = [0.0, 0.0, 0.0, -np.pi / 2, 0.0, -np.pi / 2]
+    tsb = Transform.from_pose_tuple(jnp.asarray(tsb_tuple))
+    cfg = tmp_path / "micp.yaml"
+    cfg.write_text(
+        "initial_pose_guess: [0.4, -0.3, 1.0, 0, 0, 0.3]\n"
+        "sensors:\n"
+        f"  cam: {{tsb: {tsb_tuple}}}\n"
+        f"  generic: {{tsb: {tsb_tuple}}}\n"
+    )
+
+    log = MessageLog()
+    o_s, d_s = cam.rays()
+    for k in range(4):
+        stamp = 0.1 * k
+        true_base = true_poses[k]
+        log.add_odometry(stamp, Transform.from_pose_tuple(
+            jnp.asarray([0.4, -0.3, 1.0, 0, 0, 0.3])))
+        hits = simulate(bvh, cam, true_base @ tsb)  # sensor pose = base*tsb
+        z_depth = np.asarray(hits.t) * np.asarray(d_s)[:, 2]
+        z_depth = np.where(np.asarray(hits.hit), z_depth, 0.0)
+        log.add(stamp, "depth", "cam", msgs.DepthStamped(
+            header=msgs.Header(stamp=stamp),
+            info=msgs.DepthInfo(width=96, height=64, fx=80.0, fy=80.0,
+                                 cx=48.0, cy=32.0, range_min=0.1,
+                                 range_max=30.0),
+            data=msgs.RangeData(ranges=z_depth.astype(np.float32),
+                                mask=np.asarray(hits.hit)),
+        ))
+        # ondn record: the same beams as fully generic origins+dirs
+        log.add(stamp, "ondn", "generic", msgs.OnDnStamped(
+            header=msgs.Header(stamp=stamp),
+            info=msgs.OnDnInfo(
+                origs=np.zeros_like(np.asarray(d_s, np.float32)),
+                dirs=np.asarray(d_s, np.float32),
+                range_min=0.1, range_max=30.0,
+            ),
+            data=msgs.RangeData(ranges=np.where(
+                np.asarray(hits.hit), np.asarray(hits.t), 0.0
+            ).astype(np.float32), mask=np.asarray(hits.hit)),
+        ))
+    log_path2 = str(tmp_path / "run_depth_ondn.npz")
+    log.save(log_path2)
+
+    out = str(tmp_path / "track_depth.npz")
+    rc = main(["--map", map_path, "--log", log_path2, "--out", out,
+               "--steps-per-scan", "3", "--config", str(cfg)])
+    assert rc == 0
+    z = np.load(out)
+    assert z["trans"].shape[0] == 8  # 4 depth + 4 ondn corrections
+    err = np.linalg.norm(z["trans"][-1] - np.asarray(true_poses[3].trans))
+    assert err < 0.05, err
