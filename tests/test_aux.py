@@ -239,3 +239,53 @@ def test_param_tree_from_yaml_missing_file():
 
     with pytest.raises(FileNotFoundError):
         ParamTree.from_yaml("configs/typo_name.yaml")
+
+
+def test_suggest_budgets_safe_and_tight():
+    """utils.tune.suggest_budgets: recommended budgets never lose geometry
+    (binned cast with them matches the exact engine) and carry sane
+    diagnostics."""
+    import numpy as np
+    import jax.numpy as jnp
+
+    from rmcl_tpu.bvh.bins import build_bins
+    from rmcl_tpu.bvh.builder import build_bvh
+    from rmcl_tpu.geom.mesh import make_room_scene
+    from rmcl_tpu.ops.raycast import cast_rays
+    from rmcl_tpu.ops.raycast_binned import cast_rays_binned
+    from rmcl_tpu.utils.tune import suggest_budgets
+
+    mesh = make_room_scene(n_pillars=5, seed=6)
+    bins = build_bins(mesh, bin_size=16, bins_per_super=32, bins_per_mid=8)
+    bvh = build_bvh(mesh)
+
+    rng = np.random.default_rng(0)
+    d = rng.normal(size=(2048, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    o = rng.uniform([-4, -3, 0.3], [4, 3, 2.5], (2048, 3)).astype(np.float32)
+
+    rec = suggest_budgets(bins, jnp.asarray(o), jnp.asarray(d))
+    assert not rec.saturated
+    assert rec.c_bin >= rec.max_bins
+    assert 0 < rec.mean_bins <= rec.p99_bins <= rec.max_bins
+    kw = rec.as_config_kwargs()
+    assert set(kw) == {"c_super", "c_bin", "c_mid"}
+
+    exact = cast_rays(bvh, jnp.asarray(o), jnp.asarray(d))
+    binned = cast_rays_binned(
+        bins, jnp.asarray(o), jnp.asarray(d),
+        c_super=rec.c_super, c_bin=rec.c_bin, c_mid=rec.c_mid,
+    )
+    mism = (np.asarray(binned.hit) != np.asarray(exact.hit)).mean()
+    assert mism == 0.0, mism
+    both = np.asarray(binned.hit)
+    np.testing.assert_allclose(
+        np.asarray(binned.t)[both], np.asarray(exact.t)[both],
+        rtol=1e-4, atol=1e-4,
+    )
+
+    # block-granular subsampling path
+    rec2 = suggest_budgets(
+        bins, jnp.asarray(o), jnp.asarray(d), max_sample_blocks=4
+    )
+    assert rec2.c_bin > 0
