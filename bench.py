@@ -66,7 +66,7 @@ def main():
     n_dirs = model.n_rays
     _, dirs_s = model.rays()  # (n_dirs, 3) sensor frame
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(int(os.environ.get("BENCH_SEED", 0)))
     trans_true = rng.uniform(-5, 5, size=(n_poses, 3)).astype(np.float32)
     # compact blocks: Morton-clustered poses x small azimuth tiles,
     # direction-major within the tile so the 8 directions form contiguous
@@ -126,22 +126,41 @@ def main():
     out = correction(bins, data_points, data_mask, trans_est, dirs_j)
     jax.block_until_ready(out[0])
 
-    # every timing iteration gets a DISTINCT estimate (tiny z jitter, same
-    # workload statistically): the relay backend memoizes identical
-    # (program, input) executions, which inflates repeat timings by orders
-    # of magnitude — only cold executions are real (TPU_NOTES.md)
+    # every timing iteration gets a DISTINCT estimate (fresh random jitter on
+    # every coordinate, same workload statistically): the relay backend caches
+    # repeat executions — even tiny single-axis jitters have been served from
+    # cache (~1 ms "corrections"), inflating repeat timings by orders of
+    # magnitude. Only cold executions are real (TPU_NOTES.md). As a guard,
+    # iterations faster than 10x the warmup are discarded as cache hits.
     ests = [
-        trans_j + jnp.asarray([0.0, 0.0, 0.2 + 1e-4 * (i + 1)])
+        trans_j
+        + jnp.asarray([0.0, 0.0, 0.2])
+        + jnp.asarray(rng.uniform(-0.02, 0.02, size=(n_poses, 3)), jnp.float32)
         for i in range(iters)
     ]
-    jax.block_until_ready(ests)
-    times = []
-    for est in ests:
+    warm_est = trans_j + jnp.asarray(
+        rng.uniform(-0.02, 0.02, size=(n_poses, 3)), jnp.float32
+    )
+    jax.block_until_ready((ests, warm_est))
+
+    def timed(est):
+        # IMPORTANT: on the relay backend, block_until_ready returns before
+        # the execution actually finishes; only a device→host readback
+        # blocks for real. Fetch a small output to close the timing region.
         t0 = time.time()
         out = correction(bins, data_points, data_mask, est, dirs_j)
-        jax.block_until_ready(out[0])
-        times.append(time.time() - t0)
-    best = min(times)
+        np.asarray(out[0])  # (n_poses, 3) readback — forces completion
+        return time.time() - t0
+
+    warm = timed(warm_est)  # first exec: includes one-time H2D transfers
+    times = [timed(est) for est in ests]
+    print("warm:", round(warm, 4), "iter times:",
+          [round(t, 4) for t in times], file=sys.stderr)
+    # guard against relay result-caching: a 14.4M-ray correction cannot
+    # finish under `floor` seconds (20 ms ≈ 720 M corr-rays/s)
+    floor = float(os.environ.get("BENCH_FLOOR", 0.02))
+    real = [t for t in times if t > floor]
+    best = min(real) if real else min(times)
     total_rays = n_poses * n_dirs
     value = total_rays / best
 

@@ -16,6 +16,29 @@ from collections import defaultdict
 from typing import Dict, Optional
 
 
+def sync(tree):
+    """Force REAL completion of device work and return ``tree``.
+
+    On this environment's relay TPU backend, ``jax.block_until_ready``
+    returns before execution actually finishes — only a device→host
+    readback blocks until the result exists (measured 2026-08-19: a 0.61 s
+    correction "completed" in 0.3 ms under block_until_ready; the readback
+    showed the true time). Every timing region must end with ``sync``.
+    Reads back 4 bytes per leaf, so the transfer itself is negligible.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    leaves = [l for l in jax.tree_util.tree_leaves(tree)
+              if hasattr(l, "dtype") and hasattr(l, "addressable_shards")]
+    jax.block_until_ready(leaves)
+    for l in leaves:
+        if l.size:
+            np.asarray(jnp.ravel(l)[:1])
+    return tree
+
+
 class StopWatch:
     """rmagine-style stopwatch: ``sw(); ...; elapsed = sw()``."""
 
@@ -46,9 +69,7 @@ class StageTimer:
             yield
         finally:
             if block_on is not None:
-                import jax
-
-                jax.block_until_ready(block_on)
+                sync(block_on)
             dt = time.perf_counter() - t0
             self.total[name] += dt
             self.count[name] += 1

@@ -25,6 +25,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
+from rmcl_tpu.utils.timing import sync
 import jax.numpy as jnp
 import numpy as np
 
@@ -102,12 +103,12 @@ def main():
             )
             return out.trans
 
-        jax.block_until_ready(step(jnp.zeros(3)))  # compile + warm
+        sync(step(jnp.zeros(3)))  # compile + warm
         ts = []
         for i in range(args.iters):
             z = jnp.asarray([0.0, 0.0, 1e-4 * (i + 1)])
             t0 = time.perf_counter()
-            jax.block_until_ready(step(z))
+            sync(step(z))
             ts.append(time.perf_counter() - t0)
         rate = n_rays / min(ts)
         if base_rate is None:

@@ -8,18 +8,19 @@
 import time
 
 import jax
+from rmcl_tpu.utils.timing import sync
 import jax.numpy as jnp
 import numpy as np
 
 
 def timeit(f, *args, iters=5):
     out = f(*args)
-    jax.block_until_ready(out)
+    sync(out)
     ts = []
     for _ in range(iters):
         t0 = time.time()
         out = f(*args)
-        jax.block_until_ready(out)
+        sync(out)
         ts.append(time.time() - t0)
     return min(ts)
 
@@ -59,7 +60,7 @@ def main():
     f2 = jax.jit(loop_fn)
     t0 = time.time()
     out = f2(nodes, idx)
-    jax.block_until_ready(out)
+    sync(out)
     print(f"while+gather compile: {time.time()-t0:.1f}s")
     t = timeit(f2, nodes, idx)
     print(
@@ -103,7 +104,7 @@ def main():
     f3 = jax.jit(loop_stack)
     t0 = time.time()
     out = f3(nodes, idx)
-    jax.block_until_ready(out)
+    sync(out)
     print(f"while+stack compile: {time.time()-t0:.1f}s")
     t = timeit(f3, nodes, idx)
     print(f"while_loop {K} iters with stack scatter: {t*1e3:.2f} ms")

@@ -9,6 +9,7 @@ import argparse
 import time
 
 import jax
+from rmcl_tpu.utils.timing import sync
 import jax.numpy as jnp
 import numpy as np
 
@@ -33,7 +34,7 @@ def main():
     print(f"mesh: {mesh.n_faces} faces  ({time.time()-t0:.2f}s)")
     t0 = time.time()
     bvh = build_bvh(mesh)
-    jax.block_until_ready(bvh.nodes)
+    sync(bvh.nodes)
     print(f"bvh: {bvh.nodes.shape[0]} slots, {bvh.nbytes()/1e6:.1f} MB  ({time.time()-t0:.2f}s)")
 
     # VLP-16-ish rays from poses near the center
@@ -58,14 +59,14 @@ def main():
     f = lambda o, d: cast_rays(bvh, o, d, chunk_size=args.chunk).t
     t0 = time.time()
     t = f(o, d)
-    jax.block_until_ready(t)
+    sync(t)
     print(f"compile+first run: {time.time()-t0:.2f}s")
 
     times = []
     for _ in range(args.iters):
         t0 = time.time()
         t = f(o, d)
-        jax.block_until_ready(t)
+        sync(t)
         times.append(time.time() - t0)
     best = min(times)
     print(f"best: {best*1e3:.1f} ms -> {n_rays/best/1e6:.1f} M rays/s")

@@ -13,6 +13,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
+from rmcl_tpu.utils.timing import sync
 import jax.numpy as jnp
 import numpy as np
 
@@ -43,7 +44,7 @@ def main():
     mesh = make_sphere(n, n, radius=50.0)
     print(f"mesh: {mesh.n_faces} faces")
     bins = build_bins(mesh)
-    jax.block_until_ready(bins.tri)
+    sync(bins.tri)
     print(f"bins: {bins.n_bins} x B={bins.bin_size}, {bins.n_super} supers, "
           f"{bins.nbytes()/1e6:.0f} MB")
 
@@ -78,11 +79,11 @@ def main():
         f = lambda: cast_rays_binned(bins, o, d, block_size=args.block_size,
                                      c_bin=args.c_bin)
         h = f()
-        jax.block_until_ready(h.t)
+        sync(h.t)
         times = []
         for _ in range(args.iters):
             t0 = time.time()
-            jax.block_until_ready(f().t)
+            sync(f().t)
             times.append(time.time() - t0)
         best = min(times)
         print(f"end-to-end: {best*1e3:.1f} ms -> {n_rays/best/1e6:.2f} M rays/s, "
@@ -94,7 +95,7 @@ def main():
     # --- candidate statistics (the engine's own cull) ---------------------
     from rmcl_tpu.ops.raycast_binned import candidate_stats
 
-    cc = jax.block_until_ready(candidate_stats(
+    cc = sync(candidate_stats(
         bins, o, d, block_size=args.block_size, c_bin=args.c_bin))
     cc = np.asarray(cc)
     print(f"cand bins/block (engine, budget {args.c_bin}): "
@@ -106,10 +107,10 @@ def main():
 
     f = jax.jit(lambda bins, o, d: candidate_stats(
         bins, o, d, block_size=args.block_size, c_bin=args.c_bin))
-    jax.block_until_ready(f(bins, o, d))
+    sync(f(bins, o, d))
     t0 = time.time()
     for _ in range(args.iters):
-        jax.block_until_ready(f(bins, o, d))
+        sync(f(bins, o, d))
     cull_t = (time.time() - t0) / args.iters
     print(f"cull-phase (engine, budgeted): {cull_t*1e3:.1f} ms "
           f"({100*cull_t/best:.0f}% of end-to-end)")

@@ -16,6 +16,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
+from rmcl_tpu.utils.timing import sync
 import jax.numpy as jnp
 import numpy as np
 
@@ -52,15 +53,15 @@ def main():
 
     q = jnp.asarray(q_np)
     out = run(q)
-    jax.block_until_ready(out.dist)
+    sync(out.dist)
     # cold iterations: distinct inputs (relay memoizes identical executions)
     times = []
     for i in range(3):
         qi = q + jnp.float32(1e-4 * (i + 1))
-        jax.block_until_ready(qi)
+        sync(qi)
         t0 = time.time()
         out = run(qi)
-        jax.block_until_ready(out.dist)
+        sync(out.dist)
         times.append(time.time() - t0)
     best = min(times)
     print(

@@ -25,6 +25,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
+from rmcl_tpu.utils.timing import sync
 import jax.numpy as jnp
 import numpy as np
 
@@ -89,14 +90,14 @@ def main():
             samples=samples, engine="binned", cluster=cluster, layout=layout
         )
         out = sensor_update(bins, cloud, key, points, mask, Transform.identity(), cfg)
-        jax.block_until_ready(out.likelihood.mean)
+        sync(out.likelihood.mean)
         times = []
         for _ in range(3):
             t0 = time.time()
             out = sensor_update(
                 bins, cloud, key, points, mask, Transform.identity(), cfg
             )
-            jax.block_until_ready(out.likelihood.mean)
+            sync(out.likelihood.mean)
             times.append(time.time() - t0)
         best = min(times)
         rays = n_particles * samples

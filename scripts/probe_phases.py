@@ -14,6 +14,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
+from rmcl_tpu.utils.timing import sync
 import jax.numpy as jnp
 import numpy as np
 
@@ -28,12 +29,12 @@ print = functools.partial(__builtins__.print, flush=True)
 
 def timeit(fn, iters=3):
     out = fn()
-    jax.block_until_ready(out)
+    sync(out)
     ts = []
     for _ in range(iters):
         t0 = time.perf_counter()
         out = fn()
-        jax.block_until_ready(out)
+        sync(out)
         ts.append(time.perf_counter() - t0)
     return min(ts), out
 
@@ -57,7 +58,7 @@ def main():
     n = int(np.sqrt(args.faces / 2))
     mesh = make_sphere(n, n, radius=50.0)
     bins = build_bins(mesh, bin_size=args.bin_size)
-    jax.block_until_ready(bins.tri)
+    sync(bins.tri)
     print(f"mesh {mesh.n_faces} faces; bins {bins.n_bins} x B={bins.bin_size}, "
           f"{bins.n_super} supers")
 

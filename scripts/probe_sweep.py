@@ -12,6 +12,7 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 
 import jax
+from rmcl_tpu.utils.timing import sync
 import jax.numpy as jnp
 import numpy as np
 
@@ -51,7 +52,7 @@ def main():
     for (B, cs, cb, sub, pt, at, et, chunk) in CONFIGS:
         if B not in bins_cache:
             bins_cache[B] = build_bins(mesh, bin_size=B)
-            jax.block_until_ready(bins_cache[B].tri)
+            sync(bins_cache[B].tri)
         bins = bins_cache[B]
         sweep = TiledSweep(trans, model.width, model.height,
                            poses_per_tile=pt, az_tile=at, el_tile=et)
@@ -70,7 +71,7 @@ def main():
             tj = jnp.asarray(trans + np.float32(i) * 1e-4)
             t0 = time.perf_counter()
             out = full(tj, dirs_j)
-            jax.block_until_ready(out[0])
+            sync(out[0])
             dt = time.perf_counter() - t0
             runs.append(dt)
             del out
