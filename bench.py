@@ -131,7 +131,9 @@ def main():
     # repeat executions — even tiny single-axis jitters have been served from
     # cache (~1 ms "corrections"), inflating repeat timings by orders of
     # magnitude. Only cold executions are real (TPU_NOTES.md). As a guard,
-    # iterations faster than 10x the warmup are discarded as cache hits.
+    # iterations faster than the absolute BENCH_FLOOR threshold (default
+    # 20 ms ≈ 720 M corr-rays/s, physically implausible for this workload)
+    # are discarded as cache hits.
     ests = [
         trans_j
         + jnp.asarray([0.0, 0.0, 0.2])
@@ -160,20 +162,23 @@ def main():
     # finish under `floor` seconds (20 ms ≈ 720 M corr-rays/s)
     floor = float(os.environ.get("BENCH_FLOOR", 0.02))
     real = [t for t in times if t > floor]
-    best = min(real) if real else min(times)
+    result = {
+        "metric": "micp_correction_rays_per_sec_1Mfaces",
+        "unit": "corr-rays/s",
+    }
+    if real:
+        best = min(real)
+    else:
+        # every iteration was served from the relay cache; the warm (first
+        # cold execution) time is the only real measurement we have — use it
+        # and say so rather than publishing an inflated cache-hit number
+        best = warm
+        result["note"] = "all iters below BENCH_FLOOR (cache hits); using warm time"
     total_rays = n_poses * n_dirs
     value = total_rays / best
-
-    print(
-        json.dumps(
-            {
-                "metric": "micp_correction_rays_per_sec_1Mfaces",
-                "value": round(value, 1),
-                "unit": "corr-rays/s",
-                "vs_baseline": round(value / BASELINE_EMBREE_1M, 4),
-            }
-        )
-    )
+    result["value"] = round(value, 1)
+    result["vs_baseline"] = round(value / BASELINE_EMBREE_1M, 4)
+    print(json.dumps(result))
 
 
 def _run_with_retries():

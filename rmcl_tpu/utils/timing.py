@@ -34,8 +34,16 @@ def sync(tree):
               if hasattr(l, "dtype") and hasattr(l, "addressable_shards")]
     jax.block_until_ready(leaves)
     for l in leaves:
-        if l.size:
+        if not l.size:
+            continue
+        if getattr(l, "is_fully_addressable", True):
             np.asarray(jnp.ravel(l)[:1])
+        else:
+            # multi-process sharded array: jnp.ravel would require global
+            # addressability — read back one element of a local shard instead
+            shards = l.addressable_shards
+            if shards:
+                np.asarray(jnp.ravel(shards[0].data)[:1])
     return tree
 
 
@@ -104,17 +112,19 @@ def device_trace(log_dir: str):
 
 
 def timeit_device(fn, *args, iters: int = 5, warmup: int = 1) -> float:
-    """Best-of-N device timing with compile warmup; returns seconds."""
-    import jax
+    """Best-of-N device timing with compile warmup; returns seconds.
 
+    Uses :func:`sync` (readback), not bare ``block_until_ready`` — on the
+    relay backend only a device→host readback waits for real completion.
+    """
     out = None
     for _ in range(max(warmup, 1)):
         out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
         out = fn(*args)
-        jax.block_until_ready(out)
+        sync(out)
         best = min(best, time.perf_counter() - t0)
     return best
