@@ -42,7 +42,11 @@ def main():
     from rmcl_tpu.math.gaussian import CrossStatistics
     from rmcl_tpu.math.se3 import Transform
     from rmcl_tpu.math.stats import umeyama_transform
-    from rmcl_tpu.ops.raycast_binned import TiledSweep, cast_rays_binned
+    from rmcl_tpu.ops.raycast_binned import (
+        TiledSweep,
+        cast_rays_binned,
+        cast_rays_binned_factored,
+    )
     from rmcl_tpu.sensors.models import SphericalModel
 
     faces = int(os.environ.get("BENCH_FACES", 1_000_000))
@@ -77,22 +81,40 @@ def main():
         trans_true, model.width, model.height,
         poses_per_tile=poses_per_tile, az_tile=az_tile, el_tile=el_tile,
     )
+    engine = os.environ.get("BENCH_ENGINE", "factored")
     cast_kw = dict(block_size=sweep.block_size, dir_groups=sweep.dir_groups,
                    c_bin=c_bin, block_chunk=512, sort_blocks=True, c_mid=c_mid)
+    fact_kw = dict(c_bin=c_bin, block_chunk=512, sort_blocks=True,
+                   c_mid=c_mid, payload="plane")
 
     def cast_sweep(bins, trans, dirs):
         """Closest-hit for all poses x all scan dirs (identity rotations,
         like the reference benchmark's +z-offset pose sweep)."""
-        o, d = sweep.rays(trans, dirs)
-        hits = cast_rays_binned(bins, o, d, **cast_kw)
-        packed = jnp.concatenate(
-            [
-                hits.point,
-                hits.normal,
-                hits.hit[:, None].astype(jnp.float32),
-            ],
-            axis=1,
-        )
+        if engine == "factored":
+            # Baldwin–Weber factored pair loop over compact (pose x dir)
+            # blocks — rays are never materialized
+            o_blk, d_blk = sweep.factored_rays(trans, dirs)
+            hits = cast_rays_binned_factored(bins, o_blk, d_blk, **fact_kw)
+            n_rays = sweep.n_rays
+            packed = jnp.concatenate(
+                [
+                    hits.point.reshape(n_rays, 3),
+                    hits.normal.reshape(n_rays, 3),
+                    hits.hit.reshape(n_rays, 1).astype(jnp.float32),
+                ],
+                axis=1,
+            )
+        else:
+            o, d = sweep.rays(trans, dirs)
+            hits = cast_rays_binned(bins, o, d, **cast_kw)
+            packed = jnp.concatenate(
+                [
+                    hits.point,
+                    hits.normal,
+                    hits.hit[:, None].astype(jnp.float32),
+                ],
+                axis=1,
+            )
         up = sweep.unpermute(packed)  # (n_poses, n_dirs, 7)
         return up[..., 0:3], up[..., 3:6], up[..., 6] > 0.5
 

@@ -1009,6 +1009,322 @@ def cast_rays_binned(
     )
 
 
+@partial(
+    jax.jit,
+    static_argnames=(
+        "t_min", "t_max", "c_super", "c_bin", "block_chunk", "sort_blocks",
+        "c_mid", "sub_blocks", "payload", "flip_normals",
+    ),
+)
+def cast_rays_binned_factored(
+    bins: TriangleBins,
+    o_blk: Array,  # (n_blk, P, 3) per-block pose origins
+    d_blk: Array,  # (n_blk, G, 3) per-block shared directions
+    t_min: float = 0.0,
+    t_max: float = NO_HIT_T,
+    alive: Array | None = None,  # (n_blk,) bool; None = all alive
+    c_super: int = 24,
+    c_bin: int = 64,
+    block_chunk: int = 512,
+    sort_blocks: bool = True,
+    c_mid: int = 0,
+    sub_blocks: int = 4,
+    payload: str = "plane",
+    flip_normals: bool = True,
+) -> RayHits:
+    """Closest-hit for *factored* ray blocks: each block is the cross
+    product of P pose origins x G shared directions (ray = g*P + p within
+    the block). This is the pose-sweep structure (reference corrector
+    benchmark, lidar_corrector_embree_benchmark.cpp:77-138: many poses x
+    one scan grid) — and the engine exploits it structurally:
+
+      * rays are never materialized: the (n_rays, 3) origin/direction
+        arrays (and their HBM traffic + build transposes) disappear;
+        the cull re-expands rays per chunk inside the fusion;
+      * the pair loop uses the Baldwin–Weber barycentric formulation
+        [Baldwin & Weber, JCGT 2016] factored over the block structure:
+        per-triangle plane/barycentric rows (from the packed v0/e1/e2),
+        then No/Au/Av on the (tri x pose) grid and invNd/Bu/Bv on the
+        (tri x dir) grid — the per-pair work collapses to
+        ``t = No*invNd; u = Au + t*Bu; v = Av + t*Bv`` + the hit decision
+        (~3x fewer VPU ops/pair than the hoisted Möller–Trumbore path in
+        :func:`cast_rays_binned`).
+
+    ``payload``: "plane" (default) carries the winner's unnormalized plane
+    (ng, c0) — normals/points/t are exact, prim_id/inst_id are -1; "full"
+    additionally carries prim/inst ids (~4 extra VPU ops/pair); "none" is
+    the occlusion query (t only).
+
+    Constraints: ``t_min >= 0`` (degenerate/padding triangles rely on
+    ``t=0`` failing the gate); scalar t_min/t_max.
+    """
+    assert payload in ("plane", "full", "none")
+    o_blk = jnp.asarray(o_blk, jnp.float32)
+    d_blk = jnp.asarray(d_blk, jnp.float32)
+    n_blk, P, _ = o_blk.shape
+    G = d_blk.shape[1]
+    Rb = P * G
+    t_min_s = float(t_min)
+    t_max_s = float(t_max)
+    assert t_min_s >= 0.0
+
+    S = bins.bins_per_super
+    n_bins = bins.n_bins
+    B = bins.bin_size
+    cs = min(c_super, bins.n_super)
+    cb = min(c_bin, n_bins, cs * S)
+    cm_ = 0
+    if c_mid:
+        M = bins.bins_per_mid
+        Sm = S // max(M, 1)
+        if bins.mid_aabb is not None and Sm > 1:
+            cm_ = min(max(c_mid, -(-cb // M)), bins.n_mid, cs * Sm)
+            cb = min(cb, cm_ * M)
+
+    # sentinel bin (see cast_rays_binned): zero rows -> ng = 0 -> Nd = 0 ->
+    # invNd = 0 -> t = 0, which fails `t > t_min` (t_min >= 0)
+    tri = jnp.concatenate(
+        [bins.tri, jnp.zeros((1,) + bins.tri.shape[1:], jnp.float32)], 0
+    )
+    assert B & (B - 1) == 0, "bin_size must be a power of two (packed-key min)"
+    jmask = jnp.int32(B - 1)
+
+    if alive is None:
+        alive_f = jnp.ones((n_blk,), jnp.float32)
+    else:
+        alive_f = jnp.asarray(alive, jnp.float32)
+
+    # chunk padding: dead blocks (t_max = 0 -> zero candidates)
+    chunk = min(block_chunk, n_blk)
+    blk_pad = (-n_blk) % chunk
+    if blk_pad:
+        padz = lambda x, fill: jnp.concatenate(
+            [x, jnp.full((blk_pad,) + x.shape[1:], fill, x.dtype)], 0
+        )
+        o_blk = padz(o_blk, 0.0)
+        d_blk = padz(d_blk, 1.0)
+        alive_f = padz(alive_f, 0.0)
+    n_chunks = (n_blk + blk_pad) // chunk
+    n_blk_p = n_chunks * chunk
+
+    def expand_rays(o_c, d_c, alive_c):
+        """Compact (Cb, P, 3) x (Cb, G, 3) -> cull inputs (Cb, Rb, ...)."""
+        Cb = o_c.shape[0]
+        ob = jnp.broadcast_to(o_c[:, None], (Cb, G, P, 3)).reshape(Cb, Rb, 3)
+        db = jnp.broadcast_to(d_c[:, :, None], (Cb, G, P, 3)).reshape(Cb, Rb, 3)
+        tmin_b = jnp.full((Cb, Rb), t_min_s, jnp.float32)
+        tmax_b = jnp.broadcast_to(
+            (alive_c * t_max_s)[:, None], (Cb, Rb)
+        )
+        return ob, db, tmin_b, tmax_b
+
+    def cand_fn(args):
+        o_c, d_c, alive_c = args
+        ob, db, tmin_b, tmax_b = expand_rays(o_c, d_c, alive_c)
+        return _chunk_candidates(
+            bins, ob, db, tmin_b, tmax_b, cs, cb, sub_blocks, cm_
+        )
+
+    cargs = (
+        o_blk.reshape(n_chunks, chunk, P, 3),
+        d_blk.reshape(n_chunks, chunk, G, 3),
+        alive_f.reshape(n_chunks, chunk),
+    )
+    if n_chunks == 1:
+        cand_a, count_a, tnear_a = cand_fn(tuple(a[0] for a in cargs))
+        cand_a, count_a, tnear_a = (
+            cand_a[None], count_a[None], tnear_a[None]
+        )
+    else:
+        cand_a, count_a, tnear_a = jax.lax.map(cand_fn, cargs)
+
+    inv_order = None
+    if sort_blocks:
+        # count-homogeneous chunks: each chunk's trip count tracks its own
+        # (sorted) worst block instead of the global worst (see
+        # cast_rays_binned sort_blocks)
+        count_f = count_a.reshape(n_blk_p)
+        order = jnp.argsort(count_f)
+        inv_order = jnp.argsort(order)
+        perm = lambda x: jnp.take(
+            x.reshape((n_blk_p,) + x.shape[2:]), order, axis=0
+        ).reshape((n_chunks, chunk) + x.shape[2:])
+        cargs = tuple(perm(a) for a in cargs)
+        cand_a = perm(cand_a)
+        count_a = perm(count_a)
+        tnear_a = perm(tnear_a)
+
+    eps = 1e-7
+    onep = 1.0 + eps
+    carry_ids = payload == "full"
+    n_pl = 0 if payload == "none" else (6 if carry_ids else 4)
+
+    def chunk_fn(args):
+        o_c, d_c, alive_c, cand_c, count_c, tnear_c = args
+        Cb = o_c.shape[0]
+        limit = jnp.max(count_c)
+        j_iota = jax.lax.broadcasted_iota(jnp.int32, (1, B, 1, 1), 1)
+        # component planes: origins (Cb, 1, 1, P), directions (Cb, 1, G, 1)
+        ox, oy, oz = (o_c[..., k][:, None, None, :] for k in range(3))
+        dx, dy, dz = (d_c[..., k][:, None, :, None] for k in range(3))
+
+        def body(c, state):
+            t_best = state[0]  # (Cb, G, P)
+            bid = jax.lax.dynamic_slice_in_dim(cand_c, c, 1, axis=1)[:, 0]
+            safe = jnp.where(bid >= 0, bid, n_bins)
+            tw = jnp.take(tri, safe, axis=0)  # (Cb, 14, B)
+
+            # --- per-triangle Baldwin–Weber rows on (Cb, B) — amortized
+            # over all Rb rays of the block (~0.5 VPU ops/pair) -----------
+            v0x, v0y, v0z = tw[:, 0], tw[:, 1], tw[:, 2]
+            e1x, e1y, e1z = tw[:, 3], tw[:, 4], tw[:, 5]
+            e2x, e2y, e2z = tw[:, 6], tw[:, 7], tw[:, 8]
+            ngx = e1y * e2z - e1z * e2y  # unnormalized plane normal e1 x e2
+            ngy = e1z * e2x - e1x * e2z
+            ngz = e1x * e2y - e1y * e2x
+            nn = ngx * ngx + ngy * ngy + ngz * ngz
+            inv_nn = 1.0 / jnp.maximum(nn, 1e-30)
+            c0 = ngx * v0x + ngy * v0y + ngz * v0z  # plane offset ng.v0
+            # barycentric rows: u = (p - v0).m1, v = (p - v0).m2 for p on
+            # the plane (m1 = e2 x ng / |ng|^2, m2 = ng x e1 / |ng|^2)
+            m1x = (e2y * ngz - e2z * ngy) * inv_nn
+            m1y = (e2z * ngx - e2x * ngz) * inv_nn
+            m1z = (e2x * ngy - e2y * ngx) * inv_nn
+            m2x = (ngy * e1z - ngz * e1y) * inv_nn
+            m2y = (ngz * e1x - ngx * e1z) * inv_nn
+            m2z = (ngx * e1y - ngy * e1x) * inv_nn
+            cu = v0x * m1x + v0y * m1y + v0z * m1z
+            cv = v0x * m2x + v0y * m2y + v0z * m2z
+
+            b4 = lambda a: a[:, :, None, None]  # (Cb, B) -> (Cb, B, 1, 1)
+            # --- per (tri, dir) on (Cb, B, G, 1) — amortized over P ------
+            Nd = b4(ngx) * dx + b4(ngy) * dy + b4(ngz) * dz
+            invNd = jnp.where(jnp.abs(Nd) > 1e-30, 1.0 / Nd, 0.0)
+            Bu = b4(m1x) * dx + b4(m1y) * dy + b4(m1z) * dz
+            Bv = b4(m2x) * dx + b4(m2y) * dy + b4(m2z) * dz
+            # --- per (tri, pose) on (Cb, B, 1, P) — amortized over G -----
+            No = b4(c0) - (b4(ngx) * ox + b4(ngy) * oy + b4(ngz) * oz)
+            Au = (b4(m1x) * ox + b4(m1y) * oy + b4(m1z) * oz) - b4(cu)
+            Av = (b4(m2x) * ox + b4(m2y) * oy + b4(m2z) * oz) - b4(cv)
+
+            # --- pair work on (Cb, B, G, P) ------------------------------
+            t = No * invNd
+            u = Au + t * Bu
+            v = Av + t * Bv
+            ok = (
+                jnp.minimum(jnp.minimum(u, v), onep - (u + v)) >= -eps
+            ) & (t > t_min_s)
+            t_cand = jnp.where(ok, t, _BIG)
+            ti = jax.lax.bitcast_convert_type(t_cand, jnp.int32)
+            key = (ti & ~jmask) | j_iota
+            key_min = jnp.min(key, axis=1)  # (Cb, G, P)
+            t_min_bin = jax.lax.bitcast_convert_type(
+                key_min | jmask, jnp.float32
+            )
+            better = t_min_bin < t_best
+            t_best = jnp.where(better, t_min_bin, t_best)
+            if payload == "none":
+                return (t_best,)
+            # winner payload: one-hot lane select of the resident planes
+            sel = (j_iota == (key_min & jmask)[:, None]) & better[:, None]
+            pick = lambda comp: jnp.sum(
+                jnp.where(sel, b4(comp), 0.0), axis=1
+            )
+            upd = lambda old, comp: jnp.where(better, pick(comp), old)
+            pl = (
+                upd(state[1], ngx),
+                upd(state[2], ngy),
+                upd(state[3], ngz),
+                upd(state[4], c0),
+            )
+            if carry_ids:
+                pl = pl + (upd(state[5], tw[:, 12]), upd(state[6], tw[:, 13]))
+            return (t_best,) + pl
+
+        z = jnp.zeros((Cb, G, P), jnp.float32)
+        t0 = jnp.broadcast_to((alive_c * t_max_s)[:, None, None], (Cb, G, P))
+        init = (t0,) + (z,) * 4 * (payload != "none")
+        if carry_ids:
+            init = init + (jnp.full((Cb, G, P), -1.0), z)
+
+        def cond(cs_):
+            c, state = cs_
+            worst_t = jnp.max(state[0], axis=(1, 2))  # (Cb,)
+            nxt = jax.lax.dynamic_slice_in_dim(
+                tnear_c, jnp.minimum(c, cb - 1), 1, axis=1
+            )[:, 0]
+            return (c < limit) & jnp.any(nxt <= worst_t)
+
+        _, state = jax.lax.while_loop(
+            cond,
+            lambda cs_: (cs_[0] + 1, body(cs_[0], cs_[1])),
+            (jnp.int32(0), init),
+        )
+        return state
+
+    args = cargs + (cand_a, count_a, tnear_a)
+    if n_chunks == 1:
+        outs = chunk_fn(tuple(a[0] for a in args))
+    else:
+        outs = jax.lax.map(chunk_fn, args)
+
+    def unblk(x):  # (n_chunks, chunk, G, P) -> (n_blk, Rb)
+        x = x.reshape(n_blk_p, Rb)
+        if inv_order is not None:
+            x = jnp.take(x, inv_order, axis=0)
+        return x[:n_blk]
+
+    t_best = unblk(outs[0])
+    # per-ray budget: dead blocks start at t_best = 0 and must not read as
+    # hits — compare against their own (alive-gated) t_max, not the scalar
+    tmax_r = jnp.broadcast_to(
+        (alive_f[:n_blk] * t_max_s)[:, None], (n_blk, Rb)
+    )
+    hit = (t_best < tmax_r) & (t_best < _BIG)
+    batch = (n_blk, Rb)
+    if payload == "none":
+        zero3 = jnp.zeros(batch + (3,), jnp.float32)
+        neg1 = jnp.full(batch, -1, jnp.int32)
+        return RayHits(
+            t=jnp.where(hit, t_best, NO_HIT_T),
+            hit=hit, prim_id=neg1, inst_id=neg1,
+            point=zero3, normal=zero3,
+        )
+
+    ngx, ngy, ngz, c0 = (unblk(x) for x in outs[1:5])
+    if carry_ids:
+        prim, inst = unblk(outs[5]), unblk(outs[6])
+    # per-ray origins/directions for the exact plane re-derivation
+    o_r = jnp.broadcast_to(
+        o_blk[:n_blk, None], (n_blk, G, P, 3)
+    ).reshape(batch + (3,))
+    d_r = jnp.broadcast_to(
+        d_blk[:n_blk, :, None], (n_blk, G, P, 3)
+    ).reshape(batch + (3,))
+    denom = ngx * d_r[..., 0] + ngy * d_r[..., 1] + ngz * d_r[..., 2]
+    safe_denom = jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
+    num = c0 - (ngx * o_r[..., 0] + ngy * o_r[..., 1] + ngz * o_r[..., 2])
+    t_plane = num / safe_denom
+    t_out = jnp.where(hit, t_plane, NO_HIT_T)
+    point = jnp.where(hit[..., None], o_r + t_plane[..., None] * d_r, 0.0)
+    inv_len = jax.lax.rsqrt(
+        jnp.maximum(ngx * ngx + ngy * ngy + ngz * ngz, 1e-30)
+    )
+    normal = jnp.stack([ngx, ngy, ngz], axis=-1) * inv_len[..., None]
+    if flip_normals:
+        normal = normal * jnp.where(denom > 0, -1.0, 1.0)[..., None]
+    normal = jnp.where(hit[..., None], normal, 0.0)
+    if carry_ids:
+        prim_o = jnp.where(hit, prim, -1.0).astype(jnp.int32)
+        inst_o = jnp.where(hit, inst, -1.0).astype(jnp.int32)
+    else:
+        prim_o = inst_o = jnp.full(batch, -1, jnp.int32)
+    return RayHits(
+        t=t_out, hit=hit, prim_id=prim_o, inst_id=inst_o,
+        point=point, normal=normal,
+    )
+
+
 def tiled_sweep_order(
     origins,
     width: int,
@@ -1192,6 +1508,28 @@ class TiledSweep:
                       jnp.asarray(self.dir_ids), axis=0)  # (n_at, n_et, at, et, 3)
         d = jnp.broadcast_to(dg[None, :, :, :, :, None, :], full)
         return o.reshape(-1, 3), d.reshape(-1, 3)
+
+    def factored_rays(self, trans: Array, dirs: Array) -> Tuple[Array, Array]:
+        """Compact per-block rays for :func:`cast_rays_binned_factored`:
+        (origins (n_blk, P, 3), directions (n_blk, G, 3)) with P =
+        poses_per_tile, G = az_tile*el_tile, block index (pose_tile,
+        az_tile, el_tile) C-order and in-block ray order g*P + p — the same
+        flat ray order :meth:`rays` produces, so :meth:`unpermute` applies
+        unchanged to hits reshaped to (n_blk*block_size, ...)."""
+        n_pt, n_at, n_et = self.n_pt, self.n_at, self.n_et
+        at, et, pt = self.at, self.et, self.pt
+        G = at * et
+        tp = jnp.take(jnp.asarray(trans, jnp.float32),
+                      jnp.asarray(self.pose_tiles), axis=0)  # (n_pt, pt, 3)
+        o_blk = jnp.broadcast_to(
+            tp[:, None, None], (n_pt, n_at, n_et, pt, 3)
+        ).reshape(-1, pt, 3)
+        dg = jnp.take(jnp.asarray(dirs, jnp.float32),
+                      jnp.asarray(self.dir_ids), axis=0)  # (n_at, n_et, at, et, 3)
+        d_blk = jnp.broadcast_to(
+            dg.reshape(n_at, n_et, G, 3)[None], (n_pt, n_at, n_et, G, 3)
+        ).reshape(-1, G, 3)
+        return o_blk, d_blk
 
     def unpermute(self, y: Array) -> Array:
         """Permuted-flat (n_rays, *k) -> (n_poses, n_dirs, *k) via
