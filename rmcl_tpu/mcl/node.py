@@ -30,9 +30,11 @@ from rmcl_tpu.mcl.motion import MotionUpdateConfig, motion_update
 from rmcl_tpu.mcl.particles import ParticleCloud
 from rmcl_tpu.mcl.resampling import (
     ResamplerConfig,
+    adaptive_particle_count,
     effective_sample_size,
     gladiator_resample,
     residual_resample,
+    residual_resample_dynamic,
     systematic_resample,
 )
 from rmcl_tpu.mcl.sensor_update import SensorUpdateConfig, sensor_update
@@ -67,6 +69,21 @@ class MCLConfig:
     max_induction_particles: int = 50_000
     min_particles_for_resample: int = 10  # reference sanity check :633-639
     seed: int = 0
+    # dynamic live counts (ParticleUpdaterDynamic contract — reference
+    # ParticleUpdater.hpp:24-72, adoption rmcl_localization.cpp:633-639):
+    #   "off"       — fixed alive set (resamplers preserve aliveness)
+    #   "reference" — residual resampler refills to capacity every tick
+    #                 (exact ResidualResamplerCPU behavior: the insert loop
+    #                 always fills the whole next buffer)
+    #   "adaptive"  — spread-driven shrink/grow between adaptive_n_min and
+    #                 capacity (adaptive_particle_count policy)
+    dynamic_count: str = "off"
+    adaptive_n_min: int = 256
+    adaptive_spread_ref: float = 1.0  # [m] spread at which count saturates
+    # with a dynamic count, run the (expensive) sensor stage on the live
+    # prefix only, padded to the next power of two — the TPU-native payoff
+    # of shrinking the cloud (one compile per bucket)
+    compact_compute: bool = True
 
     @staticmethod
     def from_params(params) -> "MCLConfig":
@@ -103,6 +120,11 @@ class MCLConfig:
             resampler=resampler,
             min_particles_for_resample=int(
                 g("resampling.min_particles", 10)
+            ),
+            dynamic_count=str(g("resampling.dynamic_count", "off")),
+            adaptive_n_min=int(g("resampling.adaptive_n_min", 256)),
+            adaptive_spread_ref=float(
+                g("resampling.adaptive_spread_ref", 1.0)
             ),
             max_induction_particles=int(
                 g("resampling.max_induction_particles", 50_000)
@@ -189,6 +211,12 @@ class MCLNode:
         self.stamp_last: Optional[float] = None
         self.motion_updates = 0
         self.sensor_updates = 0
+        # host mirror of the live count (the reference's n_particles_);
+        # updated on init and after every dynamic-count resample
+        self.n_alive_host: Optional[int] = self.config.n_particles
+        self.adaptive_n_min_eff = min(
+            self.config.adaptive_n_min, self.config.n_particles
+        )
 
     # -- services ---------------------------------------------------------
 
@@ -227,6 +255,7 @@ class MCLNode:
         self.stamp_last = None
         self.motion_updates = 0
         self.sensor_updates = 0
+        self.n_alive_host = self.config.n_particles
 
     # -- periodic stages --------------------------------------------------
 
@@ -251,35 +280,110 @@ class MCLNode:
         self.tbo_last, self.stamp_last = tbo, stamp
         self.motion_updates += 1
 
+    def _compact_slice(self) -> Optional[int]:
+        """Prefix length for compact compute, or None for the full cloud.
+
+        Only valid when the live set is a compacted prefix (dynamic-count
+        resampling guarantees it; inits are all-alive). Rounded up to the
+        next power of two so the jit cache holds at most log2(N) variants.
+        """
+        if (
+            self.config.dynamic_count == "off"
+            or not self.config.compact_compute
+            or self.n_alive_host is None
+            or self.n_alive_host >= self.config.n_particles
+        ):
+            return None
+        k = max(self.n_alive_host, self.config.min_particles_for_resample, 1)
+        return min(1 << (k - 1).bit_length(), self.config.n_particles)
+
     def sensor_update(
         self, points_s: Array, points_mask: Array, tsb: Transform
     ) -> None:
         """Sensor stage on one point-cloud message (reference sensorUpdate
-        :482-549)."""
+        :482-549). With a dynamic count, only the live prefix (power-of-two
+        padded) runs through the expensive per-particle ray casts."""
         # binned engine serves both RC ray casts and CP distance queries
         accel = self.bins if self.config.sensor.engine == "binned" else self.bvh
+        k = self._compact_slice()
         with self.timer.stage("sensor_update"):
-            self.cloud = sensor_update(
-                accel,
-                self.cloud,
-                self._next_key(),
-                jnp.asarray(points_s, jnp.float32),
-                jnp.asarray(points_mask, bool),
-                tsb,
-                self.config.sensor,
-            )
+            if k is None:
+                self.cloud = sensor_update(
+                    accel,
+                    self.cloud,
+                    self._next_key(),
+                    jnp.asarray(points_s, jnp.float32),
+                    jnp.asarray(points_mask, bool),
+                    tsb,
+                    self.config.sensor,
+                )
+            else:
+                sub = jax.tree_util.tree_map(lambda x: x[:k], self.cloud)
+                sub = sensor_update(
+                    accel,
+                    sub,
+                    self._next_key(),
+                    jnp.asarray(points_s, jnp.float32),
+                    jnp.asarray(points_mask, bool),
+                    tsb,
+                    self.config.sensor,
+                )
+                self.cloud = jax.tree_util.tree_map(
+                    lambda full, part: jax.lax.dynamic_update_slice_in_dim(
+                        full, part.astype(full.dtype), 0, axis=0
+                    ),
+                    self.cloud,
+                    sub,
+                )
         self.sensor_updates += 1
 
     def resample(self) -> bool:
         """Resampling stage; returns False when guarded away (reference
-        resampling tick :554-639: requires ≥1 motion AND sensor update)."""
+        resampling tick :554-639: requires ≥1 motion AND sensor update, and
+        rejects live counts below ``min_particles_for_resample``)."""
         if self.motion_updates < 1 or self.sensor_updates < 1:
             return False
         if int(np.asarray(self.cloud.n_alive)) < self.config.min_particles_for_resample:
             return False
-        fn = _RESAMPLERS[self.config.resampler]
         with self.timer.stage("resampling"):
-            self.cloud = fn(self.cloud, self._next_key(), self.config.resampling)
+            if self.config.dynamic_count != "off":
+                cap = self.config.n_particles
+                if (
+                    self.config.dynamic_count == "adaptive"
+                    and self.config.resampler != "gladiator"
+                ):
+                    n_target = adaptive_particle_count(
+                        self.cloud,
+                        n_min=self.adaptive_n_min_eff,
+                        n_max=cap,
+                        spread_ref=self.config.adaptive_spread_ref,
+                    )
+                else:
+                    # reference parity: ResidualResamplerCPU fills the whole
+                    # next buffer (grow-to-capacity); gladiator keeps a
+                    # fixed-size cloud in the reference too
+                    n_target = jnp.int32(cap)
+                if self.config.resampler == "gladiator":
+                    new = gladiator_resample(
+                        self.cloud, self._next_key(), self.config.resampling
+                    )
+                else:
+                    new = residual_resample_dynamic(
+                        self.cloud, self._next_key(), self.config.resampling,
+                        n_target,
+                    )
+                n_new = int(np.asarray(new.n_alive))
+                if n_new < self.config.min_particles_for_resample:
+                    # adoption guard (rmcl_localization.cpp:633-639) — keep
+                    # the previous cloud instead of adopting a collapsed one
+                    return False
+                self.cloud = new
+                self.n_alive_host = n_new
+            else:
+                fn = _RESAMPLERS[self.config.resampler]
+                self.cloud = fn(
+                    self.cloud, self._next_key(), self.config.resampling
+                )
         return True
 
     # -- outputs ----------------------------------------------------------

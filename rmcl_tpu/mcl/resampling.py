@@ -202,6 +202,87 @@ def residual_resample(
     return _copy_from_indices(cloud, src, k_noise, config, noise_scale)
 
 
+def residual_resample_dynamic(
+    cloud: ParticleCloud, key: Array, config: ResamplerConfig,
+    n_target: Array,
+) -> ParticleCloud:
+    """Residual resampling with a *dynamic live count* — the
+    ``ParticleUpdaterDynamic`` contract (reference ParticleUpdater.hpp:24-72:
+    the resampler writes a new buffer and returns the inserted count, which
+    RmclNode adopts as ``n_particles_`` — rmcl_localization.cpp:633-639).
+
+    TPU-native form: the capacity stays static; the resampler writes the
+    ``n_target`` (device scalar) new particles into the *prefix* slots and
+    marks exactly those alive. The reference's ResidualResamplerCPU always
+    fills its whole output buffer (the insert loop runs until
+    ``insertion_idx == particle_poses_new.size()`` — ResidualResamplerCPU.
+    cpp:102-181), i.e. grows to capacity; pass ``n_target = capacity`` for
+    that exact behavior, or a policy value (:func:`adaptive_particle_count`)
+    for KLD-style shrink/grow the reference's contract allows for.
+    """
+    n = cloud.capacity
+    nt_f = n_target.astype(jnp.float32)
+    w = cloud.weights()  # alive-masked, normalized
+    k_resid, k_noise = jax.random.split(key)
+
+    counts = jnp.floor(w * nt_f)
+    n_det = jnp.sum(counts).astype(jnp.int32)
+    residual = w * nt_f - counts
+    r_norm = residual / jnp.maximum(jnp.sum(residual), 1e-30)
+
+    slots = jnp.arange(n)
+    src_det = jnp.searchsorted(
+        jnp.cumsum(counts), slots.astype(counts.dtype), side="right"
+    )
+    n_resid = jnp.maximum(n_target - n_det, 1)
+    u0 = jax.random.uniform(k_resid)
+    pos = (u0 + (slots - n_det).astype(jnp.float32)) / n_resid.astype(jnp.float32)
+    src_resid = jnp.searchsorted(jnp.cumsum(r_norm), pos, side="right")
+
+    src = jnp.where(slots < n_det, src_det, src_resid).astype(jnp.int32)
+    src = jnp.clip(src, 0, n - 1)
+    degenerate = jnp.sum(w) <= 0.0
+    src = jnp.where(degenerate, slots, src)
+
+    L_max = jnp.maximum(jnp.max(cloud.likelihood.mean), 1e-30)
+    L_max_normed = jnp.take(cloud.likelihood.mean, src) / L_max
+    noise_scale = jnp.where(
+        degenerate, 0.0, 1.0 / jnp.maximum(L_max_normed, 1e-3)
+    )
+    out = _copy_from_indices(cloud, src, k_noise, config, noise_scale)
+    # the live count IS the prefix length: compacted, like the reference's
+    # insertion_idx (degenerate clouds keep their old alive set instead)
+    alive_new = jnp.where(degenerate, cloud.alive, slots < n_target)
+    return dataclasses.replace(out, alive=alive_new)
+
+
+def adaptive_particle_count(
+    cloud: ParticleCloud,
+    n_min: int = 256,
+    n_max: int | None = None,
+    spread_ref: float = 1.0,
+) -> Array:
+    """Live-count policy for :func:`residual_resample_dynamic` (TPU-native
+    superset of the reference's grow-to-capacity behavior; the contract —
+    a resampler-chosen count the node adopts — is ParticleUpdater.hpp:48-72).
+
+    KLD-sampling-style heuristic on the cloud's spatial *concentration*: a
+    dispersed cloud (global init, kidnapped robot) needs many hypotheses, a
+    converged one needs few. The metric is the weight fraction inside a
+    ``spread_ref``-radius ball around the weighted mean — robust to the
+    scattered low-weight tail the residual resampler's 1/L noise keeps
+    re-injecting (a weighted variance is dominated by exactly that tail).
+    Returns an int32 device scalar in [n_min, n_max].
+    """
+    n_max = cloud.capacity if n_max is None else n_max
+    w = cloud.weights()
+    mu = jnp.sum(w[:, None] * cloud.poses.trans, axis=0)
+    d2 = jnp.sum((cloud.poses.trans - mu) ** 2, axis=-1)
+    inside = jnp.sum(jnp.where(d2 <= spread_ref * spread_ref, w, 0.0))
+    frac = jnp.clip(1.0 - inside, 0.0, 1.0)  # dispersed weight fraction
+    return jnp.round(n_min + (n_max - n_min) * frac).astype(jnp.int32)
+
+
 def systematic_resample(
     cloud: ParticleCloud, key: Array, config: ResamplerConfig
 ) -> ParticleCloud:
