@@ -140,6 +140,55 @@ def sample_beams(
     return dirs, rng, valid
 
 
+def probe_update_rays(
+    cloud: ParticleCloud,
+    key: Array,
+    points_s: Array,
+    points_mask: Array,
+    tsb: Transform,
+    config: SensorUpdateConfig,
+) -> Tuple[Array, Array]:
+    """The (orig, dirs) ray set a binned-RC :func:`sensor_update` would cast
+    — mirrors its layout branches (cluster + beam/particle-major) so budget
+    diagnosis (``candidate_stats`` / ``suggest_budgets``) sees the real
+    block composition. Keep in lockstep with sensor_update."""
+    S = config.samples
+    N = cloud.capacity
+    dirs_s, ranges, _ = sample_beams(key, points_s, points_mask, S)
+    particle_major = config.layout == "particle"
+    if particle_major:
+        az = jnp.arctan2(dirs_s[:, 1], dirs_s[:, 0])
+        el = jnp.arcsin(jnp.clip(dirs_s[:, 2], -1.0, 1.0))
+        band = jnp.clip(
+            ((el + jnp.pi * 0.5) * (8.0 / jnp.pi)).astype(jnp.int32), 0, 7
+        )
+        azq = jnp.clip(
+            ((az + jnp.pi) * (512.0 / (2.0 * jnp.pi))).astype(jnp.int32),
+            0, 511,
+        )
+        dirs_s = jnp.take(dirs_s, jnp.argsort(band * 512 + azq), axis=0)
+        pad = (-S) % 32
+        if pad:
+            dirs_s = jnp.concatenate(
+                [dirs_s,
+                 jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32), (pad, 1))]
+            )
+    Sp = dirs_s.shape[0]
+    tsm = cloud.poses @ tsb
+    if config.cluster:
+        fw = cloud.poses.rotate(jnp.asarray([1.0, 0.0, 0.0], jnp.float32))
+        order, _ = cluster_order(cloud.poses.trans, fw)
+        tsm = jax.tree.map(lambda x: jnp.take(x, order, axis=0), tsm)
+    tsm_b = tsm.expand_dims(-1)
+    orig_m = jnp.broadcast_to(tsm_b.trans, (N, Sp, 3))
+    dirs_m = tsm_b.rotate(dirs_s)
+    if particle_major:
+        return orig_m.reshape(-1, 3), dirs_m.reshape(-1, 3)
+    o_bm = jnp.swapaxes(orig_m, 0, 1).reshape(-1, 3)
+    d_bm = jnp.swapaxes(dirs_m, 0, 1).reshape(-1, 3)
+    return o_bm, d_bm
+
+
 # config is a pytree argument; its `samples`/`correspondence_type` fields are
 # static through the pytree structure (register_dataclass meta fields)
 @partial(jax.jit, static_argnames=("chunk_size",))
