@@ -3,6 +3,7 @@
 adoption rmcl_localization.cpp:633-639)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -120,6 +121,7 @@ def _run_steps(node, bvh, model, true_pose, steps):
         node.resample()
 
 
+@pytest.mark.slow
 def test_kidnapped_robot_dynamic_count():
     """The live count shrinks after convergence and grows on re-seeding —
     the VERDICT round-1 'Done' criterion for dynamic counts."""

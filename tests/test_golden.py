@@ -12,6 +12,10 @@ import os
 import numpy as np
 
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 def test_micp_trajectory_matches_golden():
     import sys
 

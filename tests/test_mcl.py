@@ -4,6 +4,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rmcl_tpu.bvh.builder import build_bvh
 from rmcl_tpu.geom.mesh import make_room_scene
@@ -160,6 +161,7 @@ def _weighted_cloud(n, weights, rng):
     )
 
 
+@pytest.mark.slow
 def test_gladiator_resample_improves_weights(key, rng):
     n = 4096
     w = rng.random(n).astype(np.float32) ** 3
@@ -170,6 +172,7 @@ def test_gladiator_resample_improves_weights(key, rng):
     assert out.capacity == n
 
 
+@pytest.mark.slow
 def test_systematic_resample_distribution(key, rng):
     n = 8192
     w = np.zeros(n, np.float32)
@@ -208,6 +211,7 @@ def test_effective_sample_size(rng, key):
 # --- end-to-end global localization ----------------------------------------
 
 
+@pytest.mark.slow
 def test_mcl_node_global_localization():
     """Kidnapped-robot: uniform seeding, a few static sensor updates +
     resamples concentrate the cloud near the true pose."""
@@ -446,6 +450,7 @@ def test_sensor_update_cpc_binned_matches_bvh(key):
     )
 
 
+@pytest.mark.slow
 def test_kidnapped_robot_recovery():
     """Kidnapped-robot recovery (reference docs/RMCL.md + the
     global_localization service): converge at pose A, teleport the robot to

@@ -2,6 +2,7 @@
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rmcl_tpu.geom.mesh import make_box, make_sphere
 from rmcl_tpu.geom.scene import SceneGraph, refine_instance_pose
@@ -43,6 +44,7 @@ def test_scene_instance_scale():
     np.testing.assert_allclose(np.asarray(h.t), 2.0, atol=0.02)
 
 
+@pytest.mark.slow
 def test_refine_instance_pose():
     """Shift one instance; gradient refinement should recover the offset.
 

@@ -114,6 +114,7 @@ def test_sharded_sensor_update_matches_single(mesh8, key):
     )
 
 
+@pytest.mark.slow
 def test_sharded_gladiator_mixes_across_shards(mesh8, key, rng):
     n = 2048
     # one super-strong hypothesis lives in shard 0; exchange must let it
@@ -232,6 +233,7 @@ def test_sharded_correct_once_binned_engine(mesh8):
     assert err < 1e-3, err
 
 
+@pytest.mark.slow
 def test_sharded_mcl_full_loop_converges(mesh8, key):
     """The COMPLETE MCL loop composes under particle sharding: sharded
     global init -> motion update (auto-partitioned elementwise) ->

@@ -4,6 +4,7 @@ pose overrides, differentiability w.r.t. instance poses, closest points."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from rmcl_tpu.geom.mesh import make_box, make_sphere
 from rmcl_tpu.geom.scene import SceneGraph
@@ -79,6 +80,7 @@ def test_tlas_pose_override_moves_instance():
     )
 
 
+@pytest.mark.slow
 def test_tlas_differentiable_wrt_instance_pose():
     sg = mixed_scene()
     tlas = build_tlas(sg, bin_size=16, bins_per_super=8)

@@ -75,6 +75,7 @@ def test_micp_localization_cli(world_and_log):
     assert err < 0.05, err
 
 
+@pytest.mark.slow
 def test_rmcl_localization_cli(world_and_log):
     from rmcl_tpu.tools.rmcl_localization import main
 
