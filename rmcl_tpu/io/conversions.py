@@ -200,34 +200,104 @@ def pointcloud_to_o1dn(
     cloud: msgs.PointCloud2,
     width_skip: int = 1,
 ) -> msgs.O1DnStamped:
-    """Synthesize per-ray directions from the points themselves
-    (reference estimateModelAndData — conversions.cpp:869-1074 — with the
-    Pc2ToO1DnNode's decimation filter, scan_operations.h:52-79)."""
-    pts = cloud.points[::width_skip]
+    """Synthesize per-ray directions from the points themselves — full
+    estimateModelAndData parity (reference conversions.cpp:869-1074):
+    organized width x height grids pass through, every optional channel
+    (mask/normals/colors/stamps/intensities/labels) is carried.
+
+    The reference stores the mask byte INTO data.ranges
+    (conversions.cpp:1014-1017, an apparent copy-paste slip); here the mask
+    lands in data.mask where downstream consumers read it.
+
+    ``width_skip`` is a convenience shim — use :func:`filter_o1dn` for the
+    reference Pc2ToO1DnNode's full 2-D decimation (scan_operations.h:52-79).
+    """
+    pts = np.asarray(cloud.points, np.float32)
     finite = np.isfinite(pts).all(axis=1)
     rng = np.linalg.norm(np.where(finite[:, None], pts, 0.0), axis=1)
     safe = np.maximum(rng, 1e-12)
-    dirs = np.where(finite[:, None], pts / safe[:, None], np.asarray([1.0, 0, 0]))
+    # invalid points get zero dirs + zero range (reference :1001-1007)
+    dirs = np.where(finite[:, None], pts / safe[:, None], 0.0)
     ranges = np.where(finite, rng, 0.0).astype(np.float32)
     r_top = float(ranges.max()) if ranges.size else 0.0  # empty clouds are legal
+    w, h = cloud.width, cloud.height
+    if w is None:
+        w, h = len(pts), 1
+    elif h is None:
+        h = len(pts) // max(w, 1)
     info = msgs.O1DnInfo(
         orig=np.zeros(3, np.float32),
         dirs=dirs.astype(np.float32),
         range_min=0.0,
         range_max=r_top * 1.5 + 1e-3,
+        width=w,
+        height=h,
     )
     data = msgs.RangeData(ranges=ranges, mask=finite)
     if cloud.normals is not None:
-        data.normals = cloud.normals[::width_skip]
+        data.normals = np.asarray(cloud.normals, np.float32)
+    if cloud.colors is not None:
+        c = np.asarray(cloud.colors, np.float32)
+        if c.shape[1] == 3:  # rgb -> rgba with a = 1 (reference :1043-1055)
+            c = np.concatenate([c, np.ones((len(c), 1), np.float32)], axis=1)
+        data.colors = c
     if cloud.intensities is not None:
-        data.intensities = cloud.intensities[::width_skip]
+        data.intensities = np.asarray(cloud.intensities, np.float32)
     if cloud.stamps is not None:
         # per-point capture offsets survive the conversion so downstream
         # motion compensation (sensors.deskew) keeps working
-        data.stamps = np.asarray(cloud.stamps)[::width_skip]
+        data.stamps = np.asarray(cloud.stamps)
     if cloud.labels is not None:
-        data.labels = np.asarray(cloud.labels)[::width_skip]
-    return msgs.O1DnStamped(header=cloud.header, info=info, data=data)
+        data.labels = np.asarray(cloud.labels)
+    out = msgs.O1DnStamped(header=cloud.header, info=info, data=data)
+    if width_skip > 1:
+        out = filter_o1dn(out, width_increment=width_skip)
+    return out
+
+
+def filter_o1dn(
+    o1dn: msgs.O1DnStamped,
+    range_min: float = 0.0,
+    range_max: float = 3.0e38,
+    width_skip_begin: int = 0,
+    width_skip_end: int = 0,
+    width_increment: int = 1,
+    height_skip_begin: int = 0,
+    height_skip_end: int = 0,
+    height_increment: int = 1,
+) -> msgs.O1DnStamped:
+    """2-D organized decimation of an O1Dn scan — the reference
+    ``rmcl::filter`` / FilterOptions2D (scan_operations.h:52-79, impl
+    scan_operations.cpp:41-130; the Pc2ToO1DnNode's dynamic-reconfigurable
+    width/height params — pc2_to_o1dn.cpp:54-76): per-axis
+    skip_begin/skip_end/increment over the width x height grid, with range
+    limits tightened by the options (out.range_min = max, out.range_max =
+    min — scan_operations.cpp:53-54). All optional channels ride along."""
+    w, h = o1dn.info.grid()
+    wi = np.arange(width_skip_begin, w - width_skip_end, max(width_increment, 1))
+    hi = np.arange(height_skip_begin, h - height_skip_end, max(height_increment, 1))
+    # buffer ids of the kept grid cells, row-major like the reference loop
+    keep = (hi[:, None] * w + wi[None, :]).reshape(-1)
+    take = lambda a: None if a is None else np.asarray(a)[keep]
+    info = msgs.O1DnInfo(
+        orig=o1dn.info.orig,
+        dirs=np.asarray(o1dn.info.dirs)[keep],
+        range_min=max(o1dn.info.range_min, range_min),
+        range_max=min(o1dn.info.range_max, range_max),
+        width=len(wi),
+        height=len(hi),
+    )
+    d = o1dn.data
+    data = msgs.RangeData(
+        ranges=take(d.ranges),
+        mask=take(d.mask),
+        normals=take(d.normals),
+        colors=take(d.colors),
+        stamps=take(d.stamps),
+        intensities=take(d.intensities),
+        labels=take(d.labels),
+    )
+    return msgs.O1DnStamped(header=o1dn.header, info=info, data=data)
 
 
 # ---------------------------------------------------------------------------

@@ -72,10 +72,21 @@ class DepthInfo:
 
 @dataclasses.dataclass
 class O1DnInfo:
+    """reference msg/O1DnInfo.msg: one origin, N directions, organized as a
+    width x height grid (width/height None = unorganized N x 1)."""
+
     orig: np.ndarray  # (3,)
     dirs: np.ndarray  # (N, 3)
     range_min: float
     range_max: float
+    width: Optional[int] = None
+    height: Optional[int] = None
+
+    def grid(self) -> tuple:
+        n = len(self.dirs)
+        w = self.width if self.width else n
+        h = self.height if self.height else (n // max(w, 1))
+        return w, h
 
 
 @dataclasses.dataclass
@@ -126,6 +137,11 @@ class PointCloud2:
     intensities: Optional[np.ndarray] = None
     stamps: Optional[np.ndarray] = None
     labels: Optional[np.ndarray] = None
+    colors: Optional[np.ndarray] = None  # (N, 4) RGBA in [0, 1]
+    # organized clouds (depth-camera style): row-major height x width grid;
+    # None = unorganized (N x 1)
+    width: Optional[int] = None
+    height: Optional[int] = None
 
     def valid_mask(self) -> np.ndarray:
         return np.isfinite(self.points).all(axis=1)

@@ -88,17 +88,23 @@ class MessageLog:
                 if r.payload.data.mask is not None:
                     arrays[f"r{i}_smask"] = np.asarray(r.payload.data.mask)
             elif r.kind == "o1dn":
-                # O1DnStamped: one origin + per-ray dirs (generic LiDAR)
+                # O1DnStamped: one origin + per-ray dirs (generic LiDAR);
+                # rlim carries [range_min, range_max, width, height] (the
+                # grid entries are optional for old-log compatibility)
                 info = r.payload.info
+                w, h = info.grid()
                 arrays[f"r{i}_orig"] = np.asarray(info.orig, np.float32)
                 arrays[f"r{i}_dirs"] = np.asarray(info.dirs, np.float32)
                 arrays[f"r{i}_rlim"] = np.asarray(
-                    [info.range_min, info.range_max], np.float64)
+                    [info.range_min, info.range_max, w, h], np.float64)
                 arrays[f"r{i}_ranges"] = np.asarray(r.payload.data.ranges)
                 if r.payload.data.mask is not None:
                     arrays[f"r{i}_smask"] = np.asarray(r.payload.data.mask)
                 if r.payload.data.stamps is not None:
                     arrays[f"r{i}_stamps"] = np.asarray(r.payload.data.stamps)
+                if r.payload.data.colors is not None:
+                    arrays[f"r{i}_colors"] = np.asarray(
+                        r.payload.data.colors, np.float32)
             else:
                 raise ValueError(f"cannot persist record kind '{r.kind}'")
             meta.append((r.stamp, r.kind, r.channel))
@@ -177,11 +183,14 @@ class MessageLog:
                     info=msgs.O1DnInfo(
                         orig=z[f"r{i}_orig"], dirs=z[f"r{i}_dirs"],
                         range_min=float(rl[0]), range_max=float(rl[1]),
+                        width=int(rl[2]) if len(rl) > 2 else None,
+                        height=int(rl[3]) if len(rl) > 3 else None,
                     ),
                     data=msgs.RangeData(
                         ranges=z[f"r{i}_ranges"],
                         mask=z.get(f"r{i}_smask"),
                         stamps=z.get(f"r{i}_stamps"),
+                        colors=z.get(f"r{i}_colors"),
                     ),
                 )
             else:

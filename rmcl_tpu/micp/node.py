@@ -159,6 +159,14 @@ class MICPLocalization:
         self._auto_budget = bool(
             self.config.get("engine_options.auto_budget", True)
         )
+        # ingest diagnostics thresholds (reference warns at 0.5 s delay and
+        # drops clock-type mismatches — MICPSphericalSensorCPU.cpp:104-124)
+        self.ingest_delay_warn = float(
+            self.config.get("ingest_delay_warn", 0.5)
+        )
+        self.ingest_clock_mismatch = float(
+            self.config.get("ingest_clock_mismatch", 1e6)
+        )
         self._runtime_total = 0.0
 
     # -- sensor ingest -----------------------------------------------------
@@ -170,12 +178,16 @@ class MICPLocalization:
 
     def on_scan(self, name: str, msg: msgs.ScanStamped, tsb: Transform = None):
         """Spherical scan message (reference MICPSphericalSensor*::updateMsg)."""
+        if not self._ingest_ok(name, msg.header.stamp):
+            return
         s = self.ensure_sensor(name)
         s.model = scan_info_to_model(msg.info)
         s.points, s.mask = scan_to_points(msg, model=s.model)
         self._finish_update(s, msg.header.stamp, tsb, msg.data.stamps)
 
     def on_depth(self, name: str, msg: msgs.DepthStamped, tsb: Transform = None):
+        if not self._ingest_ok(name, msg.header.stamp):
+            return
         s = self.ensure_sensor(name)
         s.model = depth_info_to_model(msg.info)
         pts = np.asarray(s.model.depth_to_cartesian(jnp.asarray(msg.data.ranges)))
@@ -187,6 +199,8 @@ class MICPLocalization:
         self._finish_update(s, msg.header.stamp, tsb, msg.data.stamps)
 
     def on_o1dn(self, name: str, msg: msgs.O1DnStamped, tsb: Transform = None):
+        if not self._ingest_ok(name, msg.header.stamp):
+            return
         s = self.ensure_sensor(name)
         s.model = o1dn_info_to_model(msg.info)
         r = np.asarray(msg.data.ranges, np.float32)
@@ -197,6 +211,8 @@ class MICPLocalization:
         self._finish_update(s, msg.header.stamp, tsb, msg.data.stamps)
 
     def on_ondn(self, name: str, msg: msgs.OnDnStamped, tsb: Transform = None):
+        if not self._ingest_ok(name, msg.header.stamp):
+            return
         s = self.ensure_sensor(name)
         s.model = ondn_info_to_model(msg.info)
         r = np.asarray(msg.data.ranges, np.float32)
@@ -214,6 +230,35 @@ class MICPLocalization:
         s.points = np.asarray(points, np.float32)
         s.mask = np.asarray(mask, bool)
         self._finish_update(s, 0.0, tsb)
+
+    def _ingest_ok(self, name: str, stamp: float) -> bool:
+        """Ingest sanity diagnostics (reference MICPSphericalSensorCPU
+        updateMsg :104-124): the runtime clock here is the odometry stamp
+        stream. Messages wildly off that clock indicate a clock-SOURCE
+        mismatch (sim vs wall time) and are dropped like the reference's
+        clock-type mismatch; moderate skew warns about network delay."""
+        if not self._odom_hist or not stamp:
+            return True
+        import warnings
+
+        now = self._odom_hist[-1][0]
+        diff = now - float(stamp)
+        if abs(diff) > self.ingest_clock_mismatch:
+            warnings.warn(
+                f"[{name}] STAMP MISMATCH: message stamp {stamp:.3f} is "
+                f"{diff:.1f}s from the odometry clock {now:.3f} — "
+                f"different clock sources? Dropping the message.",
+                stacklevel=4,
+            )
+            return False
+        if abs(diff) > self.ingest_delay_warn:
+            warnings.warn(
+                f"[{name}] NETWORK DELAY: (now - msg stamp) = "
+                f"{diff * 1e3:.0f} ms; control algorithms may not work "
+                f"as expected.",
+                stacklevel=4,
+            )
+        return True
 
     def _finish_update(
         self, s: MICPSensorState, stamp: float, tsb, stamps=None

@@ -34,7 +34,7 @@ def main(argv=None) -> int:
 
     import jax.numpy as jnp
 
-    from rmcl_tpu.io.conversions import scan_info_to_model
+    from rmcl_tpu.io.conversions import o1dn_info_to_model, scan_info_to_model
     from rmcl_tpu.io.replay import MessageLog, replay
     from rmcl_tpu.math.se3 import Transform
     from rmcl_tpu.ops.segmentation import segment_scan
@@ -48,7 +48,15 @@ def main(argv=None) -> int:
         state["pose"] = rec.payload
 
     def on_scan(rec):
-        model = scan_info_to_model(rec.payload.info)
+        _segment(scan_info_to_model(rec.payload.info), rec)
+
+    def on_o1dn(rec):
+        # generic-LiDAR variant (reference O1DnMapSegmentationEmbreeNode —
+        # o1dn_map_segmentation_embree.cpp): segment_scan is model-generic,
+        # only the record unpacking differs
+        _segment(o1dn_info_to_model(rec.payload.info), rec)
+
+    def _segment(model, rec):
         ranges = jnp.asarray(rec.payload.data.ranges, jnp.float32)
         mask = rec.payload.data.mask
         seg = segment_scan(
@@ -71,7 +79,8 @@ def main(argv=None) -> int:
             flush=True,
         )
 
-    replay(MessageLog.load(args.log), {"odom": on_odom, "scan": on_scan})
+    replay(MessageLog.load(args.log),
+           {"odom": on_odom, "scan": on_scan, "o1dn": on_o1dn})
     np.savez_compressed(args.out, n_scans=state["i"], **out)
     print(f"wrote {args.out} ({state['i']} scans)")
     return 0

@@ -331,3 +331,94 @@ def test_segment_scan_mask_real():
     # without the mask the sentinel beams are misclassified as outliers
     assert int(np.asarray(no_mask.scan_outlier).sum()) > 0
     assert int(np.asarray(masked.scan_outlier[::4]).sum()) == 0
+
+
+def test_pointcloud_to_o1dn_organized_colors(rng):
+    """Organized (width x height) clouds and color channels survive the
+    estimation (reference conversions.cpp:869-1074 incl. rgb/rgba)."""
+    from rmcl_tpu.io import msgs
+    from rmcl_tpu.io.conversions import filter_o1dn, pointcloud_to_o1dn
+
+    w, h = 12, 6
+    pts = rng.uniform(-5, 5, (w * h, 3)).astype(np.float32)
+    pts[7] = np.nan  # one invalid point
+    rgb = rng.uniform(0, 1, (w * h, 3)).astype(np.float32)
+    cloud = msgs.PointCloud2(
+        header=msgs.Header(stamp=1.0, frame_id="cam"),
+        points=pts, colors=rgb, width=w, height=h,
+    )
+    o1dn = pointcloud_to_o1dn(cloud)
+    assert o1dn.info.width == w and o1dn.info.height == h
+    assert o1dn.data.colors.shape == (w * h, 4)
+    np.testing.assert_allclose(o1dn.data.colors[:, :3], rgb)
+    np.testing.assert_allclose(o1dn.data.colors[:, 3], 1.0)  # rgb -> a=1
+    assert not o1dn.data.mask[7] and o1dn.data.ranges[7] == 0.0
+    assert np.all(o1dn.info.dirs[7] == 0.0)  # reference :1001-1007
+
+    # 2-D decimation (reference filter, scan_operations.cpp:41-130)
+    f = filter_o1dn(
+        o1dn, width_increment=2, height_skip_begin=1, height_increment=2,
+        range_min=0.5,
+    )
+    assert f.info.width == 6
+    assert f.info.height == 3  # (6 - 1) / 2 rounds like the arange
+    assert f.data.colors.shape == (18, 4)
+    assert f.info.range_min == max(o1dn.info.range_min, 0.5)
+    # kept cell (i=1, j=0) maps to source cell (row 1, col 0)
+    np.testing.assert_allclose(f.data.ranges[0], o1dn.data.ranges[w])
+
+
+def test_micp_ingest_clock_warnings():
+    """Ingest diagnostics (reference MICPSphericalSensorCPU.cpp:104-124):
+    moderate skew warns (NETWORK DELAY); wild skew drops the message."""
+    import warnings
+
+    import pytest as _pytest
+
+    from rmcl_tpu.config.tree import ParamTree
+    from rmcl_tpu.geom.map import MeshMap
+    from rmcl_tpu.geom.mesh import make_room_scene
+    from rmcl_tpu.micp.node import MICPLocalization
+    from rmcl_tpu.sensors.models import SphericalModel
+    from rmcl_tpu.sensors.simulate import simulate
+
+    mesh = make_room_scene(n_pillars=1, seed=0)
+    mm = MeshMap.from_mesh(mesh)
+    model = SphericalModel.create(
+        width=30, height=2, phi_min=-0.2, phi_max=0.2,
+        theta_min=-np.pi, theta_max=np.pi, range_min=0.1, range_max=30.0,
+    )
+    hits = simulate(mm.bvh, model, Transform.identity())
+    info = model_to_scan_info(model)
+    ranges = np.where(np.asarray(hits.hit), np.asarray(hits.t), 0.0).astype(
+        np.float32
+    )
+
+    def scan_msg(stamp):
+        return msgs.ScanStamped(
+            header=msgs.Header(stamp=stamp), info=info,
+            data=msgs.RangeData(ranges=ranges),
+        )
+
+    node = MICPLocalization(mm, ParamTree.from_flat(
+        {"ingest_clock_mismatch": 100.0}))
+    node.on_odometry(Transform.identity(), stamp=100.0)
+
+    # in-sync stamp: no warning
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        node.on_scan("lidar", scan_msg(100.01))
+    assert node.sensors["lidar"].has_data()
+
+    # moderate skew: NETWORK DELAY warning, message still accepted
+    with _pytest.warns(UserWarning, match="NETWORK DELAY"):
+        node.on_scan("lidar", scan_msg(99.0))
+
+    # wild skew (different clock source): warn + drop
+    node2 = MICPLocalization(mm, ParamTree.from_flat(
+        {"ingest_clock_mismatch": 100.0}))
+    node2.on_odometry(Transform.identity(), stamp=100.0)
+    with _pytest.warns(UserWarning, match="STAMP MISMATCH"):
+        node2.on_scan("lidar", scan_msg(1e9))
+    s = node2.sensors.get("lidar")
+    assert s is None or not s.has_data()  # dropped before unpacking

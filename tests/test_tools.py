@@ -228,3 +228,33 @@ def test_micp_cli_depth_and_ondn_records(world_and_log, tmp_path):
     assert z["trans"].shape[0] == 8  # 4 depth + 4 ondn corrections
     err = np.linalg.norm(z["trans"][-1] - np.asarray(true_poses[3].trans))
     assert err < 0.05, err
+
+
+def test_map_segmentation_cli_o1dn(world_and_log, tmp_path):
+    """O1Dn records drive the segmentation CLI (reference
+    O1DnMapSegmentationEmbreeNode — o1dn_map_segmentation_embree.cpp)."""
+    from rmcl_tpu.io.conversions import pointcloud_to_o1dn
+    from rmcl_tpu.tools.map_segmentation import main
+
+    map_path, log_path, true_poses, tmp = world_and_log
+    src = MessageLog.load(log_path)
+    log = MessageLog()
+    for rec in src:
+        if rec.kind == "cloud":
+            cloud = msgs.PointCloud2(
+                header=msgs.Header(stamp=rec.stamp),
+                points=np.asarray(rec.payload["points"]),
+            )
+            log.add(rec.stamp, "o1dn", "lidar", pointcloud_to_o1dn(cloud))
+    log_o1dn = str(tmp_path / "seg_o1dn.npz")
+    log.save(log_o1dn)
+
+    out = str(tmp_path / "seg_o1dn_out.npz")
+    rc = main(["--map", map_path, "--log", log_o1dn, "--out", out,
+               "--pose", "0.4", "-0.3", "1.0", "0", "0", "0.3"])
+    assert rc == 0
+    z = np.load(out)
+    assert int(z["n_scans"]) == 6
+    # the first o1dn scan was rendered exactly from that pose
+    assert z["s0_scan_outlier"].sum() == 0
+    assert z["s0_map_outlier"].sum() == 0
