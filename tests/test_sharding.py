@@ -284,3 +284,68 @@ def test_sharded_mcl_full_loop_converges(mesh8, key):
     est = estimate_stats(cloud)
     err = np.linalg.norm(np.asarray(est.pose.trans) - np.asarray(true_pose.trans))
     assert err < 0.15, err
+
+
+@pytest.mark.slow
+def test_gladiator_mixing_time_doubling_schedule(mesh8, key, rng):
+    """Mixing-time comparison (VERDICT r1 #7): ticks until the strong
+    hypothesis dominates EVERY shard, for the global tournament vs the
+    sharded one under the doubling exchange schedule. The schedule must
+    keep 8-shard mixing within ~1.5x of global (+ the log2(n_shards) ring
+    latency)."""
+    from rmcl_tpu.mcl.resampling import gladiator_resample
+    from rmcl_tpu.parallel.sharded import gladiator_mixing_shifts
+
+    n = 1024
+    w = np.full(n, 0.01, np.float32)
+    w[3] = 10.0  # the strong hypothesis lives in shard 0
+    trans = rng.normal(size=(n, 3)).astype(np.float32)
+    x_target = trans[3, 0]
+
+    def fresh_cloud():
+        cloud = ParticleCloud.create(n).with_poses(
+            Transform.from_xyz_euler(jnp.asarray(trans), jnp.zeros((n, 3)))
+        )
+        return dataclasses.replace(
+            cloud,
+            likelihood=Gaussian1D(
+                mean=jnp.asarray(w), sigma=jnp.zeros(n),
+                n_meas=jnp.full(n, 10.0),
+            ),
+        )
+
+    cfg = ResamplerConfig.create(
+        min_noise_t=(0.001, 0.001, 0.001), min_noise_r=(1e-4, 1e-4, 1e-4)
+    )
+
+    def shard_domination(cloud):
+        """Min over shards of the fraction near the strong hypothesis."""
+        x = np.asarray(cloud.poses.trans[:, 0]).reshape(8, -1)
+        return (np.abs(x - x_target) < 0.1).mean(axis=1).min()
+
+    max_ticks = 14
+
+    def ticks_to_dominate(step):
+        cloud, k = fresh_cloud(), key
+        for t in range(max_ticks):
+            k, sub = jax.random.split(k)
+            cloud = step(cloud, sub, t)
+            if shard_domination(cloud) > 0.5:
+                return t + 1
+        return max_ticks + 1
+
+    t_global = ticks_to_dominate(
+        lambda c, k, t: gladiator_resample(c, k, cfg)
+    )
+    cloud0 = put_sharded(fresh_cloud(), mesh8)
+
+    def sharded_step(c, k, t):
+        return sharded_gladiator_resample(
+            c, k, cfg, mesh8, shifts=gladiator_mixing_shifts(t, 8)
+        )
+
+    t_sharded = ticks_to_dominate(sharded_step)
+    # doubling ring: log2(8) = 3 extra hops at most on top of the global
+    # tournament's dominance-growth time
+    assert t_sharded <= np.ceil(1.5 * t_global) + 3, (t_global, t_sharded)
+    assert t_global <= max_ticks  # sanity: the metric itself converges
