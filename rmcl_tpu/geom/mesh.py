@@ -687,12 +687,15 @@ def make_building_scene(
     subdiv: int = 4,
     n_clutter: int = 2,
     seed: int = 0,
+    door_t: float | None = None,
 ) -> TriangleMesh:
     """Multi-room building floor: grid of rooms joined by door openings,
     cluttered with random boxes — the "Hilti-style building mesh" workload
     class of BASELINE.json config 2. Triangle count scales with
     ``subdiv``² per wall panel (rooms 4x3: subdiv 14 ≈ 47k tris,
-    subdiv 45 ≈ 480k tris)."""
+    subdiv 45 ≈ 480k tris). ``door_t`` fixes every door at that fractional
+    wall position (0.5 = centered — lets loop trajectories pass room
+    center to room center through the doors); None keeps random doors."""
     rng = np.random.default_rng(seed)
     W, H = rooms_x * room_size, rooms_y * room_size
     parts = []
@@ -741,14 +744,18 @@ def make_building_scene(
         for iy in range(rooms_y):
             y0, y1 = iy * room_size, (iy + 1) * room_size
             parts.extend(
-                wall_with_door((x, y0), (x, y1), float(rng.uniform(0.25, 0.75)))
+                wall_with_door((x, y0), (x, y1),
+                               door_t if door_t is not None
+                               else float(rng.uniform(0.25, 0.75)))
             )
     for iy in range(1, rooms_y):
         y = iy * room_size
         for ix in range(rooms_x):
             x0, x1 = ix * room_size, (ix + 1) * room_size
             parts.extend(
-                wall_with_door((x0, y), (x1, y), float(rng.uniform(0.25, 0.75)))
+                wall_with_door((x0, y), (x1, y),
+                               door_t if door_t is not None
+                               else float(rng.uniform(0.25, 0.75)))
             )
 
     # clutter boxes per room
