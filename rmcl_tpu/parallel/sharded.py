@@ -242,6 +242,65 @@ def sharded_gladiator_resample(
     return f(cloud, key)
 
 
+def sharded_residual_resample_dynamic(
+    cloud: ParticleCloud,
+    key: Array,
+    config: ResamplerConfig,
+    n_target: Array,
+    mesh: Mesh,
+) -> ParticleCloud:
+    """Dynamic-count residual resampling over a particle-sharded cloud
+    (the ParticleUpdaterDynamic contract, reference ParticleUpdater.hpp:
+    24-72, threaded through the sharded path — VERDICT r1 #5).
+
+    The global live budget ``n_target`` is split across shards in
+    proportion to each shard's total likelihood mass (largest-remainder
+    rounding so the shares sum exactly to n_target; computed identically
+    on every shard from an all_gather of the n_shards weight sums — no
+    host round trip). Each shard then residual-resamples locally into its
+    prefix, weighting by the GLOBAL weight normalization, so the joint
+    distribution matches the single-device resampler's.
+    """
+    from rmcl_tpu.mcl.resampling import residual_resample_dynamic
+
+    n_dev = mesh.shape[RAY_AXIS]
+
+    def local(cloud: ParticleCloud, key: Array, n_target: Array) -> ParticleCloud:
+        my = jax.lax.axis_index(RAY_AXIS)
+        w_local = jnp.sum(
+            jnp.where(cloud.alive, jnp.maximum(cloud.likelihood.mean, 0.0), 0.0)
+        )
+        w_all = jax.lax.all_gather(w_local, RAY_AXIS)  # (n_dev,)
+        w_sum = jnp.maximum(jnp.sum(w_all), 1e-30)
+        cap = jnp.int32(cloud.alive.shape[0])
+        # weight-proportional shares capped at shard capacity; the overflow
+        # of heavy shards spills to the rest by a deterministic greedy fill
+        # (fractional-part order) so the shares sum to exactly
+        # min(n_target, n_dev*cap) — identical arithmetic on every shard
+        exact = w_all / w_sum * n_target.astype(jnp.float32)
+        base = jnp.minimum(jnp.floor(exact).astype(jnp.int32), cap)
+        remaining = n_target - jnp.sum(base)
+        room = cap - base
+        order = jnp.argsort(-(exact - jnp.floor(exact)))
+        room_ord = jnp.take(room, order)
+        prefix = jnp.cumsum(room_ord)
+        give_ord = jnp.clip(remaining - (prefix - room_ord), 0, room_ord)
+        shares = base + jnp.zeros((n_dev,), jnp.int32).at[order].set(give_ord)
+        my_share = shares[my]
+        return residual_resample_dynamic(
+            cloud, jax.random.fold_in(key, my), config, my_share
+        )
+
+    f = jax.shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(P(RAY_AXIS), P(), P()),
+        out_specs=P(RAY_AXIS),
+        check_vma=False,
+    )
+    return f(cloud, key, jnp.asarray(n_target, jnp.int32))
+
+
 def psum_likelihood_stats(cloud: ParticleCloud, mesh: Mesh):
     """Global likelihood sum/max over a sharded cloud (replaces the CUDA
     block reduction ``simple_stats_kernel`` — reference resampling.cu:41-92)."""

@@ -349,3 +349,43 @@ def test_gladiator_mixing_time_doubling_schedule(mesh8, key, rng):
     # tournament's dominance-growth time
     assert t_sharded <= np.ceil(1.5 * t_global) + 3, (t_global, t_sharded)
     assert t_global <= max_ticks  # sanity: the metric itself converges
+
+
+def test_sharded_dynamic_residual_counts(mesh8, key, rng):
+    """Sharded dynamic-count resampling: the global live budget lands as
+    weight-proportional per-shard prefixes summing exactly to n_target."""
+    from rmcl_tpu.parallel.sharded import sharded_residual_resample_dynamic
+
+    n = 1024  # 8 shards x 128
+    w = rng.random(n).astype(np.float32)
+    w[: n // 8] *= 10.0  # shard 0 holds ~10x the mass
+    trans = rng.normal(size=(n, 3)).astype(np.float32)
+    cloud = ParticleCloud.create(n).with_poses(
+        Transform.from_xyz_euler(jnp.asarray(trans), jnp.zeros((n, 3)))
+    )
+    cloud = dataclasses.replace(
+        cloud,
+        likelihood=Gaussian1D(
+            mean=jnp.asarray(w), sigma=jnp.zeros(n), n_meas=jnp.ones(n)
+        ),
+    )
+    cloud_s = put_sharded(cloud, mesh8)
+    cfg = ResamplerConfig.create()
+    out = sharded_residual_resample_dynamic(
+        cloud_s, key, cfg, jnp.int32(400), mesh8
+    )
+    alive = np.asarray(out.alive).reshape(8, -1)
+    counts = alive.sum(axis=1)
+    assert counts.sum() == 400
+    # every shard's live set is a compacted prefix
+    for s in range(8):
+        assert alive[s, : counts[s]].all()
+        assert not alive[s, counts[s]:].any()
+    # shard 0 (10x mass) gets by far the largest share (capped at its
+    # 128-slot capacity; the overflow spills to the other shards)
+    assert counts[0] == 128
+    # grow-to-capacity distributes everything
+    out2 = sharded_residual_resample_dynamic(
+        cloud_s, key, cfg, jnp.int32(n), mesh8
+    )
+    assert int(np.asarray(out2.alive).sum()) == n
