@@ -91,6 +91,13 @@ class MCLConfig:
     # loud warning instead of a correction. The exact 'bvh' engine needs no
     # budgets (reference rtcIntersect1 parity: safety by default).
     auto_budget: bool = True
+    # sensor.engine='auto': choose the ray engine per cloud state. A
+    # scattered cloud (global localization) saturates any dense-engine
+    # candidate budget (TPU_NOTES: silent geometry loss at c_bin<=384 on
+    # big maps) -> exact BVH traversal; once the cloud concentrates below
+    # auto_engine_spread [m] (with hysteresis x2 to re-scatter), the dense
+    # binned engine's coherent blocks win -> switch to it.
+    auto_engine_spread: float = 1.0
 
     @staticmethod
     def from_params(params) -> "MCLConfig":
@@ -132,6 +139,9 @@ class MCLConfig:
             adaptive_n_min=int(g("resampling.adaptive_n_min", 256)),
             adaptive_spread_ref=float(
                 g("resampling.adaptive_spread_ref", 1.0)
+            ),
+            auto_engine_spread=float(
+                g("sensor_update.auto_engine_spread", 1.0)
             ),
             max_induction_particles=int(
                 g("resampling.max_induction_particles", 50_000)
@@ -225,6 +235,9 @@ class MCLNode:
             self.config.adaptive_n_min, self.config.n_particles
         )
         self._budget_checked = False
+        # engine='auto' starts on the exact traversal (init clouds are
+        # scattered by definition); _auto_select_engine flips it later
+        self._engine_choice = "bvh"
 
     # -- services ---------------------------------------------------------
 
@@ -341,6 +354,30 @@ class MCLNode:
         )
         self.config.sensor = new
 
+    def _auto_select_engine(self) -> None:
+        """Per-tick engine choice for sensor.engine='auto' (VERDICT r1 #4):
+        scattered cloud -> exact BVH traversal (no budgets to saturate);
+        concentrated cloud -> dense binned engine (coherent blocks, the
+        TPU hot path). Spread metric = mean per-axis weighted std-dev of
+        the live translations; 2x hysteresis prevents flapping."""
+        if self.bins is None:
+            self._engine_choice = "bvh"
+            return
+        w = self.cloud.weights()
+        mu = jnp.sum(w[:, None] * self.cloud.poses.trans, axis=0)
+        var = jnp.sum(w[:, None] * (self.cloud.poses.trans - mu) ** 2, axis=0)
+        spread = float(np.asarray(jnp.sqrt(jnp.maximum(jnp.mean(var), 0.0))))
+        thresh = self.config.auto_engine_spread
+        prev = self._engine_choice
+        if prev == "binned":
+            choice = "bvh" if spread > 2.0 * thresh else "binned"
+        else:
+            choice = "binned" if spread < thresh else "bvh"
+        if choice != prev:
+            self._engine_choice = choice
+            # the binned path needs a fresh budget audit for this cloud
+            self._budget_checked = choice != "binned"
+
     def _compact_slice(self) -> Optional[int]:
         """Prefix length for compact compute, or None for the full cloud.
 
@@ -364,17 +401,28 @@ class MCLNode:
         """Sensor stage on one point-cloud message (reference sensorUpdate
         :482-549). With a dynamic count, only the live prefix (power-of-two
         padded) runs through the expensive per-particle ray casts."""
+        if self.config.sensor.engine == "auto":
+            self._auto_select_engine()
+            eff_cfg = dataclasses.replace(
+                self.config.sensor, engine=self._engine_choice
+            )
+        else:
+            eff_cfg = self.config.sensor
         # binned engine serves both RC ray casts and CP distance queries
-        accel = self.bins if self.config.sensor.engine == "binned" else self.bvh
+        accel = self.bins if eff_cfg.engine == "binned" else self.bvh
         if (
             not self._budget_checked
-            and self.config.sensor.engine == "binned"
-            and self.config.sensor.correspondence_type != "CP"
+            and eff_cfg.engine == "binned"
+            and eff_cfg.correspondence_type != "CP"
         ):
             self._check_budgets(
                 jnp.asarray(points_s, jnp.float32),
                 jnp.asarray(points_mask, bool),
                 tsb,
+            )
+            # adopt any raised budgets into this tick's effective config
+            eff_cfg = dataclasses.replace(
+                self.config.sensor, engine=eff_cfg.engine
             )
         k = self._compact_slice()
         with self.timer.stage("sensor_update"):
@@ -386,7 +434,7 @@ class MCLNode:
                     jnp.asarray(points_s, jnp.float32),
                     jnp.asarray(points_mask, bool),
                     tsb,
-                    self.config.sensor,
+                    eff_cfg,
                 )
             else:
                 sub = jax.tree_util.tree_map(lambda x: x[:k], self.cloud)
@@ -397,7 +445,7 @@ class MCLNode:
                     jnp.asarray(points_s, jnp.float32),
                     jnp.asarray(points_mask, bool),
                     tsb,
-                    self.config.sensor,
+                    eff_cfg,
                 )
                 self.cloud = jax.tree_util.tree_map(
                     lambda full, part: jax.lax.dynamic_update_slice_in_dim(

@@ -621,3 +621,53 @@ def test_sensor_update_c_mid_matches_two_level(key):
         out = sensor_update(bins, cloud, key, points, mask, Transform.identity(), cfg)
         outs.append(np.asarray(out.likelihood.mean))
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-7)
+
+
+def test_auto_engine_selection():
+    """sensor.engine='auto' (VERDICT r1 #4): scattered cloud -> exact BVH;
+    converged cloud -> binned; re-seeding flips back."""
+    from rmcl_tpu.geom.map import MeshMap
+    from rmcl_tpu.geom.mesh import make_room_scene as _mrs
+    from rmcl_tpu.mcl.node import MCLConfig, MCLNode
+    from rmcl_tpu.sensors.simulate import simulate as _sim
+
+    mesh = _mrs(n_pillars=2, seed=3)
+    mm = MeshMap.from_mesh(mesh, bin_size=32, bins_per_super=8)
+    model = SphericalModel.create(
+        width=90, height=4, phi_min=-0.3, phi_max=0.2, range_max=30.0
+    )
+    true_pose = Transform.from_pose_tuple(
+        jnp.asarray([0.5, -0.5, 1.0, 0, 0, 0.4])
+    )
+    node = MCLNode(mm, MCLConfig(
+        n_particles=1024,
+        sensor=SensorUpdateConfig.create(
+            samples=32, dist_sigma=0.4, engine="auto"
+        ),
+        auto_engine_spread=0.8,
+        seed=7,
+    ))
+    node.global_localization((-4, -3, 0.8, 0, 0, -np.pi),
+                             (4, 3, 1.2, 0, 0, np.pi))
+    tbo = Transform.identity()
+    hits = _sim(mm.bvh, model, true_pose)
+    node.motion_update(tbo, 0.0)
+    node.sensor_update(hits.point, hits.hit, Transform.identity())
+    assert node._engine_choice == "bvh"  # scattered -> exact engine
+    for step in range(1, 25):
+        node.motion_update(tbo, step * 0.1)
+        hits = _sim(mm.bvh, model, true_pose)
+        node.sensor_update(hits.point, hits.hit, Transform.identity())
+        node.resample()
+    assert node._engine_choice == "binned", "converged cloud must go dense"
+    est = node.estimate()
+    err = float(jnp.linalg.norm(est.pose.trans - true_pose.trans))
+    assert err < 0.3, err
+    # kidnapped: re-seed -> the spread metric flips the engine back
+    node.global_localization((-4, -3, 0.8, 0, 0, -np.pi),
+                             (4, 3, 1.2, 0, 0, np.pi))
+    node.motion_update(tbo, 100.0)
+    node.motion_update(tbo, 100.1)
+    hits = _sim(mm.bvh, model, true_pose)
+    node.sensor_update(hits.point, hits.hit, Transform.identity())
+    assert node._engine_choice == "bvh"
