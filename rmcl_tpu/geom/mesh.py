@@ -89,11 +89,12 @@ class TriangleMesh:
 
 
 def load_mesh(path: str) -> TriangleMesh:
-    """Load a mesh by file extension (.obj/.stl/.ply/.off/.dae)."""
+    """Load a mesh by file extension (.obj/.stl/.ply/.off/.dae/.gltf/.glb)."""
     ext = os.path.splitext(path)[1].lower()
     loaders = {
         ".obj": load_obj, ".stl": load_stl, ".ply": load_ply,
         ".off": load_off, ".dae": load_dae,
+        ".gltf": load_gltf, ".glb": load_gltf,
     }
     if ext not in loaders:
         raise ValueError(f"unsupported mesh format '{ext}' (have {sorted(loaders)})")
@@ -533,6 +534,197 @@ def load_dae(path: str) -> TriangleMesh:
         V = np.stack([V[:, 0], -V[:, 2], V[:, 1]], -1)
     elif up == "X_UP":  # cyclic permutation keeps handedness: z_up = x_file
         V = np.stack([V[:, 1], V[:, 2], V[:, 0]], -1)
+    return TriangleMesh(V.astype(np.float32), F.astype(np.int32))
+
+
+def load_gltf(path: str) -> TriangleMesh:
+    """glTF 2.0 (.gltf JSON + external/embedded buffers, .glb binary)
+    triangle-mesh loader — rounds out the Assimp format breadth the
+    reference relies on (rmagine import_*_map via AssimpIO).
+
+    Supports: GLB container (BIN chunk), external .bin buffers, base64
+    data-URI buffers; POSITION accessors (float VEC3, incl. byteStride
+    interleaving); indexed + non-indexed primitives; TRIANGLES /
+    TRIANGLE_STRIP / TRIANGLE_FAN modes; uint8/16/32 indices; the full
+    node hierarchy with per-node ``matrix`` or TRS, baked to world space.
+    glTF is Y-up by convention -> converted to Z-up (ROS convention),
+    matching the load_dae behavior. Sparse accessors and Draco/meshopt
+    compression are not supported (raise)."""
+    import base64
+    import json
+    import struct
+
+    ext = os.path.splitext(path)[1].lower()
+    glb_bin = None
+    if ext == ".glb":
+        with open(path, "rb") as f:
+            data = f.read()
+        magic, version, _length = struct.unpack_from("<III", data, 0)
+        if magic != 0x46546C67:  # 'glTF'
+            raise ValueError(f"{path}: not a GLB container")
+        if version != 2:
+            raise ValueError(f"{path}: unsupported GLB version {version}")
+        off = 12
+        doc = None
+        while off + 8 <= len(data):
+            clen, ctype = struct.unpack_from("<II", data, off)
+            chunk = data[off + 8 : off + 8 + clen]
+            if ctype == 0x4E4F534A:  # 'JSON'
+                doc = json.loads(chunk.decode("utf-8"))
+            elif ctype == 0x004E4942:  # 'BIN\0'
+                glb_bin = chunk
+            # chunks are 4-byte aligned; well-formed writers include the
+            # padding in clen, but tolerate unpadded ones
+            off += 8 + clen
+            off += (-off) % 4
+        if doc is None:
+            raise ValueError(f"{path}: GLB has no JSON chunk")
+        g = doc
+    else:
+        with open(path, "r") as f:
+            g = json.load(f)
+
+    for ex in g.get("extensionsRequired", []):
+        raise ValueError(f"{path}: required glTF extension '{ex}' unsupported")
+
+    base_dir = os.path.dirname(os.path.abspath(path))
+    buffers: list[bytes] = []
+    for buf in g.get("buffers", []):
+        uri = buf.get("uri")
+        if uri is None:
+            if glb_bin is None:
+                raise ValueError(f"{path}: buffer without uri outside GLB")
+            buffers.append(glb_bin)
+        elif uri.startswith("data:"):
+            b64 = uri.split(",", 1)[1]
+            buffers.append(base64.b64decode(b64))
+        else:
+            from urllib.parse import unquote
+
+            with open(os.path.join(base_dir, unquote(uri)), "rb") as f:
+                buffers.append(f.read())
+
+    views = g.get("bufferViews", [])
+    accessors = g.get("accessors", [])
+    _CTYPE = {
+        5120: np.int8, 5121: np.uint8, 5122: np.int16,
+        5123: np.uint16, 5125: np.uint32, 5126: np.float32,
+    }
+    _NCOMP = {"SCALAR": 1, "VEC2": 2, "VEC3": 3, "VEC4": 4,
+              "MAT3": 9, "MAT4": 16}
+
+    def read_accessor(ai: int) -> np.ndarray:
+        acc = accessors[ai]
+        if "sparse" in acc:
+            raise ValueError(f"{path}: sparse accessors unsupported")
+        dt = np.dtype(_CTYPE[acc["componentType"]])
+        nc = _NCOMP[acc["type"]]
+        count = acc["count"]
+        if "bufferView" not in acc:  # zero-initialized per spec
+            return np.zeros((count, nc), dt)
+        view = views[acc["bufferView"]]
+        raw = buffers[view["buffer"]]
+        base = view.get("byteOffset", 0) + acc.get("byteOffset", 0)
+        stride = view.get("byteStride") or dt.itemsize * nc
+        if stride == dt.itemsize * nc:
+            out = np.frombuffer(raw, dt, count * nc, base).reshape(count, nc)
+        else:  # interleaved: strided window per element
+            rowbytes = np.frombuffer(
+                raw, np.uint8, count * stride, base
+            ).reshape(count, stride)
+            out = rowbytes[:, : dt.itemsize * nc].copy().view(dt)
+        return out.reshape(count, nc)
+
+    placed: list[tuple[np.ndarray, np.ndarray]] = []
+
+    def add_mesh(mi: int, M: np.ndarray) -> None:
+        for prim in g["meshes"][mi].get("primitives", []):
+            mode = prim.get("mode", 4)
+            if mode not in (4, 5, 6):  # triangles / strip / fan only
+                continue
+            attrs = prim.get("attributes", {})
+            if "POSITION" not in attrs:
+                continue
+            pos = read_accessor(attrs["POSITION"]).astype(np.float64)[:, :3]
+            if "indices" in prim:
+                idx = read_accessor(prim["indices"]).reshape(-1).astype(np.int64)
+            else:
+                idx = np.arange(pos.shape[0], dtype=np.int64)
+            if mode == 4:
+                faces = idx[: idx.size - idx.size % 3].reshape(-1, 3)
+            elif mode == 5:  # strip, no restart markers in glTF
+                faces = np.asarray(
+                    _strip_triangulate(idx.tolist()), np.int64
+                ).reshape(-1, 3)
+            else:  # fan
+                faces = np.asarray(
+                    _fan_triangulate(idx.tolist()), np.int64
+                ).reshape(-1, 3)
+            if faces.size == 0:
+                continue
+            placed.append((pos @ M[:3, :3].T + M[:3, 3], faces))
+
+    def node_matrix(node: dict) -> np.ndarray:
+        if "matrix" in node:  # column-major per spec
+            return np.asarray(node["matrix"], np.float64).reshape(4, 4).T
+        M = np.eye(4)
+        t = node.get("translation")
+        r = node.get("rotation")  # (x, y, z, w)
+        s = node.get("scale")
+        if t is not None:
+            M[:3, 3] = t
+        if r is not None:
+            x, y, z, w = r
+            M[:3, :3] = np.asarray([
+                [1 - 2 * (y * y + z * z), 2 * (x * y - z * w), 2 * (x * z + y * w)],
+                [2 * (x * y + z * w), 1 - 2 * (x * x + z * z), 2 * (y * z - x * w)],
+                [2 * (x * z - y * w), 2 * (y * z + x * w), 1 - 2 * (x * x + y * y)],
+            ])
+        if s is not None:
+            M[:3, :3] = M[:3, :3] @ np.diag(np.asarray(s, np.float64))
+        return M
+
+    nodes = g.get("nodes", [])
+
+    def walk(ni: int, M: np.ndarray, depth: int = 0) -> None:
+        if depth > 256:
+            return
+        node = nodes[ni]
+        M = M @ node_matrix(node)
+        if "mesh" in node:
+            add_mesh(node["mesh"], M)
+        for ci in node.get("children", []):
+            walk(ci, M, depth + 1)
+
+    scenes = g.get("scenes", [])
+    scene_roots: list[int] = []
+    if scenes:
+        scene_roots = scenes[g.get("scene", 0)].get("nodes", [])
+    if scene_roots:
+        for ni in scene_roots:
+            walk(ni, np.eye(4))
+    elif nodes:
+        # no scene: every node is a root (spec allows scene-less assets)
+        child_set = {c for n in nodes for c in n.get("children", [])}
+        for ni in range(len(nodes)):
+            if ni not in child_set:
+                walk(ni, np.eye(4))
+    else:
+        for mi in range(len(g.get("meshes", []))):
+            add_mesh(mi, np.eye(4))
+
+    if not placed:
+        raise ValueError(f"no triangle geometry found in {path}")
+    v_off = 0
+    verts, faces = [], []
+    for v, f in placed:
+        verts.append(v)
+        faces.append(f + v_off)
+        v_off += v.shape[0]
+    V = np.concatenate(verts, 0)
+    F = np.concatenate(faces, 0)
+    # glTF is +Y up / -Z forward; ROS maps are Z-up
+    V = np.stack([V[:, 0], -V[:, 2], V[:, 1]], -1)
     return TriangleMesh(V.astype(np.float32), F.astype(np.int32))
 
 

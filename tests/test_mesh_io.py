@@ -279,3 +279,153 @@ def test_dae_instance_node(tmp_path):
     xs = np.sort(np.unique(np.round(m.vertices[:, 0])))
     ys = np.sort(np.unique(np.round(m.vertices[:, 1])))
     assert 10.0 in xs and 20.0 in ys  # both transforms applied
+
+
+# ---------------------------------------------------------------------------
+# glTF 2.0 (.gltf / .glb)
+# ---------------------------------------------------------------------------
+
+
+def _gltf_doc(pos, idx, extra_node=None, interleave=False):
+    """Minimal glTF JSON with one indexed TRIANGLES primitive."""
+    import base64
+
+    pos = np.asarray(pos, np.float32)
+    idx = np.asarray(idx, np.uint16)
+    if interleave:
+        # POSITION interleaved with a dummy float pad (stride 16)
+        inter = np.zeros((len(pos), 4), np.float32)
+        inter[:, :3] = pos
+        pbytes = inter.tobytes()
+        stride = {"byteStride": 16}
+    else:
+        pbytes = pos.tobytes()
+        stride = {}
+    ibytes = idx.tobytes()
+    if len(ibytes) % 4:
+        ibytes += b"\0\0"
+    buf = pbytes + ibytes
+    doc = {
+        "asset": {"version": "2.0"},
+        "buffers": [{
+            "byteLength": len(buf),
+            "uri": "data:application/octet-stream;base64,"
+                   + base64.b64encode(buf).decode(),
+        }],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": len(pbytes), **stride},
+            {"buffer": 0, "byteOffset": len(pbytes), "byteLength": len(idx.tobytes())},
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": len(pos),
+             "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5123, "count": idx.size,
+             "type": "SCALAR"},
+        ],
+        "meshes": [{"primitives": [
+            {"attributes": {"POSITION": 0}, "indices": 1, "mode": 4}
+        ]}],
+        "nodes": [extra_node or {"mesh": 0}],
+        "scenes": [{"nodes": [0]}],
+        "scene": 0,
+    }
+    return doc
+
+
+def test_gltf_json_data_uri(tmp_path):
+    import json
+
+    # one triangle in glTF's Y-up frame; expect Z-up after load
+    pos = [[0, 0, 0], [1, 0, 0], [0, 1, 0]]  # y_up
+    doc = _gltf_doc(pos, [0, 1, 2])
+    p = tmp_path / "tri.gltf"
+    p.write_text(json.dumps(doc))
+    m = load_mesh(str(p))
+    assert m.n_faces == 1
+    # (x, y, z)_yup -> (x, -z, y)_zup
+    np.testing.assert_allclose(
+        sorted(m.vertices.tolist()),
+        sorted([[0, 0, 0], [1, 0, 0], [0, 0, 1]]),
+        atol=1e-6,
+    )
+
+
+def test_gltf_node_trs_and_children(tmp_path):
+    import json
+
+    pos = [[0, 0, 0], [1, 0, 0], [0, 1, 0]]
+    doc = _gltf_doc(pos, [0, 1, 2])
+    # root translates by (0, 0, 5) (y_up), child carries the mesh with a
+    # 90-deg rotation about +Y: quat (0, s, 0, c)
+    s = np.sin(np.pi / 4)
+    doc["nodes"] = [
+        {"translation": [0, 0, 5], "children": [1]},
+        {"mesh": 0, "rotation": [0.0, float(s), 0.0, float(np.cos(np.pi / 4))]},
+    ]
+    p = tmp_path / "trs.gltf"
+    p.write_text(json.dumps(doc))
+    m = load_mesh(str(p))
+    assert m.n_faces == 1
+    # y_up world: v1 (1,0,0) rotates to (0,0,-1), +(0,0,5) -> (0,0,4);
+    # z_up: (x,-z,y) -> (0,-4,0)
+    got = sorted(m.vertices.round(5).tolist())
+    exp = sorted(np.asarray(
+        [[0, -5, 0], [0, -4, 0], [0, -5, 1]], np.float32).tolist())
+    np.testing.assert_allclose(got, exp, atol=1e-5)
+
+
+def test_gltf_interleaved_stride(tmp_path):
+    import json
+
+    pos = [[0, 0, 0], [2, 0, 0], [0, 3, 0]]
+    doc = _gltf_doc(pos, [0, 1, 2], interleave=True)
+    p = tmp_path / "inter.gltf"
+    p.write_text(json.dumps(doc))
+    m = load_mesh(str(p))
+    assert m.n_faces == 1
+    np.testing.assert_allclose(
+        sorted(m.vertices.tolist()),
+        sorted([[0, 0, 0], [2, 0, 0], [0, 0, 3]]),
+        atol=1e-6,
+    )
+
+
+def test_glb_container(tmp_path):
+    import json
+    import struct as st
+
+    pos = np.asarray([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+    idx = np.asarray([0, 1, 2], np.uint16)
+    pbytes = pos.tobytes()
+    ibytes = idx.tobytes() + b"\0\0"
+    binc = pbytes + ibytes
+    doc = {
+        "asset": {"version": "2.0"},
+        "buffers": [{"byteLength": len(binc)}],
+        "bufferViews": [
+            {"buffer": 0, "byteOffset": 0, "byteLength": len(pbytes)},
+            {"buffer": 0, "byteOffset": len(pbytes), "byteLength": 6},
+        ],
+        "accessors": [
+            {"bufferView": 0, "componentType": 5126, "count": 3, "type": "VEC3"},
+            {"bufferView": 1, "componentType": 5123, "count": 3, "type": "SCALAR"},
+        ],
+        "meshes": [{"primitives": [{"attributes": {"POSITION": 0}, "indices": 1}]}],
+        "nodes": [{"mesh": 0}],
+        "scenes": [{"nodes": [0]}],
+        "scene": 0,
+    }
+    jb = json.dumps(doc).encode()
+    jb += b" " * ((-len(jb)) % 4)
+    glb = st.pack("<III", 0x46546C67, 2, 12 + 8 + len(jb) + 8 + len(binc))
+    glb += st.pack("<II", len(jb), 0x4E4F534A) + jb
+    glb += st.pack("<II", len(binc), 0x004E4942) + binc
+    p = tmp_path / "tri.glb"
+    p.write_bytes(glb)
+    m = load_mesh(str(p))
+    assert m.n_faces == 1
+    np.testing.assert_allclose(
+        sorted(m.vertices.tolist()),
+        sorted([[0, 0, 0], [1, 0, 0], [0, 0, 1]]),
+        atol=1e-6,
+    )
