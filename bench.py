@@ -62,7 +62,9 @@ def main():
     az_tile = int(os.environ.get("BENCH_AZ_TILE", 8))
     el_tile = int(os.environ.get("BENCH_EL_TILE", 1))
     poses_per_tile = int(os.environ.get("BENCH_POSES_PER_TILE", 16))
-    bins_per_super = int(os.environ.get("BENCH_BPS", 64))
+    # BPS=32 measured best on chip (sweep_r2: 40.8M vs 35.6M at BPS=64 —
+    # halves the level-1 key count cs*S at a small level-0 cost)
+    bins_per_super = int(os.environ.get("BENCH_BPS", 32))
     c_mid = int(os.environ.get("BENCH_CMID", 0))  # 3-level cull when > 0
     bins = build_bins(mesh, bin_size=bin_size, bins_per_super=bins_per_super)
 

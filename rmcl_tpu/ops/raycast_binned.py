@@ -404,19 +404,26 @@ def _chunk_level0(bins, ob, db, t_min_b, t_max_b, cs, sub_blocks):
 
 def _group_box_tests(bounds, boxes):
     """Sub-block cone tests against grouped boxes (Cb, K, G, 6) -> OR over
-    sub-blocks. Returns (any (Cb, K, G), tn (Cb, K, G))."""
+    sub-blocks. Returns (any (Cb, K, G), tn (Cb, K, G)).
+
+    The (K, G) box axes are flattened into one K*G minor axis for the test
+    itself: the cone-box arithmetic is elementwise over boxes, and a G=32/64
+    minor dim wastes 4x/2x of the TPU's 128-lane vregs, while K*G (e.g.
+    24*32=768) tiles exactly."""
     oc, oh, axis, tan_th, t_hi = bounds
+    Cb, K, G, _ = boxes.shape
+    bf = boxes.reshape(Cb, 1, K * G, 6)
     pass_b, tn_b, _ = _cone_box_test(
-        oc[:, :, None, None],
-        oh[:, :, None, None],
-        axis[:, :, None, None],
-        tan_th[:, :, None, None],
-        t_hi[:, :, None, None],
-        boxes[:, None, :, :, 0:3],
-        boxes[:, None, :, :, 3:6],
-    )  # (Cb, R, K, G)
-    tn = jnp.min(jnp.where(pass_b, tn_b, _BIG), axis=1)
-    return jnp.any(pass_b, axis=1), tn
+        oc[:, :, None],
+        oh[:, :, None],
+        axis[:, :, None],
+        tan_th[:, :, None],
+        t_hi[:, :, None],
+        bf[..., 0:3],
+        bf[..., 3:6],
+    )  # (Cb, R, K*G)
+    tn = jnp.min(jnp.where(pass_b, tn_b, _BIG), axis=1).reshape(Cb, K, G)
+    return jnp.any(pass_b, axis=1).reshape(Cb, K, G), tn
 
 
 def _chunk_cull_tests(bins, ob, db, t_min_b, t_max_b, cs, sub_blocks):
