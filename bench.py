@@ -87,7 +87,7 @@ def main():
     cast_kw = dict(block_size=sweep.block_size, dir_groups=sweep.dir_groups,
                    c_bin=c_bin, block_chunk=512, sort_blocks=True, c_mid=c_mid)
     fact_kw = dict(c_bin=c_bin, block_chunk=512, sort_blocks=True,
-                   c_mid=c_mid, payload="plane",
+                   c_mid=c_mid, payload=os.environ.get("BENCH_PAYLOAD", "plane"),
                    c_super=int(os.environ.get("BENCH_CSUPER", 24)),
                    sub_blocks=int(os.environ.get("BENCH_SUBBLOCKS", 4)))
 

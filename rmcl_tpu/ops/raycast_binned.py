@@ -1057,15 +1057,19 @@ def cast_rays_binned_factored(
         (~3x fewer VPU ops/pair than the hoisted Möller–Trumbore path in
         :func:`cast_rays_binned`).
 
-    ``payload``: "plane" (default) carries the winner's unnormalized plane
-    (ng, c0) — normals/points/t are exact, prim_id/inst_id are -1; "full"
-    additionally carries prim/inst ids (~4 extra VPU ops/pair); "none" is
-    the occlusion query (t only).
+    ``payload``: "index" (cheapest, full ids) carries only the winning
+    (candidate, lane) indices on the small (Cb, G, P) grid — zero extra
+    work on the (Cb, B, G, P) pair grid — and gathers the winning
+    triangle's 14 packed floats once per ray at the end (exact
+    t/point/normal + prim/inst ids); "plane" one-hot-selects the winner's
+    unnormalized plane (ng, c0) on the pair grid (~10 VPU ops/pair;
+    prim_id/inst_id are -1); "full" = plane + ids (~4 more ops/pair);
+    "none" is the occlusion query (t only).
 
     Constraints: ``t_min >= 0`` (degenerate/padding triangles rely on
     ``t=0`` failing the gate); scalar t_min/t_max.
     """
-    assert payload in ("plane", "full", "none")
+    assert payload in ("index", "plane", "full", "none")
     o_blk = jnp.asarray(o_blk, jnp.float32)
     d_blk = jnp.asarray(d_blk, jnp.float32)
     n_blk, P, _ = o_blk.shape
@@ -1164,7 +1168,6 @@ def cast_rays_binned_factored(
     eps = 1e-7
     onep = 1.0 + eps
     carry_ids = payload == "full"
-    n_pl = 0 if payload == "none" else (6 if carry_ids else 4)
 
     def chunk_fn(args):
         o_c, d_c, alive_c, cand_c, count_c, tnear_c = args
@@ -1232,6 +1235,13 @@ def cast_rays_binned_factored(
             t_best = jnp.where(better, t_min_bin, t_best)
             if payload == "none":
                 return (t_best,)
+            if payload == "index":
+                # winner indices only — all selects on the small (Cb, G, P)
+                # grid; the triangle itself is gathered once per ray after
+                # the loop
+                j_win = jnp.where(better, key_min & jmask, state[1])
+                c_win = jnp.where(better, c, state[2])
+                return (t_best, j_win, c_win)
             # winner payload: one-hot lane select of the resident planes
             sel = (j_iota == (key_min & jmask)[:, None]) & better[:, None]
             pick = lambda comp: jnp.sum(
@@ -1250,9 +1260,15 @@ def cast_rays_binned_factored(
 
         z = jnp.zeros((Cb, G, P), jnp.float32)
         t0 = jnp.broadcast_to((alive_c * t_max_s)[:, None, None], (Cb, G, P))
-        init = (t0,) + (z,) * 4 * (payload != "none")
-        if carry_ids:
-            init = init + (jnp.full((Cb, G, P), -1.0), z)
+        if payload == "none":
+            init = (t0,)
+        elif payload == "index":
+            zi = jnp.zeros((Cb, G, P), jnp.int32)
+            init = (t0, zi, jnp.full((Cb, G, P), -1, jnp.int32))
+        else:
+            init = (t0,) + (z,) * 4
+            if carry_ids:
+                init = init + (jnp.full((Cb, G, P), -1.0), z)
 
         def cond(cs_):
             c, state = cs_
@@ -1298,9 +1314,6 @@ def cast_rays_binned_factored(
             point=zero3, normal=zero3,
         )
 
-    ngx, ngy, ngz, c0 = (unblk(x) for x in outs[1:5])
-    if carry_ids:
-        prim, inst = unblk(outs[5]), unblk(outs[6])
     # per-ray origins/directions for the exact plane re-derivation
     o_r = jnp.broadcast_to(
         o_blk[:n_blk, None], (n_blk, G, P, 3)
@@ -1308,6 +1321,41 @@ def cast_rays_binned_factored(
     d_r = jnp.broadcast_to(
         d_blk[:n_blk, :, None], (n_blk, G, P, 3)
     ).reshape(batch + (3,))
+    if payload == "index":
+        # winner (candidate, lane) -> global triangle row, one gather/ray.
+        # cand_a is aligned with outs (both in sorted order) — resolve the
+        # bin id per block BEFORE unpermuting.
+        cand_flat = cand_a.reshape(n_blk_p, cb)
+        c_win = outs[2].reshape(n_blk_p, Rb)
+        bid = jnp.take_along_axis(
+            cand_flat, jnp.maximum(c_win, 0), axis=1
+        )  # (n_blk_p, Rb)
+        bid = jnp.where(c_win >= 0, bid, -1)
+        if inv_order is not None:
+            bid = jnp.take(bid, inv_order, axis=0)
+            j_win = jnp.take(outs[1].reshape(n_blk_p, Rb), inv_order, axis=0)
+        else:
+            j_win = outs[1].reshape(n_blk_p, Rb)
+        bid = bid[:n_blk]
+        j_win = j_win[:n_blk]
+        safe_bid = jnp.where(hit & (bid >= 0), bid, n_bins)
+        # (n_bins+1, 14, B) -> row-major (bin, lane) rows of 14 floats
+        tri_rows = tri.transpose(0, 2, 1).reshape((n_bins + 1) * B, 14)
+        rows = jnp.take(
+            tri_rows, (safe_bid * B + j_win).reshape(-1), axis=0
+        ).reshape(batch + (14,))
+        v0 = rows[..., 0:3]
+        e1 = rows[..., 3:6]
+        e2 = rows[..., 6:9]
+        ng = jnp.cross(e1, e2)
+        ngx, ngy, ngz = ng[..., 0], ng[..., 1], ng[..., 2]
+        c0 = jnp.sum(ng * v0, axis=-1)
+        prim, inst = rows[..., 12], rows[..., 13]
+        carry_ids = True
+    else:
+        ngx, ngy, ngz, c0 = (unblk(x) for x in outs[1:5])
+        if carry_ids:
+            prim, inst = unblk(outs[5]), unblk(outs[6])
     denom = ngx * d_r[..., 0] + ngy * d_r[..., 1] + ngz * d_r[..., 2]
     safe_denom = jnp.where(jnp.abs(denom) > 1e-30, denom, 1e-30)
     num = c0 - (ngx * o_r[..., 0] + ngy * o_r[..., 1] + ngz * o_r[..., 2])

@@ -32,7 +32,7 @@ def _sweep_setup(mesh, n_poses, width, height, rng, span=2.0):
     return model, jnp.asarray(dirs), jnp.asarray(trans), sweep
 
 
-@pytest.mark.parametrize("payload", ["plane", "full"])
+@pytest.mark.parametrize("payload", ["plane", "full", "index"])
 def test_factored_matches_exact(rng, payload):
     mesh = make_room_scene((10.0, 8.0, 3.0), n_pillars=3, seed=3)
     bvh = build_bvh(mesh)
@@ -76,7 +76,7 @@ def test_factored_matches_exact(rng, payload):
     np.testing.assert_allclose(
         pt, o_np + t_e[both][:, None] * d_np, atol=5e-3
     )
-    if payload == "full":
+    if payload in ("full", "index"):
         prim_f = sweep.unpermute(
             flat(hits_f.prim_id)[:, None].astype(jnp.float32))[..., 0]
         prim_e = np.asarray(hits_e.prim_id).reshape(20, -1)
