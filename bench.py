@@ -88,7 +88,11 @@ def main():
                    c_bin=c_bin, block_chunk=512, sort_blocks=True, c_mid=c_mid)
     fact_kw = dict(c_bin=c_bin, block_chunk=512, sort_blocks=True,
                    c_mid=c_mid, payload=os.environ.get("BENCH_PAYLOAD", "plane"),
-                   c_super=int(os.environ.get("BENCH_CSUPER", 24)),
+                   # cs=20 is lossless on this workload (max passing supers
+                   # 19/block at BPS=32, bit-identical casts vs cs=24 —
+                   # /tmp/check_cs) and measurably faster; cs=16 silently
+                   # drops 0.2% of hits — do not go lower without an audit
+                   c_super=int(os.environ.get("BENCH_CSUPER", 20)),
                    sub_blocks=int(os.environ.get("BENCH_SUBBLOCKS", 4)))
 
     def cast_sweep(bins, trans, dirs):
