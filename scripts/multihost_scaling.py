@@ -124,14 +124,15 @@ def child(proc: int, nproc: int, iters: int, width: int, height: int,
         print("CHILD_JSON:" + json.dumps(out), flush=True)
 
 
-def run_group(nproc: int, args) -> dict:
+def run_group(nproc: int, args, width: int | None = None,
+              port_salt: int = 0) -> dict:
     env = dict(os.environ, PYTHONPATH=REPO, MH_SCALING_CHILD="1",
-               MH_PORT=str(PORT + nproc))
+               MH_PORT=str(PORT + nproc + port_salt))
     env.pop("JAX_PLATFORMS", None)
     procs = [
         subprocess.Popen(
             [sys.executable, os.path.abspath(__file__), str(nproc), str(i),
-             str(args.iters), str(args.width), str(args.height),
+             str(args.iters), str(width or args.width), str(args.height),
              str(args.faces), str(args.steps)],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             text=True,
@@ -212,6 +213,9 @@ def main():
     ap.add_argument("--width", type=int, default=1440)
     ap.add_argument("--height", type=int, default=32)
     ap.add_argument("--faces", type=int, default=100_000)
+    ap.add_argument("--weak", action="store_true", default=True,
+                    help="add constant-work-per-process rows")
+    ap.add_argument("--no-weak", dest="weak", action="store_false")
     args = ap.parse_args()
 
     rows, base = [], None
@@ -227,7 +231,7 @@ def main():
         rows.append(r)
         n *= 2
 
-    # cross-N pose-track agreement
+    # cross-N pose-track agreement (strong rows share one workload)
     tracks = [np.asarray(r["track"]) for r in rows if "track" in r]
     allclose = all(
         np.allclose(tracks[0], t, rtol=1e-4, atol=1e-5) for t in tracks[1:]
@@ -235,11 +239,29 @@ def main():
     for r in rows:
         r.pop("track", None)
 
+    # weak scaling: constant rays PER PROCESS (width scales with N), the
+    # throughput-scaling reading of the >=0.85 @ 4 hosts north star — the
+    # strong rows above pin a small fixed workload and so measure the gloo
+    # rendezvous floor, not the pipeline's scaling
+    weak_rows = []
+    if args.weak and base is not None:
+        n = 2
+        while n <= args.max_procs:
+            r = run_group(n, args, width=args.width * n, port_salt=64)
+            if "error" not in r:
+                rps = r["rays"] / r["sec_per_track"]
+                r["rays_per_sec"] = rps
+                r["efficiency"] = rps / (base * n)
+            r.pop("track", None)
+            weak_rows.append(r)
+            n *= 2
+
     scene = scene_shard_stats(args)
     table = {
         "workload": {"faces": args.faces, "rays_per_step": args.width * args.height,
                      "steps": args.steps},
         "rows": rows,
+        "weak_rows": weak_rows,
         "pose_tracks_allclose_across_nproc": bool(allclose),
         "scene_shard": scene,
     }
