@@ -66,7 +66,8 @@ def main():
     # halves the level-1 key count cs*S at a small level-0 cost)
     bins_per_super = int(os.environ.get("BENCH_BPS", 32))
     c_mid = int(os.environ.get("BENCH_CMID", 0))  # 3-level cull when > 0
-    bins = build_bins(mesh, bin_size=bin_size, bins_per_super=bins_per_super)
+    bins = build_bins(mesh, bin_size=bin_size, bins_per_super=bins_per_super,
+                      supers_per_hyper=int(os.environ.get("BENCH_SPH", 8)))
 
     model = SphericalModel.vlp16(width=900)  # 900 x 16 = 14,400 rays/pose
     n_dirs = model.n_rays
@@ -87,7 +88,9 @@ def main():
     cast_kw = dict(block_size=sweep.block_size, dir_groups=sweep.dir_groups,
                    c_bin=c_bin, block_chunk=512, sort_blocks=True, c_mid=c_mid)
     fact_kw = dict(c_bin=c_bin, block_chunk=512, sort_blocks=True,
-                   c_mid=c_mid, payload=os.environ.get("BENCH_PAYLOAD", "plane"),
+                   c_mid=c_mid,
+                   c_hyper=int(os.environ.get("BENCH_CHYPER", 0)),
+                   payload=os.environ.get("BENCH_PAYLOAD", "plane"),
                    # cs=20 is lossless on this workload (max passing supers
                    # 19/block at BPS=32, bit-identical casts vs cs=24 —
                    # /tmp/check_cs) and measurably faster; cs=16 silently

@@ -359,34 +359,122 @@ def _subblock_bounds(ob, db, t_min_b, t_max_b, sub_blocks):
     return un(oc), un(oh), un(a), un(tan_th), un(t_hi), un(n_hi), un(dead)
 
 
-def _chunk_level0(bins, ob, db, t_min_b, t_max_b, cs, sub_blocks):
+def _chunk_level0(bins, ob, db, t_min_b, t_max_b, cs, sub_blocks, c_hyper=0):
     """Shared front of the chunk cull: sub-block cone bounds, scene-exit
     cap, level-0 super tests + top_k. Returns (bounds, sup_ids, sup_valid,
     n_hi_b) where bounds = (oc, oh, axis, tan_th, t_hi) with (Cb, R, ...)
-    shapes."""
-    oc, oh, axis, tan_th, t_hi, n_hi, dead = _subblock_bounds(
-        ob, db, t_min_b, t_max_b, sub_blocks
-    )  # (Cb, R, ...)
-    axis = jnp.where(dead[..., None], jnp.asarray([1.0, 0.0, 0.0]), axis)
-    t_hi = jnp.where(dead, 0.0, t_hi)
+    shapes.
 
-    # conservative scene-exit cap per sub-block (see _build_candidates)
-    scene_c = 0.5 * (bins.aabb_min + bins.aabb_max)
-    scene_h = 0.5 * (bins.aabb_max - bins.aabb_min)
-    t_cap = (
-        jnp.linalg.norm(oc - scene_c[None, None], axis=-1)
-        + jnp.linalg.norm(scene_h)
-        + jnp.linalg.norm(oh, axis=-1)
-    )  # (Cb, R)
-    _, _, scene_far = _cone_box_test(
-        oc[:, :, None], oh[:, :, None], axis[:, :, None], tan_th[:, :, None],
-        t_cap[:, :, None],
-        jnp.broadcast_to(bins.aabb_min, (1, 1, 1, 3)),
-        jnp.broadcast_to(bins.aabb_max, (1, 1, 1, 3)),
-    )
-    t_hi = jnp.minimum(t_hi, scene_far[:, :, 0] * 1.0001 + 1e-3)
+    ``c_hyper > 0`` (and bins built with a hyper level) routes the super
+    selection through the hyper boxes: test n_hyper boxes, keep the
+    ``c_hyper`` nearest, then test only their supers — cuts the level-0
+    box-test count from n_super to n_hyper + c_hyper*H (probe_cull: the
+    all-supers test was 93 ms of a 183 ms cull at 488 supers). Like every
+    budget, c_hyper is a nearest-first truncation layer: audit with
+    passing-hyper counts before lowering."""
+    def capped_bounds(r):
+        oc, oh, axis, tan_th, t_hi, n_hi, dead = _subblock_bounds(
+            ob, db, t_min_b, t_max_b, r
+        )  # (Cb, r, ...)
+        axis = jnp.where(dead[..., None], jnp.asarray([1.0, 0.0, 0.0]), axis)
+        t_hi = jnp.where(dead, 0.0, t_hi)
+
+        # conservative scene-exit cap per sub-block (see _build_candidates)
+        scene_c = 0.5 * (bins.aabb_min + bins.aabb_max)
+        scene_h = 0.5 * (bins.aabb_max - bins.aabb_min)
+        t_cap = (
+            jnp.linalg.norm(oc - scene_c[None, None], axis=-1)
+            + jnp.linalg.norm(scene_h)
+            + jnp.linalg.norm(oh, axis=-1)
+        )  # (Cb, r)
+        _, _, scene_far = _cone_box_test(
+            oc[:, :, None], oh[:, :, None], axis[:, :, None],
+            tan_th[:, :, None], t_cap[:, :, None],
+            jnp.broadcast_to(bins.aabb_min, (1, 1, 1, 3)),
+            jnp.broadcast_to(bins.aabb_max, (1, 1, 1, 3)),
+        )
+        t_hi = jnp.minimum(t_hi, scene_far[:, :, 0] * 1.0001 + 1e-3)
+        return (oc, oh, axis, tan_th, t_hi), n_hi
+
+    bounds, n_hi = capped_bounds(sub_blocks)
+    n_hi_b = jnp.max(n_hi, axis=1)  # (Cb,) |d| scale, max over sub-blocks
+
+    if c_hyper and bins.hyper_aabb is not None:
+        Cb = ob.shape[0]
+        H = bins.supers_per_hyper
+        n_hyper = bins.n_hyper
+        n_super = bins.n_super
+        ch = min(c_hyper, n_hyper)
+        # the coarse levels use ONE fat block cone (R=1): the single-cone
+        # bound admits only ~2 extra supers/block into the budgets
+        # (CPU-audited) while quartering the hyper+super test flops; the
+        # sub-block cones stay for the level-1 bin tests where tightness
+        # sets the pair work
+        bounds1, _ = (
+            capped_bounds(1) if sub_blocks > 1 else (bounds, None)
+        )
+        oc, oh, axis, tan_th, t_hi = bounds1
+        # level -1: fat block cone x hypers
+        pass_hyp, tn_hyp, _ = _cone_box_test(
+            oc[:, :, None], oh[:, :, None], axis[:, :, None],
+            tan_th[:, :, None], t_hi[:, :, None],
+            bins.hyper_aabb[None, None, :, 0:3],
+            bins.hyper_aabb[None, None, :, 3:6],
+        )  # (Cb, 1, n_hyper)
+        tnh = jnp.maximum(
+            jnp.min(jnp.where(pass_hyp, tn_hyp, _BIG), axis=1), 0.0
+        )
+        anyh = jnp.any(pass_hyp, axis=1)  # (Cb, n_hyper)
+        hyp_bits = max(1, (n_hyper - 1).bit_length())
+        if hyp_bits <= 20:
+            idm = jnp.int32((1 << hyp_bits) - 1)
+            tb = jax.lax.bitcast_convert_type(tnh, jnp.int32)
+            gids = jax.lax.broadcasted_iota(jnp.int32, (1, n_hyper), 1)
+            key = jnp.where(anyh, (tb & ~idm) | gids, jnp.int32(0x7FFFFFF0))
+            kmin = -jax.lax.top_k(-key, ch)[0]
+            hyp_sel = jnp.where(kmin != 0x7FFFFFF0, kmin & idm, -1)
+        else:
+            hscore = jnp.where(anyh, -tnh, -_BIG)
+            hsc, hpos = jax.lax.top_k(hscore, ch)
+            hyp_sel = jnp.where(hsc > -_BIG, hpos, -1)
+        # level 0: selected hypers' supers only
+        super_g = bins.super_aabb
+        pad_sup = n_hyper * H - n_super
+        if pad_sup:
+            super_g = jnp.concatenate(
+                [super_g, jnp.zeros((pad_sup, 6), jnp.float32)], 0
+            )
+        super_h = super_g.reshape(n_hyper, H, 6)
+        safe_hyp = jnp.where(hyp_sel >= 0, hyp_sel, 0)
+        subh = jnp.take(super_h, safe_hyp, axis=0)  # (Cb, ch, H, 6)
+        any_sup, tn_sup = _group_box_tests(bounds1, subh)  # (Cb, ch, H)
+        gsup = safe_hyp[..., None] * H + jnp.arange(H)[None, None, :]
+        valid_sup = (
+            any_sup & (hyp_sel >= 0)[..., None] & (gsup < n_super)
+        ).reshape(Cb, ch * H)
+        gsup = gsup.reshape(Cb, ch * H)
+        tns = jnp.maximum(tn_sup.reshape(Cb, ch * H), 0.0)
+        sup_bits = max(1, (n_super - 1).bit_length())
+        if sup_bits <= 20:
+            idm = jnp.int32((1 << sup_bits) - 1)
+            tb = jax.lax.bitcast_convert_type(tns, jnp.int32)
+            key = jnp.where(
+                valid_sup, (tb & ~idm) | gsup, jnp.int32(0x7FFFFFF0)
+            )
+            kmin = -jax.lax.top_k(-key, cs)[0]
+            sup_ids = jnp.where(kmin != 0x7FFFFFF0, kmin & idm, 0)
+            sup_valid = kmin != 0x7FFFFFF0
+        else:
+            sscore = jnp.where(valid_sup, -tns, -_BIG)
+            ssc, spos = jax.lax.top_k(sscore, cs)
+            sup_ids = jnp.where(
+                ssc > -_BIG, jnp.take_along_axis(gsup, spos, axis=1), 0
+            )
+            sup_valid = ssc > -_BIG
+        return bounds, sup_ids, sup_valid, n_hi_b
 
     # level 0: sub-block cones x supers -> OR over sub-blocks
+    oc, oh, axis, tan_th, t_hi = bounds
     pass_sup, tn_sup, _ = _cone_box_test(
         oc[:, :, None], oh[:, :, None], axis[:, :, None], tan_th[:, :, None],
         t_hi[:, :, None],
@@ -398,8 +486,7 @@ def _chunk_level0(bins, ob, db, t_min_b, t_max_b, cs, sub_blocks):
     score = jnp.where(any_sup, -tn_sup, -_BIG)
     sup_score, sup_ids = jax.lax.top_k(score, cs)  # (Cb, cs)
     sup_valid = sup_score > -_BIG
-    n_hi_b = jnp.max(n_hi, axis=1)  # (Cb,) |d| scale, max over sub-blocks
-    return (oc, oh, axis, tan_th, t_hi), sup_ids, sup_valid, n_hi_b
+    return bounds, sup_ids, sup_valid, n_hi_b
 
 
 def _group_box_tests(bounds, boxes):
@@ -426,7 +513,8 @@ def _group_box_tests(bounds, boxes):
     return jnp.any(pass_b, axis=1).reshape(Cb, K, G), tn
 
 
-def _chunk_cull_tests(bins, ob, db, t_min_b, t_max_b, cs, sub_blocks):
+def _chunk_cull_tests(bins, ob, db, t_min_b, t_max_b, cs, sub_blocks,
+                      c_hyper=0):
     """Box-test phase of the 2-level chunk cull: bounds + level-0 + level-1
     bin tests over the cs candidate supers. Returns (valid_bin (Cb, cs*S),
     gbin, tn_flat, n_hi_b) for :func:`_chunk_select` — split out so the
@@ -437,7 +525,7 @@ def _chunk_cull_tests(bins, ob, db, t_min_b, t_max_b, cs, sub_blocks):
     n_bins = bins.n_bins
 
     bounds, sup_ids, sup_valid, n_hi_b = _chunk_level0(
-        bins, ob, db, t_min_b, t_max_b, cs, sub_blocks
+        bins, ob, db, t_min_b, t_max_b, cs, sub_blocks, c_hyper
     )
 
     # level 1: candidate supers' bins, per sub-block cones, OR
@@ -460,7 +548,8 @@ def _chunk_cull_tests(bins, ob, db, t_min_b, t_max_b, cs, sub_blocks):
     return valid_bin, gbin, tn_flat, n_hi_b
 
 
-def _chunk_cull_tests3(bins, ob, db, t_min_b, t_max_b, cs, cm, sub_blocks):
+def _chunk_cull_tests3(bins, ob, db, t_min_b, t_max_b, cs, cm, sub_blocks,
+                       c_hyper=0):
     """3-level variant: level-0 supers -> level-1a mid boxes (groups of
     M = bins_per_mid bins, top_k to ``cm`` mids) -> level-1b bin tests.
     Same return contract as :func:`_chunk_cull_tests` but with cm*M
@@ -477,7 +566,7 @@ def _chunk_cull_tests3(bins, ob, db, t_min_b, t_max_b, cs, cm, sub_blocks):
     n_mid = n_super * Sm
 
     bounds, sup_ids, sup_valid, n_hi_b = _chunk_level0(
-        bins, ob, db, t_min_b, t_max_b, cs, sub_blocks
+        bins, ob, db, t_min_b, t_max_b, cs, sub_blocks, c_hyper
     )
 
     # level 1a: candidate supers' mids
@@ -566,7 +655,7 @@ def _chunk_select(bins, valid_bin, gbin, tn_flat, n_hi_b, cb):
 
 
 def _chunk_candidates(
-    bins, ob, db, t_min_b, t_max_b, cs, cb, sub_blocks, c_mid=0
+    bins, ob, db, t_min_b, t_max_b, cs, cb, sub_blocks, c_mid=0, c_hyper=0
 ):
     """Per-sub-block chunk cull. Identical contract to
     :func:`_build_candidates` but tighter (a union of R narrow cones vs
@@ -577,11 +666,11 @@ def _chunk_candidates(
     Returns (cand_bin (Cb, cb), cand_count (Cb,), cand_tnear (Cb, cb))."""
     if c_mid:
         valid_bin, gbin, tn_flat, n_hi_b = _chunk_cull_tests3(
-            bins, ob, db, t_min_b, t_max_b, cs, c_mid, sub_blocks
+            bins, ob, db, t_min_b, t_max_b, cs, c_mid, sub_blocks, c_hyper
         )
     else:
         valid_bin, gbin, tn_flat, n_hi_b = _chunk_cull_tests(
-            bins, ob, db, t_min_b, t_max_b, cs, sub_blocks
+            bins, ob, db, t_min_b, t_max_b, cs, sub_blocks, c_hyper
         )
     return _chunk_select(bins, valid_bin, gbin, tn_flat, n_hi_b, cb)
 
@@ -591,7 +680,7 @@ def _chunk_candidates(
     static_argnames=(
         "block_size", "c_super", "c_bin", "block_chunk", "flip_normals",
         "use_pallas", "pallas_interpret", "shared_dir", "payload",
-        "sub_blocks", "dir_groups", "sort_blocks", "c_mid",
+        "sub_blocks", "dir_groups", "sort_blocks", "c_mid", "c_hyper",
     ),
 )
 def cast_rays_binned(
@@ -613,6 +702,7 @@ def cast_rays_binned(
     dir_groups: int = 0,
     sort_blocks: bool = False,
     c_mid: int = 0,
+    c_hyper: int = 0,
 ) -> RayHits:
     """Dense closest-hit query (drop-in for ops.raycast.cast_rays).
 
@@ -706,7 +796,8 @@ def cast_rays_binned(
         else:
             ob_c, db_c, tmin_c, tmax_c = args
             cand_c, count_c, tnear_c = _chunk_candidates(
-                bins, ob_c, db_c, tmin_c, tmax_c, cs, cb, sub_blocks, cm_
+                bins, ob_c, db_c, tmin_c, tmax_c, cs, cb, sub_blocks, cm_,
+                c_hyper,
             )
         Rb_l, G_l = Rb, G
         Bc = ob_c.shape[0]
@@ -910,7 +1001,7 @@ def cast_rays_binned(
         # workload). Block-granular (take rows of >= 512 B), not a ray
         # gather.
         cand_fn = lambda a: _chunk_candidates(
-            bins, a[0], a[1], a[2], a[3], cs, cb, sub_blocks, cm_
+            bins, a[0], a[1], a[2], a[3], cs, cb, sub_blocks, cm_, c_hyper
         )
         if n_chunks == 1:
             cand_a, count_a, tnear_a = cand_fn(tuple(a[0] for a in args))
@@ -1020,7 +1111,7 @@ def cast_rays_binned(
     jax.jit,
     static_argnames=(
         "t_min", "t_max", "c_super", "c_bin", "block_chunk", "sort_blocks",
-        "c_mid", "sub_blocks", "payload", "flip_normals",
+        "c_mid", "c_hyper", "sub_blocks", "payload", "flip_normals",
     ),
 )
 def cast_rays_binned_factored(
@@ -1035,6 +1126,7 @@ def cast_rays_binned_factored(
     block_chunk: int = 512,
     sort_blocks: bool = True,
     c_mid: int = 0,
+    c_hyper: int = 0,
     sub_blocks: int = 4,
     payload: str = "plane",
     flip_normals: bool = True,
@@ -1133,7 +1225,7 @@ def cast_rays_binned_factored(
         o_c, d_c, alive_c = args
         ob, db, tmin_b, tmax_b = expand_rays(o_c, d_c, alive_c)
         return _chunk_candidates(
-            bins, ob, db, tmin_b, tmax_b, cs, cb, sub_blocks, cm_
+            bins, ob, db, tmin_b, tmax_b, cs, cb, sub_blocks, cm_, c_hyper
         )
 
     cargs = (

@@ -141,3 +141,34 @@ def test_factored_dead_blocks(rng):
     hit = np.asarray(h.hit)
     assert not hit[1::2].any()
     assert (hit[0::2] == np.asarray(h_all.hit)[0::2]).all()
+
+
+def test_factored_hyper_cull_matches(rng):
+    """4-level cull (hypers -> supers -> bins) vs the 2-level cull: same
+    casts when the hyper budget covers the passing hypers."""
+    mesh = make_sphere(60, 60, radius=20.0)
+    bins = build_bins(mesh, bin_size=16, bins_per_super=8, supers_per_hyper=4)
+    assert bins.hyper_aabb is not None
+    model, dirs, trans, sweep = _sweep_setup(mesh, 20, 24, 4, rng)
+    o_blk, d_blk = sweep.factored_rays(trans, dirs)
+    # the hyper path sizes the coarse levels with ONE fat block cone, so
+    # c_super must cover the fat-cone passing-super count (audited: the
+    # sub-cone OR passes fewer); with covering budgets the casts match
+    h0 = cast_rays_binned_factored(
+        bins, o_blk, d_blk, c_super=32, c_bin=64, block_chunk=64)
+    h1 = cast_rays_binned_factored(
+        bins, o_blk, d_blk, c_super=32, c_bin=64, block_chunk=64, c_hyper=16)
+    np.testing.assert_array_equal(np.asarray(h0.hit), np.asarray(h1.hit))
+    both = np.asarray(h0.hit)
+    np.testing.assert_allclose(
+        np.asarray(h0.t)[both], np.asarray(h1.t)[both], rtol=1e-6
+    )
+    # classic engine path too
+    o, d = sweep.rays(trans, dirs)
+    from rmcl_tpu.ops.raycast_binned import cast_rays_binned
+
+    g0 = cast_rays_binned(bins, o, d, block_size=sweep.block_size,
+                          c_super=40, c_bin=64, block_chunk=64)
+    g1 = cast_rays_binned(bins, o, d, block_size=sweep.block_size,
+                          c_super=40, c_bin=64, block_chunk=64, c_hyper=16)
+    np.testing.assert_array_equal(np.asarray(g0.hit), np.asarray(g1.hit))
