@@ -32,6 +32,15 @@ import numpy as np
 
 BASELINE_EMBREE_1M = 71.6e6  # corr-rays/s, reference DPC desktop CPU
 
+# per-face-count reference rows (lidar_corrector_embree_benchmark.cpp:145-152:
+# 14.4M corr-rays in 0.183 / 0.201 / 0.456 s at 100k / 1M / 10M faces) so
+# vs_baseline always compares like-for-like
+BASELINE_EMBREE = {
+    100_000: 14.4e6 / 0.183,
+    1_000_000: BASELINE_EMBREE_1M,
+    10_000_000: 14.4e6 / 0.456,
+}
+
 
 def main():
     import jax
@@ -195,8 +204,9 @@ def main():
     # finish under `floor` seconds (20 ms ≈ 720 M corr-rays/s)
     floor = float(os.environ.get("BENCH_FLOOR", 0.02))
     real = [t for t in times if t > floor]
+    fk = f"{faces//1_000_000}M" if faces >= 1_000_000 else f"{faces//1000}k"
     result = {
-        "metric": "micp_correction_rays_per_sec_1Mfaces",
+        "metric": f"micp_correction_rays_per_sec_{fk}faces",
         "unit": "corr-rays/s",
     }
     if real:
@@ -210,7 +220,8 @@ def main():
     total_rays = n_poses * n_dirs
     value = total_rays / best
     result["value"] = round(value, 1)
-    result["vs_baseline"] = round(value / BASELINE_EMBREE_1M, 4)
+    base = BASELINE_EMBREE.get(faces, BASELINE_EMBREE_1M)
+    result["vs_baseline"] = round(value / base, 4)
     print(json.dumps(result))
 
 
