@@ -359,7 +359,8 @@ def _subblock_bounds(ob, db, t_min_b, t_max_b, sub_blocks):
     return un(oc), un(oh), un(a), un(tan_th), un(t_hi), un(n_hi), un(dead)
 
 
-def _chunk_level0(bins, ob, db, t_min_b, t_max_b, cs, sub_blocks, c_hyper=0):
+def _chunk_level0(bins, ob, db, t_min_b, t_max_b, cs, sub_blocks, c_hyper=0,
+                  bounds_fn=None):
     """Shared front of the chunk cull: sub-block cone bounds, scene-exit
     cap, level-0 super tests + top_k. Returns (bounds, sup_ids, sup_valid,
     n_hi_b) where bounds = (oc, oh, axis, tan_th, t_hi) with (Cb, R, ...)
@@ -372,10 +373,12 @@ def _chunk_level0(bins, ob, db, t_min_b, t_max_b, cs, sub_blocks, c_hyper=0):
     all-supers test was 93 ms of a 183 ms cull at 488 supers). Like every
     budget, c_hyper is a nearest-first truncation layer: audit with
     passing-hyper counts before lowering."""
+    raw_bounds = bounds_fn or (
+        lambda r: _subblock_bounds(ob, db, t_min_b, t_max_b, r)
+    )
+
     def capped_bounds(r):
-        oc, oh, axis, tan_th, t_hi, n_hi, dead = _subblock_bounds(
-            ob, db, t_min_b, t_max_b, r
-        )  # (Cb, r, ...)
+        oc, oh, axis, tan_th, t_hi, n_hi, dead = raw_bounds(r)  # (Cb, r, ...)
         axis = jnp.where(dead[..., None], jnp.asarray([1.0, 0.0, 0.0]), axis)
         t_hi = jnp.where(dead, 0.0, t_hi)
 
@@ -514,7 +517,7 @@ def _group_box_tests(bounds, boxes):
 
 
 def _chunk_cull_tests(bins, ob, db, t_min_b, t_max_b, cs, sub_blocks,
-                      c_hyper=0):
+                      c_hyper=0, bounds_fn=None):
     """Box-test phase of the 2-level chunk cull: bounds + level-0 + level-1
     bin tests over the cs candidate supers. Returns (valid_bin (Cb, cs*S),
     gbin, tn_flat, n_hi_b) for :func:`_chunk_select` — split out so the
@@ -525,7 +528,7 @@ def _chunk_cull_tests(bins, ob, db, t_min_b, t_max_b, cs, sub_blocks,
     n_bins = bins.n_bins
 
     bounds, sup_ids, sup_valid, n_hi_b = _chunk_level0(
-        bins, ob, db, t_min_b, t_max_b, cs, sub_blocks, c_hyper
+        bins, ob, db, t_min_b, t_max_b, cs, sub_blocks, c_hyper, bounds_fn
     )
 
     # level 1: candidate supers' bins, per sub-block cones, OR
@@ -549,7 +552,7 @@ def _chunk_cull_tests(bins, ob, db, t_min_b, t_max_b, cs, sub_blocks,
 
 
 def _chunk_cull_tests3(bins, ob, db, t_min_b, t_max_b, cs, cm, sub_blocks,
-                       c_hyper=0):
+                       c_hyper=0, bounds_fn=None):
     """3-level variant: level-0 supers -> level-1a mid boxes (groups of
     M = bins_per_mid bins, top_k to ``cm`` mids) -> level-1b bin tests.
     Same return contract as :func:`_chunk_cull_tests` but with cm*M
@@ -566,7 +569,7 @@ def _chunk_cull_tests3(bins, ob, db, t_min_b, t_max_b, cs, cm, sub_blocks,
     n_mid = n_super * Sm
 
     bounds, sup_ids, sup_valid, n_hi_b = _chunk_level0(
-        bins, ob, db, t_min_b, t_max_b, cs, sub_blocks, c_hyper
+        bins, ob, db, t_min_b, t_max_b, cs, sub_blocks, c_hyper, bounds_fn
     )
 
     # level 1a: candidate supers' mids
@@ -655,7 +658,8 @@ def _chunk_select(bins, valid_bin, gbin, tn_flat, n_hi_b, cb):
 
 
 def _chunk_candidates(
-    bins, ob, db, t_min_b, t_max_b, cs, cb, sub_blocks, c_mid=0, c_hyper=0
+    bins, ob, db, t_min_b, t_max_b, cs, cb, sub_blocks, c_mid=0, c_hyper=0,
+    bounds_fn=None,
 ):
     """Per-sub-block chunk cull. Identical contract to
     :func:`_build_candidates` but tighter (a union of R narrow cones vs
@@ -666,11 +670,13 @@ def _chunk_candidates(
     Returns (cand_bin (Cb, cb), cand_count (Cb,), cand_tnear (Cb, cb))."""
     if c_mid:
         valid_bin, gbin, tn_flat, n_hi_b = _chunk_cull_tests3(
-            bins, ob, db, t_min_b, t_max_b, cs, c_mid, sub_blocks, c_hyper
+            bins, ob, db, t_min_b, t_max_b, cs, c_mid, sub_blocks, c_hyper,
+            bounds_fn,
         )
     else:
         valid_bin, gbin, tn_flat, n_hi_b = _chunk_cull_tests(
-            bins, ob, db, t_min_b, t_max_b, cs, sub_blocks, c_hyper
+            bins, ob, db, t_min_b, t_max_b, cs, sub_blocks, c_hyper,
+            bounds_fn,
         )
     return _chunk_select(bins, valid_bin, gbin, tn_flat, n_hi_b, cb)
 
@@ -1224,8 +1230,46 @@ def cast_rays_binned_factored(
     def cand_fn(args):
         o_c, d_c, alive_c = args
         ob, db, tmin_b, tmax_b = expand_rays(o_c, d_c, alive_c)
+
+        def fact_bounds(r):
+            """Sub-block bounds straight from the factored (P origins,
+            G dirs) structure — exactly equal to _subblock_bounds on the
+            expanded rays (ray = g*P + p, so sub-block r = dirs
+            [r*G/r .. ) x ALL origins; the P-fold direction duplication
+            is a power of two, so even the mean direction is bitwise
+            identical) at ~Rb/(P/r + G/r) = ~5x fewer reduction elements."""
+            Cb = o_c.shape[0]
+            live = alive_c > 0.0  # (Cb,) whole-block alive flag
+            o_lo = jnp.where(
+                live[:, None], jnp.min(o_c, axis=1), 0.0
+            )  # (Cb, 3)
+            o_hi = jnp.where(live[:, None], jnp.max(o_c, axis=1), 0.0)
+            oc1 = 0.5 * (o_lo + o_hi)
+            oh1 = 0.5 * (o_hi - o_lo)
+            oc = jnp.broadcast_to(oc1[:, None], (Cb, r, 3))
+            oh = jnp.broadcast_to(oh1[:, None], (Cb, r, 3))
+            Gr = G // r
+            dg = d_c.reshape(Cb, r, Gr, 3)
+            dn = dg * jax.lax.rsqrt(
+                jnp.maximum(jnp.sum(dg * dg, -1, keepdims=True), 1e-30)
+            )
+            dsum = jnp.sum(dn, axis=2)  # (Cb, r, 3)
+            a = dsum * jax.lax.rsqrt(
+                jnp.maximum(jnp.sum(dsum * dsum, -1, keepdims=True), 1e-30)
+            )
+            ca = jnp.min(jnp.sum(dn * a[:, :, None, :], -1), axis=2)
+            ca = jnp.clip(ca, 0.05, 1.0)
+            tan_th = jnp.sqrt(jnp.maximum(1.0 - ca * ca, 0.0)) / ca
+            nrm = jnp.sqrt(jnp.maximum(jnp.sum(dg * dg, -1), 1e-30))
+            n_hi = jnp.max(nrm, axis=2)  # (Cb, r)
+            t_hi = jnp.where(live, t_max_s, 0.0)[:, None] * n_hi
+            dead = jnp.broadcast_to(~live[:, None], (Cb, r))
+            return oc, oh, a, tan_th, t_hi, n_hi, dead
+
+        bfn = fact_bounds if G % sub_blocks == 0 else None
         return _chunk_candidates(
-            bins, ob, db, tmin_b, tmax_b, cs, cb, sub_blocks, cm_, c_hyper
+            bins, ob, db, tmin_b, tmax_b, cs, cb, sub_blocks, cm_, c_hyper,
+            bfn,
         )
 
     cargs = (
