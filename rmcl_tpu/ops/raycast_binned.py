@@ -1195,6 +1195,11 @@ def cast_rays_binned_factored(
     tri = jnp.concatenate(
         [bins.tri, jnp.zeros((1,) + bins.tri.shape[1:], jnp.float32)], 0
     )
+    # the BW loop only reads v0/e1/e2 (+ ids when carried in-loop): slim the
+    # per-trip gather stream — rows 9-11 (unit normal) are never used here
+    # and ids only for payload="full"; the stream is ~half the intersect
+    # phase's time, so dead rows are pure HBM waste
+    tri_loop = tri if payload == "full" else tri[:, 0:9]
     assert B & (B - 1) == 0, "bin_size must be a power of two (packed-key min)"
     jmask = jnp.int32(B - 1)
 
@@ -1318,7 +1323,7 @@ def cast_rays_binned_factored(
             t_best = state[0]  # (Cb, G, P)
             bid = jax.lax.dynamic_slice_in_dim(cand_c, c, 1, axis=1)[:, 0]
             safe = jnp.where(bid >= 0, bid, n_bins)
-            tw = jnp.take(tri, safe, axis=0)  # (Cb, 14, B)
+            tw = jnp.take(tri_loop, safe, axis=0)  # (Cb, 9 or 14, B)
 
             # --- per-triangle Baldwin–Weber rows on (Cb, B) — amortized
             # over all Rb rays of the block (~0.5 VPU ops/pair) -----------
