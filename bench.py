@@ -96,7 +96,9 @@ def main():
     engine = os.environ.get("BENCH_ENGINE", "factored")
     cast_kw = dict(block_size=sweep.block_size, dir_groups=sweep.dir_groups,
                    c_bin=c_bin, block_chunk=512, sort_blocks=True, c_mid=c_mid)
-    fact_kw = dict(c_bin=c_bin, block_chunk=512, sort_blocks=True,
+    fact_kw = dict(c_bin=c_bin,
+                   block_chunk=int(os.environ.get("BENCH_CHUNK", 512)),
+                   sort_blocks=True,
                    c_mid=c_mid,
                    c_hyper=int(os.environ.get("BENCH_CHYPER", 0)),
                    payload=os.environ.get("BENCH_PAYLOAD", "plane"),

@@ -84,6 +84,23 @@ def main():
                     d_blk.reshape(nc, chunk, G, 3)))
         return run
 
+    def a0_bounds(ob, db, tmin, tmax):
+        # sub-block bounds + scene cap alone (no box tests): isolates the
+        # (Cb, R, Rs, 3) reduction cost from the super test sweep
+        oc, oh, axis, tan_th, t_hi, n_hi, dead = rb._subblock_bounds(
+            ob, db, tmin, tmax, SUB)
+        scene_c = 0.5 * (bins.aabb_min + bins.aabb_max)
+        scene_h = 0.5 * (bins.aabb_max - bins.aabb_min)
+        t_cap = (jnp.linalg.norm(oc - scene_c[None, None], axis=-1)
+                 + jnp.linalg.norm(scene_h) + jnp.linalg.norm(oh, axis=-1))
+        _, _, scene_far = rb._cone_box_test(
+            oc[:, :, None], oh[:, :, None], axis[:, :, None],
+            tan_th[:, :, None], t_cap[:, :, None],
+            jnp.broadcast_to(bins.aabb_min, (1, 1, 1, 3)),
+            jnp.broadcast_to(bins.aabb_max, (1, 1, 1, 3)))
+        t_hi = jnp.minimum(t_hi, scene_far[:, :, 0])
+        return jnp.sum(oc, (1, 2)), jnp.sum(t_hi, 1), jnp.sum(tan_th, 1)
+
     def a_tests(ob, db, tmin, tmax):
         # bounds + level-0 cone tests, reduced without any top_k
         oc, oh, axis, tan_th, t_hi, n_hi, dead = rb._subblock_bounds(
@@ -129,6 +146,7 @@ def main():
               f"{[int(t*1e3) for t in ts]})", flush=True)
         return min(ts)
 
+    ta0 = timed("A0 bounds only", a0_bounds)
     ta = timed("A bounds+L0 tests", a_tests)
     tb = timed("B + L0 top_k", b_level0)
     tc = timed("C + L1 gather+tests", c_tests)
