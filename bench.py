@@ -71,12 +71,13 @@ def main():
     az_tile = int(os.environ.get("BENCH_AZ_TILE", 8))
     el_tile = int(os.environ.get("BENCH_EL_TILE", 1))
     poses_per_tile = int(os.environ.get("BENCH_POSES_PER_TILE", 16))
-    # BPS=32 measured best on chip (sweep_r2: 40.8M vs 35.6M at BPS=64 —
-    # halves the level-1 key count cs*S at a small level-0 cost)
-    bins_per_super = int(os.environ.get("BENCH_BPS", 32))
+    # BPS=16 + hyper coarse level measured best on chip (sweep_r7/r8:
+    # 45.2M vs 41.5M at BPS=32 without hypers); candidate sets verified
+    # bit-identical to the unbudgeted cast on CPU (check_hyper_bench)
+    bins_per_super = int(os.environ.get("BENCH_BPS", 16))
     c_mid = int(os.environ.get("BENCH_CMID", 0))  # 3-level cull when > 0
     bins = build_bins(mesh, bin_size=bin_size, bins_per_super=bins_per_super,
-                      supers_per_hyper=int(os.environ.get("BENCH_SPH", 8)))
+                      supers_per_hyper=int(os.environ.get("BENCH_SPH", 16)))
 
     model = SphericalModel.vlp16(width=900)  # 900 x 16 = 14,400 rays/pose
     n_dirs = model.n_rays
@@ -100,13 +101,9 @@ def main():
                    block_chunk=int(os.environ.get("BENCH_CHUNK", 512)),
                    sort_blocks=True,
                    c_mid=c_mid,
-                   c_hyper=int(os.environ.get("BENCH_CHYPER", 0)),
+                   c_hyper=int(os.environ.get("BENCH_CHYPER", 20)),
                    payload=os.environ.get("BENCH_PAYLOAD", "plane"),
-                   # cs=20 is lossless on this workload (max passing supers
-                   # 19/block at BPS=32, bit-identical casts vs cs=24 —
-                   # /tmp/check_cs) and measurably faster; cs=16 silently
-                   # drops 0.2% of hits — do not go lower without an audit
-                   c_super=int(os.environ.get("BENCH_CSUPER", 20)),
+                   c_super=int(os.environ.get("BENCH_CSUPER", 24)),
                    sub_blocks=int(os.environ.get("BENCH_SUBBLOCKS", 4)))
 
     def cast_sweep(bins, trans, dirs):
@@ -147,8 +144,7 @@ def main():
         # dataset rides the pose estimate into the map frame each iteration)
         return point - trans[:, None, :], hit
 
-    @jax.jit
-    def correction(bins, data_points, data_mask, trans_est, dirs):
+    def correction_body(bins, data_points, data_mask, trans_est, dirs):
         """One full correction for all poses: simulate → P2L reduce → solve
         (the reference's benchmark iteration)."""
         sim_p, sim_n, sim_hit = cast_sweep(bins, trans_est, dirs)
@@ -160,6 +156,28 @@ def main():
         stats = CrossStatistics.from_masked_points(d_map, proj, ok)
         delta = umeyama_transform(stats)
         return delta.trans, stats.n_meas
+
+    correction = jax.jit(correction_body)
+
+    # measured fixed overhead on this backend: ~58 ms per jitted dispatch +
+    # readback round-trip regardless of the program (scripts/probe_mapcost:
+    # a flat 21 MB sum costs the same as a 220-chunk map). One timing region
+    # therefore chains BENCH_STEPS corrections with DISTINCT pose estimates
+    # (lax.scan; fresh jitters per timing call, so the relay's result cache
+    # cannot serve any step) and divides — measuring device throughput, not
+    # the testbed's RPC latency. BENCH_STEPS=1 restores single-step timing.
+    k_steps = int(os.environ.get("BENCH_STEPS", 4))
+
+    @jax.jit
+    def correction_k(bins, data_points, data_mask, est0, dirs, jitters):
+        def step(carry, jit_i):
+            dt, nm = correction_body(
+                bins, data_points, data_mask, est0 + jit_i, dirs
+            )
+            acc = (carry + jnp.sum(dt) + jnp.sum(nm)).astype(jnp.float32)
+            return acc, dt
+        acc, dts = jax.lax.scan(step, jnp.float32(0.0), jitters)
+        return acc, dts[-1]
 
     dirs_j = jnp.asarray(dirs_s)
     trans_j = jnp.asarray(trans_true)
@@ -178,29 +196,29 @@ def main():
     # iterations faster than the absolute BENCH_FLOOR threshold (default
     # 20 ms ≈ 720 M corr-rays/s, physically implausible for this workload)
     # are discarded as cache hits.
-    ests = [
-        trans_j
-        + jnp.asarray([0.0, 0.0, 0.2])
-        + jnp.asarray(rng.uniform(-0.02, 0.02, size=(n_poses, 3)), jnp.float32)
-        for i in range(iters)
+    est0 = trans_j + jnp.asarray([0.0, 0.0, 0.2])
+    jit_sets = [
+        jnp.asarray(
+            rng.uniform(-0.02, 0.02, size=(k_steps, n_poses, 3)), jnp.float32
+        )
+        for i in range(iters + 1)  # +1 warm
     ]
-    warm_est = trans_j + jnp.asarray(
-        rng.uniform(-0.02, 0.02, size=(n_poses, 3)), jnp.float32
-    )
-    jax.block_until_ready((ests, warm_est))
+    jax.block_until_ready((est0, jit_sets))
 
-    def timed(est):
+    def timed(jitters):
         # IMPORTANT: on the relay backend, block_until_ready returns before
         # the execution actually finishes; only a device→host readback
         # blocks for real. Fetch a small output to close the timing region.
         t0 = time.time()
-        out = correction(bins, data_points, data_mask, est, dirs_j)
-        np.asarray(out[0])  # (n_poses, 3) readback — forces completion
-        return time.time() - t0
+        acc, dt = correction_k(
+            bins, data_points, data_mask, est0, dirs_j, jitters
+        )
+        np.asarray(acc)  # scalar readback — forces completion
+        return (time.time() - t0) / k_steps
 
-    warm = timed(warm_est)  # first exec: includes one-time H2D transfers
-    times = [timed(est) for est in ests]
-    print("warm:", round(warm, 4), "iter times:",
+    warm = timed(jit_sets[0])  # first exec: includes one-time H2D transfers
+    times = [timed(js) for js in jit_sets[1:]]
+    print(f"warm: {round(warm, 4)} per-correction times (K={k_steps}):",
           [round(t, 4) for t in times], file=sys.stderr)
     # guard against relay result-caching: a 14.4M-ray correction cannot
     # finish under `floor` seconds (20 ms ≈ 720 M corr-rays/s)
@@ -222,6 +240,7 @@ def main():
     total_rays = n_poses * n_dirs
     value = total_rays / best
     result["value"] = round(value, 1)
+    result["steps_per_timing"] = k_steps
     base = BASELINE_EMBREE.get(faces, BASELINE_EMBREE_1M)
     result["vs_baseline"] = round(value / base, 4)
     print(json.dumps(result))
