@@ -144,9 +144,64 @@ def main():
         # dataset rides the pose estimate into the map frame each iteration)
         return point - trans[:, None, :], hit
 
+    fused = os.environ.get("BENCH_FUSED", "1") != "0"
+
+    def correction_fused(bins, data_sweep, mask_sweep, trans_est, dirs):
+        """One full correction, stats reduced IN SWEEP LAYOUT: the per-pose
+        P2L reduction is order-agnostic, so the unpermute transposes of the
+        7-channel hit payload (~800 MB of traffic per correction) are
+        replaced by TiledSweep.pose_sums reshape-reduces. Statistics are
+        accumulated in each pose's local frame (sensor-frame points —
+        exactly the reference's frame, MICPSensor.hpp:158-184); the
+        centered covariance is translation-invariant so the solve is
+        unchanged."""
+        o_blk, d_blk = sweep.factored_rays(trans_est, dirs)
+        hits = cast_rays_binned_factored(bins, o_blk, d_blk, **fact_kw)
+        n_rays = sweep.n_rays
+        sim_p = hits.point.reshape(n_rays, 3)
+        sim_n = hits.normal.reshape(n_rays, 3)
+        sim_hit = hits.hit.reshape(n_rays)
+        n_blk, P, _ = o_blk.shape
+        G = d_blk.shape[1]
+        o_r = jnp.broadcast_to(
+            o_blk[:, None], (n_blk, G, P, 3)
+        ).reshape(n_rays, 3)
+        # pose-local frames: d_loc = dataset (sensor frame), m_loc = proj - t
+        d_loc = data_sweep
+        sim_p_loc = sim_p - o_r
+        signed = jnp.sum(sim_n * (d_loc - sim_p_loc), axis=-1)
+        ok = mask_sweep & sim_hit & (jnp.abs(signed) <= 2.0)
+        m_loc = d_loc - signed[:, None] * sim_n
+        w = ok.astype(jnp.float32)
+        outer = (m_loc[:, :, None] * d_loc[:, None, :]).reshape(n_rays, 9)
+        ch = jnp.concatenate(
+            [w[:, None], d_loc, m_loc, outer], axis=1
+        ) * w[:, None]
+        ps = sweep.pose_sums(ch)  # (n_poses, 16)
+        n = ps[:, 0]
+        safe = jnp.maximum(n, 1.0)[:, None]
+        d_mean = ps[:, 1:4] / safe
+        m_mean = ps[:, 4:7] / safe
+        cov = ps[:, 7:16].reshape(-1, 3, 3) / safe[..., None] - (
+            m_mean[:, :, None] * d_mean[:, None, :]
+        )
+        empty = (n <= 0.0)[:, None]
+        stats = CrossStatistics(
+            dataset_mean=jnp.where(empty, 0.0, d_mean),
+            model_mean=jnp.where(empty, 0.0, m_mean),
+            covariance=jnp.where(empty[..., None], 0.0, cov),
+            n_meas=n,
+        )
+        delta = umeyama_transform(stats)
+        return delta.trans, stats.n_meas
+
     def correction_body(bins, data_points, data_mask, trans_est, dirs):
         """One full correction for all poses: simulate → P2L reduce → solve
         (the reference's benchmark iteration)."""
+        if fused and engine == "factored":
+            return correction_fused(
+                bins, data_points, data_mask, trans_est, dirs
+            )
         sim_p, sim_n, sim_hit = cast_sweep(bins, trans_est, dirs)
         # dataset into map frame via the CURRENT estimate (identity rotations)
         d_map = data_points + trans_est[:, None, :]
@@ -182,6 +237,12 @@ def main():
     dirs_j = jnp.asarray(dirs_s)
     trans_j = jnp.asarray(trans_true)
     data_points, data_mask = make_dataset(bins, trans_j, dirs_j)
+    if fused and engine == "factored":
+        # one-time dataset layout prep (the reference unpacks its scan into
+        # its working layout once per message too): sweep order, no gathers
+        # in the per-correction loop
+        data_points = jax.jit(sweep.permute)(data_points)
+        data_mask = jax.jit(sweep.permute)(data_mask[..., None])[..., 0]
     jax.block_until_ready(data_points)
 
     trans_est = trans_j + jnp.asarray([0.0, 0.0, 0.2])  # reference's offset

@@ -1727,6 +1727,43 @@ class TiledSweep:
         ).reshape(-1, G, 3)
         return o_blk, d_blk
 
+    def permute(self, data: Array) -> Array:
+        """Canonical (n_poses, n_dirs, *k) -> sweep-flat (n_rays, *k)
+        (the forward counterpart of :meth:`unpermute`; small per-axis
+        gathers only). Padded slots replicate their axis's last entry."""
+        k = data.shape[2:]
+        tp = jnp.take(
+            data, jnp.asarray(self.pose_tiles).reshape(-1), axis=0
+        ).reshape((self.n_pt, self.pt, self.n_dirs) + k)
+        dg = jnp.take(
+            tp, jnp.asarray(self.dir_ids).reshape(-1), axis=2
+        ).reshape(
+            (self.n_pt, self.pt, self.n_at, self.n_et, self.at, self.et) + k
+        )
+        out = jnp.transpose(
+            dg, (0, 2, 3, 4, 5, 1) + tuple(6 + i for i in range(len(k)))
+        )
+        return out.reshape((self.n_rays,) + k)
+
+    def pose_sums(self, vals: Array) -> Array:
+        """Per-pose sums of per-ray values given in sweep-flat order:
+        (n_rays, *k) -> (n_poses, *k), excluding padded-dir duplicates and
+        padded pose slots. This replaces unpermute + canonical-order
+        segment reduction with pure reshapes/reduces — per-pose statistics
+        (the P2L reduction) never need the rays back in scan order."""
+        k = vals.shape[1:]
+        v = vals.reshape(
+            (self.n_pt, self.n_at, self.n_et, self.at, self.et, self.pt) + k
+        )
+        dmask = jnp.asarray(self.dir_valid, vals.dtype).reshape(
+            (1, self.n_at, self.n_et, self.at, self.et, 1) + (1,) * len(k)
+        )
+        s = jnp.sum(v * dmask, axis=(1, 2, 3, 4))  # (n_pt, pt, *k)
+        s = s.reshape((self.n_pt * self.pt,) + k)
+        # padded pose slots duplicate pose_order[-1]; pose_rank indexes only
+        # each pose's original slot, so duplicates are simply never selected
+        return jnp.take(s, jnp.asarray(self.pose_rank), axis=0)
+
     def unpermute(self, y: Array) -> Array:
         """Permuted-flat (n_rays, *k) -> (n_poses, n_dirs, *k) via
         transpose + slices + one small pose gather (no big gathers)."""
