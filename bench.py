@@ -144,7 +144,10 @@ def main():
         # dataset rides the pose estimate into the map frame each iteration)
         return point - trans[:, None, :], hit
 
-    fused = os.environ.get("BENCH_FUSED", "1") != "0"
+    # measured on chip: the fused sweep-layout reduction LOSES (41.2M vs
+    # 48.2M) — the 16-channel per-ray moment materialization outweighs
+    # the unpermute it replaces. Kept for study behind BENCH_FUSED=1.
+    fused = os.environ.get("BENCH_FUSED", "0") == "1"
 
     def correction_fused(bins, data_sweep, mask_sweep, trans_est, dirs):
         """One full correction, stats reduced IN SWEEP LAYOUT: the per-pose
