@@ -68,6 +68,11 @@ class SensorUpdateConfig:
     c_bin: int = dataclasses.field(default=96, metadata=dict(static=True))
     # 3-level cull budget for binned RC ray casts (0 = 2-level)
     c_mid: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # hyper-level budget (4-level cull; needs bins built with a hyper
+    # level — build_bins(supers_per_hyper=...)). 0 = off. See
+    # ops.raycast_binned._chunk_level0: sizes the coarse levels with ONE
+    # fat block cone, so c_super must cover the fat-cone passing count.
+    c_hyper: int = dataclasses.field(default=0, metadata=dict(static=True))
     # binned engine ray layout:
     #   "beam":     blocks = many particles x one beam (good once the cloud
     #               has concentrated: positions tight, headings aligned)
@@ -101,6 +106,7 @@ class SensorUpdateConfig:
         c_super=24,
         c_bin=96,
         c_mid=0,
+        c_hyper=0,
         layout="beam",
     ):
         return SensorUpdateConfig(
@@ -111,6 +117,7 @@ class SensorUpdateConfig:
             c_super=c_super,
             c_bin=c_bin,
             c_mid=c_mid,
+            c_hyper=c_hyper,
             layout=layout,
             dist_sigma=jnp.float32(dist_sigma),
             real_hit_sim_miss_error=jnp.float32(real_hit_sim_miss_error),
@@ -297,6 +304,7 @@ def sensor_update(
                 c_super=config.c_super,
                 c_bin=config.c_bin,
                 c_mid=config.c_mid,
+                c_hyper=config.c_hyper,
             )
             hits = jax.tree.map(
                 lambda x: x.reshape(N, Sp, *x.shape[1:]), h
@@ -314,6 +322,7 @@ def sensor_update(
                 c_super=config.c_super,
                 c_bin=config.c_bin,
                 c_mid=config.c_mid,
+                c_hyper=config.c_hyper,
             )
             resh = lambda x: jnp.swapaxes(
                 x.reshape(Sp, N, *x.shape[1:]), 0, 1

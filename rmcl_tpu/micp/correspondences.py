@@ -56,13 +56,15 @@ def find_rcc(
     c_super: int = 24,
     c_bin: int = 96,
     c_mid: int = 0,
+    c_hyper: int = 0,
 ) -> Correspondences:
     """Ray-cast correspondences: one simulated hit per sensor pixel from the
     current pose estimate ``tsm`` (sensor→map = Tbm_est * Tsb).
     ``c_super``/``c_bin``/``c_mid`` tune the dense engine when ``bvh`` is
     bins (``c_mid > 0`` = 3-level cull)."""
     if isinstance(bvh, TriangleBins):
-        hits = simulate(bvh, model, tsm, c_super=c_super, c_bin=c_bin, c_mid=c_mid)
+        hits = simulate(bvh, model, tsm, c_super=c_super, c_bin=c_bin,
+                        c_mid=c_mid, c_hyper=c_hyper)
     else:
         hits = simulate(bvh, model, tsm, chunk_size=chunk_size)
     return Correspondences(

@@ -99,6 +99,8 @@ class MICPConfig:
     # 3-level cull budget for the binned RAY engine (0 = 2-level); candidate
     # sets verified identical at c_mid=32 on the bench workload (TPU_NOTES)
     c_mid: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # 4-level cull budget (bins must carry a hyper level); 0 = off
+    c_hyper: int = dataclasses.field(default=0, metadata=dict(static=True))
 
 
 @jax.tree_util.register_dataclass
@@ -187,6 +189,7 @@ def find_correspondences(
     c_super: int = 24,
     c_bin: int = 96,
     c_mid: int = 0,
+    c_hyper: int = 0,
 ) -> Tuple[Correspondences, ...]:
     """One correspondence search per sensor from the pose estimate
     (reference correctOnce :900-908 → Correspondences_::find(Tom*Tbo)).
@@ -210,6 +213,7 @@ def find_correspondences(
                     bvh, s.model, tsm,
                     chunk_size=chunk_size, c_super=c_super, c_bin=c_bin,
                     c_mid=c_mid,
+                    c_hyper=c_hyper,
                 )
             )
     return tuple(out)
@@ -234,6 +238,7 @@ def correct_once(
     corrs = find_correspondences(
         bvh, sensors, tbm, chunk_size=chunk_size,
         c_super=config.c_super, c_bin=config.c_bin, c_mid=config.c_mid,
+        c_hyper=config.c_hyper,
     )
 
     # lift per-sensor data into the odom frame once; the GN loop then works

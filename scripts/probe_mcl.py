@@ -30,6 +30,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from rmcl_tpu.bvh.bins import build_bins
+from rmcl_tpu.bvh.builder import build_bvh
 from rmcl_tpu.geom.mesh import make_sphere
 from rmcl_tpu.math.se3 import Transform
 from rmcl_tpu.mcl.particles import ParticleCloud
@@ -57,7 +58,12 @@ def main():
         mesh = make_sphere(n, n, radius=50.0)
         lo, hi = np.float32([-40, -40, -40]), np.float32([40, 40, 40])
     print(f"scene={scene} faces={mesh.n_faces}")
-    bins = build_bins(mesh, bin_size=64)
+    bins = build_bins(
+        mesh,
+        bin_size=int(os.environ.get("BIN_SIZE", 64)),
+        bins_per_super=int(os.environ.get("BPS", 64)),
+        supers_per_hyper=int(os.environ.get("SPH", 8)),
+    )
 
     # analytic scan from the sphere center: every range is exactly the
     # radius (no TPU casts needed to build the dataset — the flaky relay
@@ -83,11 +89,38 @@ def main():
         "0": ((False, "beam"),),
         "1": ((True, "beam"),),
         "pm": ((True, "particle"),),
+        "exact": ((True, "beam"),),
         "both": ((False, "beam"), (True, "beam"), (True, "particle")),
     }[which]
+    CB = int(os.environ.get("CBIN", 96))
+    CS = int(os.environ.get("CSUPER", 24))
+    CH = int(os.environ.get("CHYPER", 0))
+    # exact-engine oracle likelihoods (budget-free) for agreement checks
+    ref_mean = None
+    if os.environ.get("REF", "1") == "1" or which == "exact":
+        bvh = build_bvh(mesh)
+        cfg_e = SensorUpdateConfig.create(samples=samples, engine="bvh")
+        out_e = sensor_update(bvh, cloud, key, points, mask,
+                              Transform.identity(), cfg_e)
+        sync(out_e.likelihood.mean)
+        ref_mean = np.asarray(out_e.likelihood.mean)
+        if which == "exact":
+            times = []
+            for _ in range(3):
+                t0 = time.time()
+                out_e = sensor_update(bvh, cloud, key, points, mask,
+                                      Transform.identity(), cfg_e)
+                sync(out_e.likelihood.mean)
+                times.append(time.time() - t0)
+            best = min(times)
+            rays = n_particles * samples
+            print(f"engine=bvh (exact): {best*1e3:.1f} ms, "
+                  f"{rays/best/1e6:.2f} M particle-beam rays/s")
+            return
     for cluster, layout in modes:
         cfg = SensorUpdateConfig.create(
-            samples=samples, engine="binned", cluster=cluster, layout=layout
+            samples=samples, engine="binned", cluster=cluster, layout=layout,
+            c_super=CS, c_bin=CB, c_hyper=CH,
         )
         out = sensor_update(bins, cloud, key, points, mask, Transform.identity(), cfg)
         sync(out.likelihood.mean)
@@ -101,9 +134,15 @@ def main():
             times.append(time.time() - t0)
         best = min(times)
         rays = n_particles * samples
+        agree = ""
+        if ref_mean is not None:
+            m = np.asarray(out.likelihood.mean)
+            agree = (f"  | mean-likelihood {m.mean():.4f} vs exact "
+                     f"{ref_mean.mean():.4f}, max|d| {np.abs(m-ref_mean).max():.4f}")
         print(
             f"cluster={cluster} layout={layout}: {best*1e3:.1f} ms, "
-            f"{rays/best/1e6:.2f} M particle-beam rays/s  (times {['%.3f' % t for t in times]})"
+            f"{rays/best/1e6:.2f} M particle-beam rays/s  "
+            f"(times {['%.3f' % t for t in times]}){agree}"
         )
 
 
