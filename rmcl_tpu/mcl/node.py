@@ -98,6 +98,11 @@ class MCLConfig:
     # auto_engine_spread [m] (with hysteresis x2 to re-scatter), the dense
     # binned engine's coherent blocks win -> switch to it.
     auto_engine_spread: float = 1.0
+    # heading gate for the same flip (sin of the yaw spread): ~0.1 = 6 deg.
+    # Audited: the binned engine matches the exact oracle bit-for-bit in
+    # this regime at default budgets; at 15 deg it saturates (see
+    # _auto_select_engine).
+    auto_engine_heading_spread: float = 0.1
 
     @staticmethod
     def from_params(params) -> "MCLConfig":
@@ -142,6 +147,9 @@ class MCLConfig:
             ),
             auto_engine_spread=float(
                 g("sensor_update.auto_engine_spread", 1.0)
+            ),
+            auto_engine_heading_spread=float(
+                g("sensor_update.auto_engine_heading_spread", 0.1)
             ),
             max_induction_particles=int(
                 g("resampling.max_induction_particles", 50_000)
@@ -367,12 +375,29 @@ class MCLNode:
         mu = jnp.sum(w[:, None] * self.cloud.poses.trans, axis=0)
         var = jnp.sum(w[:, None] * (self.cloud.poses.trans - mu) ** 2, axis=0)
         spread = float(np.asarray(jnp.sqrt(jnp.maximum(jnp.mean(var), 0.0))))
+        # heading spread gates the flip too: the dense cull's per-block
+        # wedge is (position box) x (heading fan) x (range cap); a tight
+        # position cluster with ~15 deg of yaw spread still saturates any
+        # candidate budget on fine indoor maps (CPU-audited: corr 0.43 vs
+        # the exact oracle at 0.25 rad yaw spread, 1.000 at 0.05 rad)
+        fw = self.cloud.poses.rotate(jnp.asarray([1.0, 0.0, 0.0], jnp.float32))
+        fw_mu = jnp.sum(w[:, None] * fw, axis=0)
+        fw_mu = fw_mu / jnp.maximum(jnp.linalg.norm(fw_mu), 1e-9)
+        ca = jnp.sum(w * jnp.sum(fw * fw_mu[None, :], axis=-1))
+        hspread = float(np.asarray(jnp.sqrt(jnp.maximum(1.0 - ca * ca, 0.0))))
         thresh = self.config.auto_engine_spread
+        hthresh = self.config.auto_engine_heading_spread
         prev = self._engine_choice
         if prev == "binned":
-            choice = "bvh" if spread > 2.0 * thresh else "binned"
+            choice = (
+                "bvh"
+                if spread > 2.0 * thresh or hspread > 2.0 * hthresh
+                else "binned"
+            )
         else:
-            choice = "binned" if spread < thresh else "bvh"
+            choice = (
+                "binned" if spread < thresh and hspread < hthresh else "bvh"
+            )
         if choice != prev:
             self._engine_choice = choice
             # the binned path needs a fresh budget audit for this cloud

@@ -68,6 +68,12 @@ class SensorUpdateConfig:
     c_bin: int = dataclasses.field(default=96, metadata=dict(static=True))
     # 3-level cull budget for binned RC ray casts (0 = 2-level)
     c_mid: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # binned-engine culling block size: smaller blocks present narrower
+    # direction fans to the cull — on fine indoor maps (grazing floor/
+    # ceiling crossings) 128-ray blocks saturate any candidate budget while
+    # 32-ray blocks stay exact (CPU-audited); cull cost rises ~4x but the
+    # pair work (the dominant term) drops with the candidate sets.
+    block_size: int = dataclasses.field(default=128, metadata=dict(static=True))
     # hyper-level budget (4-level cull; needs bins built with a hyper
     # level — build_bins(supers_per_hyper=...)). 0 = off. See
     # ops.raycast_binned._chunk_level0: sizes the coarse levels with ONE
@@ -90,6 +96,17 @@ class SensorUpdateConfig:
     real_miss_sim_miss_error: Array = dataclasses.field(default_factory=lambda: jnp.float32(0.0))
     range_min: Array = dataclasses.field(default_factory=lambda: jnp.float32(0.1))
     range_max: Array = dataclasses.field(default_factory=lambda: jnp.float32(130.0))
+    # per-beam sim-ray reach cap: t_max = range + range_cap_sigmas*dist_sigma.
+    # A sim hit beyond the cap scores ~exp(-k^2/2) ~ 0, exactly like the
+    # sim-miss penalty, so k=6 is semantically free (measured: capped vs
+    # uncapped exact-engine likelihoods agree to 3e-5) while collapsing the
+    # dense cull's reach from range_max to beam range + 12 m — the
+    # difference between budget-achievable and saturating candidate sets on
+    # building-scale maps. 0 disables (strict reference semantics:
+    # unbounded rtcIntersect1, grazing far planes can score high).
+    range_cap_sigmas: float = dataclasses.field(
+        default=6.0, metadata=dict(static=True)
+    )
 
     @staticmethod
     def create(
@@ -108,6 +125,8 @@ class SensorUpdateConfig:
         c_mid=0,
         c_hyper=0,
         layout="beam",
+        range_cap_sigmas=6.0,
+        block_size=128,
     ):
         return SensorUpdateConfig(
             samples=samples,
@@ -119,6 +138,8 @@ class SensorUpdateConfig:
             c_mid=c_mid,
             c_hyper=c_hyper,
             layout=layout,
+            range_cap_sigmas=float(range_cap_sigmas),
+            block_size=block_size,
             dist_sigma=jnp.float32(dist_sigma),
             real_hit_sim_miss_error=jnp.float32(real_hit_sim_miss_error),
             real_miss_sim_hit_error=jnp.float32(real_miss_sim_hit_error),
@@ -230,6 +251,16 @@ def sensor_update(
     )
     beam_w = jnp.ones((S,), jnp.float32)
     beam_tmax = None
+    from rmcl_tpu.ops.raycast import NO_HIT_T as _NO_HIT_T
+
+    def _cap(r, w=None):
+        if config.range_cap_sigmas <= 0.0:
+            full = jnp.full(r.shape, jnp.float32(_NO_HIT_T))
+        else:
+            full = r + jnp.float32(config.range_cap_sigmas) * config.dist_sigma
+        if w is not None:
+            full = jnp.where(w > 0.0, full, 0.0)
+        return full
     if particle_major:
         az = jnp.arctan2(dirs_s[:, 1], dirs_s[:, 0])
         el = jnp.arcsin(jnp.clip(dirs_s[:, 2], -1.0, 1.0))
@@ -253,9 +284,7 @@ def sensor_update(
             ranges = jnp.concatenate([ranges, jnp.zeros((pad,), jnp.float32)])
             real_hit = jnp.concatenate([real_hit, jnp.zeros((pad,), bool)])
             beam_w = jnp.concatenate([beam_w, jnp.zeros((pad,), jnp.float32)])
-        from rmcl_tpu.ops.raycast import NO_HIT_T
-
-        beam_tmax = jnp.where(beam_w > 0.0, jnp.float32(NO_HIT_T), jnp.float32(0.0))
+        beam_tmax = _cap(ranges, beam_w)
     Sp = dirs_s.shape[0]  # S or padded
 
     # particle sensor poses: Tsm_i = Tbm_i * Tsb  (reference :334-338)
@@ -291,6 +320,7 @@ def sensor_update(
             cp = closest_points(bvh, p_meas_m, chunk_size=chunk_size)
         error = jnp.where(cp.found, cp.dist, config.real_hit_sim_miss_error)
     else:
+        beam_tmax_all = beam_tmax if beam_tmax is not None else _cap(ranges)
         if config.engine == "binned" and particle_major:
             # dense engine, particle-major: each block covers few clustered
             # particles x their direction-sorted beams; the cull's ball
@@ -299,7 +329,8 @@ def sensor_update(
                 bvh,
                 orig_m.reshape(-1, 3),
                 dirs_m.reshape(-1, 3),
-                t_max=jnp.broadcast_to(beam_tmax[None, :], (N, Sp)).reshape(-1),
+                t_max=jnp.broadcast_to(beam_tmax_all[None, :], (N, Sp)).reshape(-1),
+                block_size=config.block_size,
                 flip_normals=False,
                 c_super=config.c_super,
                 c_bin=config.c_bin,
@@ -314,10 +345,15 @@ def sensor_update(
             # coherent-ish blocks once the cloud has concentrated)
             o_bm = jnp.swapaxes(orig_m, 0, 1).reshape(-1, 3)
             d_bm = jnp.swapaxes(dirs_m, 0, 1).reshape(-1, 3)
+            t_bm = jnp.broadcast_to(
+                beam_tmax_all[:, None], (Sp, N)
+            ).reshape(-1)
             h = cast_rays_binned(
                 bvh,
                 o_bm,
                 d_bm,
+                t_max=t_bm,
+                block_size=config.block_size,
                 flip_normals=False,
                 c_super=config.c_super,
                 c_bin=config.c_bin,
@@ -334,6 +370,7 @@ def sensor_update(
                 orig_m,
                 dirs_m,
                 t_min=0.0,
+                t_max=jnp.broadcast_to(beam_tmax_all[None, :], (N, Sp)),
                 chunk_size=chunk_size,
                 flip_normals=False,
             )

@@ -671,3 +671,80 @@ def test_auto_engine_selection():
     hits = _sim(mm.bvh, model, true_pose)
     node.sensor_update(hits.point, hits.hit, Transform.identity())
     assert node._engine_choice == "bvh"
+
+
+def test_binned_exact_agreement_by_regime(key, rng):
+    """The binned sensor update matches the exact-oracle likelihoods in
+    the regime the auto-engine selection uses it in (tight position AND
+    heading spread), and the range cap is semantically free. At 15 deg of
+    heading spread the dense cull saturates its budgets (measured corr
+    ~0.4 at building scale) — which is why _auto_select_engine gates on
+    heading spread too."""
+    from rmcl_tpu.bvh.bins import build_bins
+    from rmcl_tpu.geom.mesh import make_building_scene
+
+    mesh = make_building_scene(rooms_x=2, rooms_y=2, subdiv=8, seed=1)
+    bvh = build_bvh(mesh)
+    bins = build_bins(mesh, bin_size=32, bins_per_super=16)
+    model = SphericalModel.create(
+        width=120, height=3, phi_min=-0.2, phi_max=0.2,
+        theta_min=-np.pi, theta_max=np.pi, range_min=0.1, range_max=30.0,
+    )
+    _, dirs_scan = model.rays()
+    points = jnp.asarray(np.asarray(dirs_scan) * 2.5)
+    mask = jnp.ones(points.shape[0], bool)
+    N, S = 512, 32
+    center = mesh.vertices.mean(0)
+    trans = (center + rng.normal(0, 0.2, (N, 3))).astype(np.float32)
+    trans[:, 2] = 1.0
+    yaw = rng.normal(0, 0.05, N).astype(np.float32)
+    poses = Transform.from_xyz_euler(
+        jnp.asarray(trans),
+        jnp.stack([jnp.zeros(N), jnp.zeros(N), jnp.asarray(yaw)], -1),
+    )
+    cloud = ParticleCloud.create(N).with_poses(poses)
+    ref = np.asarray(
+        sensor_update(
+            bvh, cloud, key, points, mask, Transform.identity(),
+            SensorUpdateConfig.create(samples=S, engine="bvh", dist_sigma=0.4),
+        ).likelihood.mean
+    )
+    got = np.asarray(
+        sensor_update(
+            bins, cloud, key, points, mask, Transform.identity(),
+            SensorUpdateConfig.create(
+                samples=S, engine="binned", dist_sigma=0.4
+            ),
+        ).likelihood.mean
+    )
+    np.testing.assert_allclose(got, ref, atol=5e-3)
+
+
+def test_auto_engine_heading_gate(rng):
+    """A positionally tight cloud with wide heading spread must stay on
+    the exact engine (binned would silently saturate its budgets)."""
+    from rmcl_tpu.geom.map import MeshMap
+
+    mesh = make_room_scene((8.0, 6.0, 3.0), n_pillars=2, seed=0)
+    mm = MeshMap.from_mesh(mesh, bin_size=16)
+    node = MCLNode(mm, MCLConfig(
+        n_particles=256,
+        sensor=SensorUpdateConfig.create(engine="auto", samples=16),
+    ))
+    center = np.float32([0.0, 0.0, 1.0])
+
+    def set_cloud(yaw_sigma):
+        trans = (center + rng.normal(0, 0.05, (256, 3))).astype(np.float32)
+        yaw = rng.normal(0, yaw_sigma, 256).astype(np.float32)
+        poses = Transform.from_xyz_euler(
+            jnp.asarray(trans),
+            jnp.stack([jnp.zeros(256), jnp.zeros(256), jnp.asarray(yaw)], -1),
+        )
+        node.cloud = node.cloud.with_poses(poses)
+
+    set_cloud(0.5)  # ~30 deg heading spread, tight positions
+    node._auto_select_engine()
+    assert node._engine_choice == "bvh"
+    set_cloud(0.02)  # converged headings
+    node._auto_select_engine()
+    assert node._engine_choice == "binned"
