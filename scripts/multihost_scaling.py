@@ -260,6 +260,12 @@ def main():
     table = {
         "workload": {"faces": args.faces, "rays_per_step": args.width * args.height,
                      "steps": args.steps},
+        # honest context: with nproc approaching the host's core count the
+        # pinned processes + gloo rendezvous oversubscribe the box and the
+        # strong rows measure the CPU-distributed runtime's floor, not the
+        # pipeline's scaling (this harness's value is the transport-level
+        # correctness: bit-stable repeats + allclose tracks across nproc)
+        "host_cores": os.cpu_count(),
         "rows": rows,
         "weak_rows": weak_rows,
         "pose_tracks_allclose_across_nproc": bool(allclose),
