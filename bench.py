@@ -111,18 +111,29 @@ def main():
         like the reference benchmark's +z-offset pose sweep)."""
         if engine == "factored":
             # Baldwin–Weber factored pair loop over compact (pose x dir)
-            # blocks — rays are never materialized
+            # blocks — rays are never materialized. Pack only (normal, t,
+            # hit): sim points are reconstructed canonically (o = pose
+            # translation, d = the shared scan dir — both known per
+            # (pose, dir) without unpermuting), so the unpermute moves 5
+            # channels instead of 7 and the cast's point materialization
+            # is dead code.
             o_blk, d_blk = sweep.factored_rays(trans, dirs)
             hits = cast_rays_binned_factored(bins, o_blk, d_blk, **fact_kw)
             n_rays = sweep.n_rays
             packed = jnp.concatenate(
                 [
-                    hits.point.reshape(n_rays, 3),
                     hits.normal.reshape(n_rays, 3),
+                    hits.t.reshape(n_rays, 1),
                     hits.hit.reshape(n_rays, 1).astype(jnp.float32),
                 ],
                 axis=1,
             )
+            up = sweep.unpermute(packed)  # (n_poses, n_dirs, 5)
+            sim_n = up[..., 0:3]
+            t = up[..., 3]
+            sim_hit = up[..., 4] > 0.5
+            sim_p = trans[:, None, :] + t[..., None] * dirs[None, :, :]
+            return sim_p, sim_n, sim_hit
         else:
             o, d = sweep.rays(trans, dirs)
             hits = cast_rays_binned(bins, o, d, **cast_kw)
