@@ -66,8 +66,14 @@ def main():
 
     n = int(np.sqrt(faces / 2))
     mesh = make_sphere(n, n, radius=50.0)
-    bin_size = int(os.environ.get("BENCH_BIN_SIZE", 64))
-    c_bin = int(os.environ.get("BENCH_CBIN", 64))
+    # bin size scales with tessellation: at 10M faces the 1M-tuned 64-tri
+    # bins are ~10x finer than a block frustum and saturate ANY candidate
+    # budget (CPU-audited: hit rate 0.66 at the 1M defaults — the earlier
+    # 10M rows were invalid). B=512 / cs=32 / cb=128 / ch=24 is lossless at
+    # 10M (hit rate 0.999983, plateaued across budgets = edge ties only).
+    big = faces > 4_000_000
+    bin_size = int(os.environ.get("BENCH_BIN_SIZE", 512 if big else 64))
+    c_bin = int(os.environ.get("BENCH_CBIN", 128 if big else 64))
     az_tile = int(os.environ.get("BENCH_AZ_TILE", 8))
     el_tile = int(os.environ.get("BENCH_EL_TILE", 1))
     poses_per_tile = int(os.environ.get("BENCH_POSES_PER_TILE", 16))
@@ -101,9 +107,9 @@ def main():
                    block_chunk=int(os.environ.get("BENCH_CHUNK", 512)),
                    sort_blocks=True,
                    c_mid=c_mid,
-                   c_hyper=int(os.environ.get("BENCH_CHYPER", 20)),
+                   c_hyper=int(os.environ.get("BENCH_CHYPER", 24 if big else 20)),
                    payload=os.environ.get("BENCH_PAYLOAD", "plane"),
-                   c_super=int(os.environ.get("BENCH_CSUPER", 24)),
+                   c_super=int(os.environ.get("BENCH_CSUPER", 32 if big else 24)),
                    sub_blocks=int(os.environ.get("BENCH_SUBBLOCKS", 4)))
 
     def cast_sweep(bins, trans, dirs):
