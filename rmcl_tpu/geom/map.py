@@ -35,13 +35,28 @@ class MeshMap:
     def from_mesh(
         mesh: TriangleMesh,
         name: Optional[str] = None,
-        bin_size: int = 64,
+        bin_size: Optional[int] = None,
         bins_per_super: int = 64,
+        supers_per_hyper: int = 8,
     ) -> "MeshMap":
+        if bin_size is None:
+            # bin size must scale with tessellation: fixed 64-tri bins at
+            # 10M faces are ~10x finer than a ray block's footprint and
+            # saturate any candidate budget (silent false misses — see
+            # TPU_NOTES 10M audit). Keep bins' surface area roughly
+            # constant: B ~ 64 * (F/1M)^? — measured lossless points are
+            # 64 @ <=2M and 512 @ 10M; interpolate by powers of two.
+            f = mesh.n_faces
+            bin_size = 64
+            while f > 2_000_000 and bin_size < 512:
+                bin_size *= 2
+                f //= 3
         return MeshMap(
             mesh=mesh,
             bvh=build_bvh(mesh),
-            bins=build_bins(mesh, bin_size=bin_size, bins_per_super=bins_per_super),
+            bins=build_bins(mesh, bin_size=bin_size,
+                            bins_per_super=bins_per_super,
+                            supers_per_hyper=supers_per_hyper),
             name=name or mesh.name,
         )
 
