@@ -241,7 +241,7 @@ def main():
     # (lax.scan; fresh jitters per timing call, so the relay's result cache
     # cannot serve any step) and divides — measuring device throughput, not
     # the testbed's RPC latency. BENCH_STEPS=1 restores single-step timing.
-    k_steps = int(os.environ.get("BENCH_STEPS", 4))
+    k_steps = int(os.environ.get("BENCH_STEPS", 8))
 
     @jax.jit
     def correction_k(bins, data_points, data_mask, est0, dirs, jitters):
