@@ -6,12 +6,19 @@ spherical model (900x16 = 14,400 rays/pose), N poses corrected at once
 against a synthetic ~1M-face sphere; one "correction" = full
 simulate → masked P2L reduce → SE(3) solve for all poses.
 
-Engine: the dense binned ray caster (rmcl_tpu.ops.raycast_binned) with
-direction-major ray ordering — the TPU-native path.
+Engine: the factored Baldwin–Weber dense caster
+(rmcl_tpu.ops.raycast_binned.cast_rays_binned_factored) over a 4-level
+cull hierarchy (hypers → supers → bins) — the TPU-native path. Every
+shipped config's candidate sets are audited lossless against the
+unbudgeted cast / exact oracle (see TPU_NOTES).
 
-Metric: correspondence rays/second for the full correction iteration.
-vs_baseline: ratio against the reference's Embree desktop-CPU number at
-1M faces (71.6 M corr-rays/s — lidar_corrector_embree_benchmark.cpp:146).
+Metric: correspondence rays/second for the full correction iteration,
+timed as BENCH_STEPS distinct-estimate corrections chained in one
+dispatch (this backend has ~58 ms of RPC latency per dispatch — a
+testbed artifact, not device work; fresh jittered inputs per timing keep
+the relay's result cache out). vs_baseline: ratio against the
+reference's Embree desktop-CPU number at the same face count
+(lidar_corrector_embree_benchmark.cpp:145-152).
 
 Prints ONE JSON line: {"metric": ..., "value": ..., "unit": ..., "vs_baseline": ...}
 """
