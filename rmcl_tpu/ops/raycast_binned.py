@@ -1113,75 +1113,14 @@ def cast_rays_binned(
     )
 
 
-@partial(
-    jax.jit,
-    static_argnames=(
-        "t_min", "t_max", "c_super", "c_bin", "block_chunk", "sort_blocks",
-        "c_mid", "c_hyper", "sub_blocks", "payload", "flip_normals",
-    ),
-)
-def cast_rays_binned_factored(
-    bins: TriangleBins,
-    o_blk: Array,  # (n_blk, P, 3) per-block pose origins
-    d_blk: Array,  # (n_blk, G, 3) per-block shared directions
-    t_min: float = 0.0,
-    t_max: float = NO_HIT_T,
-    alive: Array | None = None,  # (n_blk,) bool; None = all alive
-    c_super: int = 24,
-    c_bin: int = 64,
-    block_chunk: int = 512,
-    sort_blocks: bool = True,
-    c_mid: int = 0,
-    c_hyper: int = 0,
-    sub_blocks: int = 4,
-    payload: str = "plane",
-    flip_normals: bool = True,
-) -> RayHits:
-    """Closest-hit for *factored* ray blocks: each block is the cross
-    product of P pose origins x G shared directions (ray = g*P + p within
-    the block). This is the pose-sweep structure (reference corrector
-    benchmark, lidar_corrector_embree_benchmark.cpp:77-138: many poses x
-    one scan grid) — and the engine exploits it structurally:
-
-      * rays are never materialized: the (n_rays, 3) origin/direction
-        arrays (and their HBM traffic + build transposes) disappear;
-        the cull re-expands rays per chunk inside the fusion;
-      * the pair loop uses the Baldwin–Weber barycentric formulation
-        [Baldwin & Weber, JCGT 2016] factored over the block structure:
-        per-triangle plane/barycentric rows (from the packed v0/e1/e2),
-        then No/Au/Av on the (tri x pose) grid and invNd/Bu/Bv on the
-        (tri x dir) grid — the per-pair work collapses to
-        ``t = No*invNd; u = Au + t*Bu; v = Av + t*Bv`` + the hit decision
-        (~3x fewer VPU ops/pair than the hoisted Möller–Trumbore path in
-        :func:`cast_rays_binned`).
-
-    ``payload``: "index" (cheapest, full ids) carries only the winning
-    (candidate, lane) indices on the small (Cb, G, P) grid — zero extra
-    work on the (Cb, B, G, P) pair grid — and gathers the winning
-    triangle's 14 packed floats once per ray at the end (exact
-    t/point/normal + prim/inst ids); "plane" one-hot-selects the winner's
-    unnormalized plane (ng, c0) on the pair grid (~10 VPU ops/pair;
-    prim_id/inst_id are -1); "full" = plane + ids (~4 more ops/pair);
-    "none" is the occlusion query (t only).
-
-    Constraints: ``t_min >= 0`` (degenerate/padding triangles rely on
-    ``t=0`` failing the gate); scalar t_min/t_max.
-    """
-    assert payload in ("index", "plane", "full", "none")
-    o_blk = jnp.asarray(o_blk, jnp.float32)
-    d_blk = jnp.asarray(d_blk, jnp.float32)
-    n_blk, P, _ = o_blk.shape
-    G = d_blk.shape[1]
-    Rb = P * G
-    t_min_s = float(t_min)
-    t_max_s = float(t_max)
-    assert t_min_s >= 0.0
-
+def _resolve_budgets(bins: TriangleBins, c_super: int, c_bin: int,
+                     c_mid: int) -> Tuple[int, int, int]:
+    """Clamp the static cull budgets to the structure's actual level sizes
+    (shared by the cast and the standalone candidate builder so reused
+    candidate lists always match the cast's shapes)."""
     S = bins.bins_per_super
-    n_bins = bins.n_bins
-    B = bins.bin_size
     cs = min(c_super, bins.n_super)
-    cb = min(c_bin, n_bins, cs * S)
+    cb = min(c_bin, bins.n_bins, cs * S)
     cm_ = 0
     if c_mid:
         M = bins.bins_per_mid
@@ -1189,26 +1128,19 @@ def cast_rays_binned_factored(
         if bins.mid_aabb is not None and Sm > 1:
             cm_ = min(max(c_mid, -(-cb // M)), bins.n_mid, cs * Sm)
             cb = min(cb, cm_ * M)
+    return cs, cb, cm_
 
-    # sentinel bin (see cast_rays_binned): zero rows -> ng = 0 -> Nd = 0 ->
-    # invNd = 0 -> t = 0, which fails `t > t_min` (t_min >= 0)
-    tri = jnp.concatenate(
-        [bins.tri, jnp.zeros((1,) + bins.tri.shape[1:], jnp.float32)], 0
-    )
-    # the BW loop only reads v0/e1/e2 (+ ids when carried in-loop): slim the
-    # per-trip gather stream — rows 9-11 (unit normal) are never used here
-    # and ids only for payload="full"; the stream is ~half the intersect
-    # phase's time, so dead rows are pure HBM waste
-    tri_loop = tri if payload == "full" else tri[:, 0:9]
-    assert B & (B - 1) == 0, "bin_size must be a power of two (packed-key min)"
-    jmask = jnp.int32(B - 1)
 
+def _pad_factored_blocks(o_blk, d_blk, alive, block_chunk):
+    """Chunk-pad factored blocks; padding blocks are dead (t_max = 0 via
+    alive = 0 -> zero candidates, no hits)."""
+    o_blk = jnp.asarray(o_blk, jnp.float32)
+    d_blk = jnp.asarray(d_blk, jnp.float32)
+    n_blk = o_blk.shape[0]
     if alive is None:
         alive_f = jnp.ones((n_blk,), jnp.float32)
     else:
         alive_f = jnp.asarray(alive, jnp.float32)
-
-    # chunk padding: dead blocks (t_max = 0 -> zero candidates)
     chunk = min(block_chunk, n_blk)
     blk_pad = (-n_blk) % chunk
     if blk_pad:
@@ -1219,7 +1151,30 @@ def cast_rays_binned_factored(
         d_blk = padz(d_blk, 1.0)
         alive_f = padz(alive_f, 0.0)
     n_chunks = (n_blk + blk_pad) // chunk
-    n_blk_p = n_chunks * chunk
+    return o_blk, d_blk, alive_f, n_blk, chunk, n_chunks
+
+
+def _factored_block_candidates(
+    bins, o_blk, d_blk, alive_f, chunk, t_min_s, t_max_s,
+    cs, cb, cm_, c_hyper, sub_blocks, origin_margin,
+):
+    """Cull phase of the factored cast: per-chunk nearest-first candidate
+    bins for (P pose origins x G shared directions) blocks.
+
+    ``origin_margin`` > 0 inflates every block's origin box by +/- margin
+    per axis. The resulting candidate lists (and their tnear lower bounds)
+    are then conservative for ANY block origins within L-inf distance
+    ``margin`` of the originals — the basis for cross-correction candidate
+    reuse: cull once at the current estimate, intersect every subsequent
+    correction whose pose delta stays under the margin against the same
+    lists (the find-once/iterate-K structure of the reference,
+    micp_localization.cpp:915-964, applied to the cull).
+
+    Returns (cand_a, count_a, tnear_a) in (n_chunks, chunk, ...) layout."""
+    n_blk_p, P, _ = o_blk.shape
+    G = d_blk.shape[1]
+    Rb = P * G
+    n_chunks = n_blk_p // chunk
 
     def expand_rays(o_c, d_c, alive_c):
         """Compact (Cb, P, 3) x (Cb, G, 3) -> cull inputs (Cb, Rb, ...)."""
@@ -1251,6 +1206,8 @@ def cast_rays_binned_factored(
             o_hi = jnp.where(live[:, None], jnp.max(o_c, axis=1), 0.0)
             oc1 = 0.5 * (o_lo + o_hi)
             oh1 = 0.5 * (o_hi - o_lo)
+            if origin_margin:
+                oh1 = oh1 + jnp.where(live[:, None], origin_margin, 0.0)
             oc = jnp.broadcast_to(oc1[:, None], (Cb, r, 3))
             oh = jnp.broadcast_to(oh1[:, None], (Cb, r, 3))
             Gr = G // r
@@ -1271,7 +1228,19 @@ def cast_rays_binned_factored(
             dead = jnp.broadcast_to(~live[:, None], (Cb, r))
             return oc, oh, a, tan_th, t_hi, n_hi, dead
 
-        bfn = fact_bounds if G % sub_blocks == 0 else None
+        def margin_sb_bounds(r):
+            oc, oh, a, tan_th, t_hi, n_hi, dead = _subblock_bounds(
+                ob, db, tmin_b, tmax_b, r
+            )
+            oh = oh + jnp.where(dead[..., None], 0.0, origin_margin)
+            return oc, oh, a, tan_th, t_hi, n_hi, dead
+
+        if G % sub_blocks == 0:
+            bfn = fact_bounds
+        elif origin_margin:
+            bfn = margin_sb_bounds
+        else:
+            bfn = None
         return _chunk_candidates(
             bins, ob, db, tmin_b, tmax_b, cs, cb, sub_blocks, cm_, c_hyper,
             bfn,
@@ -1284,11 +1253,178 @@ def cast_rays_binned_factored(
     )
     if n_chunks == 1:
         cand_a, count_a, tnear_a = cand_fn(tuple(a[0] for a in cargs))
-        cand_a, count_a, tnear_a = (
-            cand_a[None], count_a[None], tnear_a[None]
+        return cand_a[None], count_a[None], tnear_a[None]
+    return jax.lax.map(cand_fn, cargs)
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "t_min", "t_max", "c_super", "c_bin", "block_chunk", "c_mid",
+        "c_hyper", "sub_blocks", "origin_margin",
+    ),
+)
+def factored_candidates(
+    bins: TriangleBins,
+    o_blk: Array,  # (n_blk, P, 3) per-block pose origins
+    d_blk: Array,  # (n_blk, G, 3) per-block shared directions
+    t_min: float = 0.0,
+    t_max: float = NO_HIT_T,
+    alive: Array | None = None,
+    c_super: int = 24,
+    c_bin: int = 64,
+    block_chunk: int = 512,
+    c_mid: int = 0,
+    c_hyper: int = 0,
+    sub_blocks: int = 4,
+    origin_margin: float = 0.0,
+) -> Tuple[Array, Array, Array]:
+    """Standalone cull for :func:`cast_rays_binned_factored` — build the
+    candidate lists once and reuse them across corrections.
+
+    With ``origin_margin`` = m, the returned lists are conservative
+    (superset candidates, lower-bound tnear) for any cast whose block
+    origins each moved by < m per axis from ``o_blk`` with unchanged
+    directions/budgets — so consecutive tracking corrections (pose deltas
+    of centimeters) can skip the cull entirely: pass the result as
+    ``candidates=`` to the cast. Re-cull when the accumulated pose delta
+    exceeds the margin. Budgets/chunking must match the cast's exactly
+    (the cast asserts the shapes).
+
+    Returns (cand (n_blk_padded, cb) int32 with -1 padding,
+    count (n_blk_padded,) int32, tnear (n_blk_padded, cb) f32) in
+    UNSORTED block order."""
+    cs, cb, cm_ = _resolve_budgets(bins, c_super, c_bin, c_mid)
+    o_p, d_p, alive_f, _n_blk, chunk, n_chunks = _pad_factored_blocks(
+        o_blk, d_blk, alive, block_chunk
+    )
+    cand_a, count_a, tnear_a = _factored_block_candidates(
+        bins, o_p, d_p, alive_f, chunk, float(t_min), float(t_max),
+        cs, cb, cm_, c_hyper, sub_blocks, float(origin_margin),
+    )
+    n_blk_p = n_chunks * chunk
+    return (
+        cand_a.reshape(n_blk_p, cb),
+        count_a.reshape(n_blk_p),
+        tnear_a.reshape(n_blk_p, cb),
+    )
+
+
+@partial(
+    jax.jit,
+    static_argnames=(
+        "t_min", "t_max", "c_super", "c_bin", "block_chunk", "sort_blocks",
+        "c_mid", "c_hyper", "sub_blocks", "payload", "flip_normals",
+        "origin_margin",
+    ),
+)
+def cast_rays_binned_factored(
+    bins: TriangleBins,
+    o_blk: Array,  # (n_blk, P, 3) per-block pose origins
+    d_blk: Array,  # (n_blk, G, 3) per-block shared directions
+    t_min: float = 0.0,
+    t_max: float = NO_HIT_T,
+    alive: Array | None = None,  # (n_blk,) bool; None = all alive
+    c_super: int = 24,
+    c_bin: int = 64,
+    block_chunk: int = 512,
+    sort_blocks: bool = True,
+    c_mid: int = 0,
+    c_hyper: int = 0,
+    sub_blocks: int = 4,
+    payload: str = "plane",
+    flip_normals: bool = True,
+    origin_margin: float = 0.0,
+    candidates: Tuple[Array, Array, Array] | None = None,
+) -> RayHits:
+    """Closest-hit for *factored* ray blocks: each block is the cross
+    product of P pose origins x G shared directions (ray = g*P + p within
+    the block). This is the pose-sweep structure (reference corrector
+    benchmark, lidar_corrector_embree_benchmark.cpp:77-138: many poses x
+    one scan grid) — and the engine exploits it structurally:
+
+      * rays are never materialized: the (n_rays, 3) origin/direction
+        arrays (and their HBM traffic + build transposes) disappear;
+        the cull re-expands rays per chunk inside the fusion;
+      * the pair loop uses the Baldwin–Weber barycentric formulation
+        [Baldwin & Weber, JCGT 2016] factored over the block structure:
+        per-triangle plane/barycentric rows (from the packed v0/e1/e2),
+        then No/Au/Av on the (tri x pose) grid and invNd/Bu/Bv on the
+        (tri x dir) grid — the per-pair work collapses to
+        ``t = No*invNd; u = Au + t*Bu; v = Av + t*Bv`` + the hit decision
+        (~3x fewer VPU ops/pair than the hoisted Möller–Trumbore path in
+        :func:`cast_rays_binned`).
+
+    ``payload``: "index" (cheapest, full ids) carries only the winning
+    (candidate, lane) indices on the small (Cb, G, P) grid — zero extra
+    work on the (Cb, B, G, P) pair grid — and gathers the winning
+    triangle's 14 packed floats once per ray at the end (exact
+    t/point/normal + prim/inst ids); "plane" one-hot-selects the winner's
+    unnormalized plane (ng, c0) on the pair grid (~10 VPU ops/pair;
+    prim_id/inst_id are -1); "full" = plane + ids (~4 more ops/pair);
+    "none" is the occlusion query (t only).
+
+    ``origin_margin``/``candidates``: see :func:`factored_candidates` —
+    pass a precomputed (cand, count, tnear) triple to skip the cull phase
+    entirely (candidate reuse across corrections); ``origin_margin``
+    inflates the origin boxes when the cull DOES run here, so the hits can
+    double as reusable candidates.
+
+    Constraints: ``t_min >= 0`` (degenerate/padding triangles rely on
+    ``t=0`` failing the gate); scalar t_min/t_max.
+    """
+    assert payload in ("index", "plane", "full", "none")
+    o_blk = jnp.asarray(o_blk, jnp.float32)
+    d_blk = jnp.asarray(d_blk, jnp.float32)
+    n_blk, P, _ = o_blk.shape
+    G = d_blk.shape[1]
+    Rb = P * G
+    t_min_s = float(t_min)
+    t_max_s = float(t_max)
+    assert t_min_s >= 0.0
+
+    n_bins = bins.n_bins
+    B = bins.bin_size
+    cs, cb, cm_ = _resolve_budgets(bins, c_super, c_bin, c_mid)
+
+    # sentinel bin (see cast_rays_binned): zero rows -> ng = 0 -> Nd = 0 ->
+    # invNd = 0 -> t = 0, which fails `t > t_min` (t_min >= 0)
+    tri = jnp.concatenate(
+        [bins.tri, jnp.zeros((1,) + bins.tri.shape[1:], jnp.float32)], 0
+    )
+    # the BW loop only reads v0/e1/e2 (+ ids when carried in-loop): slim the
+    # per-trip gather stream — rows 9-11 (unit normal) are never used here
+    # and ids only for payload="full"; the stream is ~half the intersect
+    # phase's time, so dead rows are pure HBM waste
+    tri_loop = tri if payload == "full" else tri[:, 0:9]
+    assert B & (B - 1) == 0, "bin_size must be a power of two (packed-key min)"
+    jmask = jnp.int32(B - 1)
+
+    o_blk, d_blk, alive_f, n_blk, chunk, n_chunks = _pad_factored_blocks(
+        o_blk, d_blk, alive, block_chunk
+    )
+    n_blk_p = n_chunks * chunk
+
+    if candidates is not None:
+        cand_f, count_f0, tnear_f = candidates
+        assert cand_f.shape == (n_blk_p, cb), (
+            f"candidates shape {cand_f.shape} != {(n_blk_p, cb)} — build "
+            "with factored_candidates at the SAME block/budget config"
         )
+        cand_a = cand_f.reshape(n_chunks, chunk, cb)
+        count_a = count_f0.reshape(n_chunks, chunk)
+        tnear_a = tnear_f.reshape(n_chunks, chunk, cb)
     else:
-        cand_a, count_a, tnear_a = jax.lax.map(cand_fn, cargs)
+        cand_a, count_a, tnear_a = _factored_block_candidates(
+            bins, o_blk, d_blk, alive_f, chunk, t_min_s, t_max_s,
+            cs, cb, cm_, c_hyper, sub_blocks, float(origin_margin),
+        )
+
+    cargs = (
+        o_blk.reshape(n_chunks, chunk, P, 3),
+        d_blk.reshape(n_chunks, chunk, G, 3),
+        alive_f.reshape(n_chunks, chunk),
+    )
 
     inv_order = None
     if sort_blocks:
