@@ -240,7 +240,24 @@ def correct_once(
         c_super=config.c_super, c_bin=config.c_bin, c_mid=config.c_mid,
         c_hyper=config.c_hyper,
     )
+    return correct_from_correspondences(
+        sensors, corrs, tom, tbo, convergence_progress, config
+    )
 
+
+def correct_from_correspondences(
+    sensors: Sequence[MICPSensorData],
+    corrs: Sequence[Correspondences],
+    tom: Transform,
+    tbo: Transform,
+    convergence_progress: Array,
+    config: MICPConfig = MICPConfig(),
+) -> Tuple[Transform, MICPStats]:
+    """The optimization half of :func:`correct_once`: K Gauss-Newton
+    iterations over given correspondences → new Tom (reference
+    micp_localization.cpp:915-1016). Split out so alternate correspondence
+    paths (e.g. the tracked factored-engine path with candidate reuse,
+    micp.tracking) share the exact solve/annealing/guard semantics."""
     # lift per-sensor data into the odom frame once; the GN loop then works
     # in a single common frame (frames fold per reference MICPSensor.hpp:158
     # + :931-937, collapsed algebraically)

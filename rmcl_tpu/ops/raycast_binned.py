@@ -1156,7 +1156,7 @@ def _pad_factored_blocks(o_blk, d_blk, alive, block_chunk):
 
 def _factored_block_candidates(
     bins, o_blk, d_blk, alive_f, chunk, t_min_s, t_max_s,
-    cs, cb, cm_, c_hyper, sub_blocks, origin_margin,
+    cs, cb, cm_, c_hyper, sub_blocks, origin_margin, dir_margin=0.0,
 ):
     """Cull phase of the factored cast: per-chunk nearest-first candidate
     bins for (P pose origins x G shared directions) blocks.
@@ -1170,11 +1170,26 @@ def _factored_block_candidates(
     lists (the find-once/iterate-K structure of the reference,
     micp_localization.cpp:915-964, applied to the cull).
 
+    ``dir_margin`` (radians) widens every sub-block cone's half-angle so
+    the lists additionally survive per-ray direction tilts up to the
+    margin — i.e. pose ROTATIONS up to dir_margin between cull and cast
+    (tracking corrections rotate the scan directions in the map frame).
+
     Returns (cand_a, count_a, tnear_a) in (n_chunks, chunk, ...) layout."""
+    import math as _math
+
     n_blk_p, P, _ = o_blk.shape
     G = d_blk.shape[1]
     Rb = P * G
     n_chunks = n_blk_p // chunk
+    tan_dm = _math.tan(dir_margin) if dir_margin else 0.0
+
+    def widen_cone(tan_th):
+        """tan(theta + dir_margin), conservatively pass-all past ~89 deg."""
+        if not tan_dm:
+            return tan_th
+        den = 1.0 - tan_th * tan_dm
+        return jnp.where(den > 1e-4, (tan_th + tan_dm) / jnp.maximum(den, 1e-4), 1e4)
 
     def expand_rays(o_c, d_c, alive_c):
         """Compact (Cb, P, 3) x (Cb, G, 3) -> cull inputs (Cb, Rb, ...)."""
@@ -1221,7 +1236,7 @@ def _factored_block_candidates(
             )
             ca = jnp.min(jnp.sum(dn * a[:, :, None, :], -1), axis=2)
             ca = jnp.clip(ca, 0.05, 1.0)
-            tan_th = jnp.sqrt(jnp.maximum(1.0 - ca * ca, 0.0)) / ca
+            tan_th = widen_cone(jnp.sqrt(jnp.maximum(1.0 - ca * ca, 0.0)) / ca)
             nrm = jnp.sqrt(jnp.maximum(jnp.sum(dg * dg, -1), 1e-30))
             n_hi = jnp.max(nrm, axis=2)  # (Cb, r)
             t_hi = jnp.where(live, t_max_s, 0.0)[:, None] * n_hi
@@ -1233,11 +1248,11 @@ def _factored_block_candidates(
                 ob, db, tmin_b, tmax_b, r
             )
             oh = oh + jnp.where(dead[..., None], 0.0, origin_margin)
-            return oc, oh, a, tan_th, t_hi, n_hi, dead
+            return oc, oh, a, widen_cone(tan_th), t_hi, n_hi, dead
 
         if G % sub_blocks == 0:
             bfn = fact_bounds
-        elif origin_margin:
+        elif origin_margin or dir_margin:
             bfn = margin_sb_bounds
         else:
             bfn = None
@@ -1261,7 +1276,7 @@ def _factored_block_candidates(
     jax.jit,
     static_argnames=(
         "t_min", "t_max", "c_super", "c_bin", "block_chunk", "c_mid",
-        "c_hyper", "sub_blocks", "origin_margin",
+        "c_hyper", "sub_blocks", "origin_margin", "dir_margin",
     ),
 )
 def factored_candidates(
@@ -1278,18 +1293,20 @@ def factored_candidates(
     c_hyper: int = 0,
     sub_blocks: int = 4,
     origin_margin: float = 0.0,
+    dir_margin: float = 0.0,
 ) -> Tuple[Array, Array, Array]:
     """Standalone cull for :func:`cast_rays_binned_factored` — build the
     candidate lists once and reuse them across corrections.
 
-    With ``origin_margin`` = m, the returned lists are conservative
-    (superset candidates, lower-bound tnear) for any cast whose block
-    origins each moved by < m per axis from ``o_blk`` with unchanged
-    directions/budgets — so consecutive tracking corrections (pose deltas
-    of centimeters) can skip the cull entirely: pass the result as
-    ``candidates=`` to the cast. Re-cull when the accumulated pose delta
-    exceeds the margin. Budgets/chunking must match the cast's exactly
-    (the cast asserts the shapes).
+    With ``origin_margin`` = m (meters) and ``dir_margin`` = r (radians),
+    the returned lists are conservative (superset candidates, lower-bound
+    tnear) for any cast whose block origins each moved by < m per axis
+    AND whose directions each tilted by < r from ``o_blk``/``d_blk`` at
+    unchanged budgets — so consecutive tracking corrections (pose deltas
+    of centimeters / fractions of a degree) can skip the cull entirely:
+    pass the result as ``candidates=`` to the cast. Re-cull when the
+    accumulated pose delta exceeds either margin. Budgets/chunking must
+    match the cast's exactly (the cast asserts the shapes).
 
     Returns (cand (n_blk_padded, cb) int32 with -1 padding,
     count (n_blk_padded,) int32, tnear (n_blk_padded, cb) f32) in
@@ -1301,6 +1318,7 @@ def factored_candidates(
     cand_a, count_a, tnear_a = _factored_block_candidates(
         bins, o_p, d_p, alive_f, chunk, float(t_min), float(t_max),
         cs, cb, cm_, c_hyper, sub_blocks, float(origin_margin),
+        float(dir_margin),
     )
     n_blk_p = n_chunks * chunk
     return (
@@ -1315,7 +1333,7 @@ def factored_candidates(
     static_argnames=(
         "t_min", "t_max", "c_super", "c_bin", "block_chunk", "sort_blocks",
         "c_mid", "c_hyper", "sub_blocks", "payload", "flip_normals",
-        "origin_margin",
+        "origin_margin", "dir_margin",
     ),
 )
 def cast_rays_binned_factored(
@@ -1335,6 +1353,7 @@ def cast_rays_binned_factored(
     payload: str = "plane",
     flip_normals: bool = True,
     origin_margin: float = 0.0,
+    dir_margin: float = 0.0,
     candidates: Tuple[Array, Array, Array] | None = None,
 ) -> RayHits:
     """Closest-hit for *factored* ray blocks: each block is the cross
@@ -1418,6 +1437,7 @@ def cast_rays_binned_factored(
         cand_a, count_a, tnear_a = _factored_block_candidates(
             bins, o_blk, d_blk, alive_f, chunk, t_min_s, t_max_s,
             cs, cb, cm_, c_hyper, sub_blocks, float(origin_margin),
+            float(dir_margin),
         )
 
     cargs = (
