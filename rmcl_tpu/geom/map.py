@@ -46,11 +46,14 @@ class MeshMap:
             # TPU_NOTES 10M audit). Keep bins' surface area roughly
             # constant: B ~ 64 * (F/1M)^? — measured lossless points are
             # 64 @ <=2M and 512 @ 10M; interpolate by powers of two.
+            # halving (not /3) reaches the audited anchors: 64 @ <=2M,
+            # 128 @ <=4M, 256 @ <=8M, 512 @ 10M (the /3 loop left maps
+            # near 10M at an un-audited 256 whose budgets can saturate)
             f = mesh.n_faces
             bin_size = 64
             while f > 2_000_000 and bin_size < 512:
                 bin_size *= 2
-                f //= 3
+                f //= 2
         return MeshMap(
             mesh=mesh,
             bvh=build_bvh(mesh),

@@ -103,6 +103,10 @@ class MCLConfig:
     # this regime at default budgets; at 15 deg it saturates (see
     # _auto_select_engine).
     auto_engine_heading_spread: float = 0.1
+    # evaluate the auto-engine spread gate every Nth sensor update: each
+    # evaluation costs one device->host readback (~58 ms on the relay),
+    # and the spread only evolves at resampling cadence
+    auto_engine_period: int = 5
 
     @staticmethod
     def from_params(params) -> "MCLConfig":
@@ -150,6 +154,9 @@ class MCLConfig:
             ),
             auto_engine_heading_spread=float(
                 g("sensor_update.auto_engine_heading_spread", 0.1)
+            ),
+            auto_engine_period=int(
+                g("sensor_update.auto_engine_period", 5)
             ),
             max_induction_particles=int(
                 g("resampling.max_induction_particles", 50_000)
@@ -246,6 +253,7 @@ class MCLNode:
         # engine='auto' starts on the exact traversal (init clouds are
         # scattered by definition); _auto_select_engine flips it later
         self._engine_choice = "bvh"
+        self._engine_gate_seen = False
 
     # -- services ---------------------------------------------------------
 
@@ -286,7 +294,9 @@ class MCLNode:
         self.sensor_updates = 0
         self.n_alive_host = self.config.n_particles
         # the cloud distribution just changed drastically — re-audit budgets
+        # and re-evaluate the engine gate immediately
         self._budget_checked = False
+        self._engine_gate_seen = False
 
     # -- periodic stages --------------------------------------------------
 
@@ -362,29 +372,48 @@ class MCLNode:
         )
         self.config.sensor = new
 
+    @staticmethod
+    @jax.jit
+    def _spread_metrics(cloud: ParticleCloud) -> Array:
+        """Weighted position std-dev + heading spread, ONE device program
+        returning one (2,) array — a single host readback instead of two
+        (each round trip costs ~58 ms on the relay backend, VERDICT r2 #4)."""
+        w = cloud.weights()
+        mu = jnp.sum(w[:, None] * cloud.poses.trans, axis=0)
+        var = jnp.sum(w[:, None] * (cloud.poses.trans - mu) ** 2, axis=0)
+        spread = jnp.sqrt(jnp.maximum(jnp.mean(var), 0.0))
+        fw = cloud.poses.rotate(jnp.asarray([1.0, 0.0, 0.0], jnp.float32))
+        fw_mu = jnp.sum(w[:, None] * fw, axis=0)
+        fw_mu = fw_mu / jnp.maximum(jnp.linalg.norm(fw_mu), 1e-9)
+        ca = jnp.sum(w * jnp.sum(fw * fw_mu[None, :], axis=-1))
+        hspread = jnp.sqrt(jnp.maximum(1.0 - ca * ca, 0.0))
+        return jnp.stack([spread, hspread])
+
     def _auto_select_engine(self) -> None:
-        """Per-tick engine choice for sensor.engine='auto' (VERDICT r1 #4):
+        """Engine choice for sensor.engine='auto' (VERDICT r1 #4):
         scattered cloud -> exact BVH traversal (no budgets to saturate);
         concentrated cloud -> dense binned engine (coherent blocks, the
         TPU hot path). Spread metric = mean per-axis weighted std-dev of
-        the live translations; 2x hysteresis prevents flapping."""
+        the live translations; 2x hysteresis prevents flapping.
+
+        Evaluated every ``auto_engine_period`` sensor updates (the spread
+        evolves at resampling cadence, not per message): the readback this
+        gate needs is amortized instead of paid per tick."""
         if self.bins is None:
             self._engine_choice = "bvh"
             return
-        w = self.cloud.weights()
-        mu = jnp.sum(w[:, None] * self.cloud.poses.trans, axis=0)
-        var = jnp.sum(w[:, None] * (self.cloud.poses.trans - mu) ** 2, axis=0)
-        spread = float(np.asarray(jnp.sqrt(jnp.maximum(jnp.mean(var), 0.0))))
+        period = max(int(self.config.auto_engine_period), 1)
+        if self.sensor_updates % period and self._engine_gate_seen:
+            return
+        self._engine_gate_seen = True
         # heading spread gates the flip too: the dense cull's per-block
         # wedge is (position box) x (heading fan) x (range cap); a tight
         # position cluster with ~15 deg of yaw spread still saturates any
         # candidate budget on fine indoor maps (CPU-audited: corr 0.43 vs
         # the exact oracle at 0.25 rad yaw spread, 1.000 at 0.05 rad)
-        fw = self.cloud.poses.rotate(jnp.asarray([1.0, 0.0, 0.0], jnp.float32))
-        fw_mu = jnp.sum(w[:, None] * fw, axis=0)
-        fw_mu = fw_mu / jnp.maximum(jnp.linalg.norm(fw_mu), 1e-9)
-        ca = jnp.sum(w * jnp.sum(fw * fw_mu[None, :], axis=-1))
-        hspread = float(np.asarray(jnp.sqrt(jnp.maximum(1.0 - ca * ca, 0.0))))
+        spread, hspread = (
+            float(x) for x in np.asarray(self._spread_metrics(self.cloud))
+        )
         thresh = self.config.auto_engine_spread
         hthresh = self.config.auto_engine_heading_spread
         prev = self._engine_choice
@@ -487,7 +516,14 @@ class MCLNode:
         rejects live counts below ``min_particles_for_resample``)."""
         if self.motion_updates < 1 or self.sensor_updates < 1:
             return False
-        if int(np.asarray(self.cloud.n_alive)) < self.config.min_particles_for_resample:
+        # aliveness only changes at resamples/inits, so the host mirror is
+        # exact here — no device readback (each costs ~58 ms on the relay)
+        n_live = (
+            self.n_alive_host
+            if self.n_alive_host is not None
+            else int(np.asarray(self.cloud.n_alive))
+        )
+        if n_live < self.config.min_particles_for_resample:
             return False
         with self.timer.stage("resampling"):
             if self.config.dynamic_count != "off":

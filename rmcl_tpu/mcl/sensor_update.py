@@ -253,11 +253,20 @@ def sensor_update(
     beam_tmax = None
     from rmcl_tpu.ops.raycast import NO_HIT_T as _NO_HIT_T
 
-    def _cap(r, w=None):
+    def _cap(r, hit, w=None):
         if config.range_cap_sigmas <= 0.0:
             full = jnp.full(r.shape, jnp.float32(_NO_HIT_T))
         else:
-            full = r + jnp.float32(config.range_cap_sigmas) * config.dist_sigma
+            # the exp(-k^2/2)~0 equivalence argument only covers REAL-HIT
+            # beams; a real-miss beam capped at range+k*sigma could flip a
+            # far sim surface from sim-hit (real_miss_sim_hit_error) to
+            # sim-miss — keep real-miss beams unbounded like the
+            # reference's rtcIntersect1 (PCDSensorUpdaterEmbree.cpp:44)
+            full = jnp.where(
+                hit,
+                r + jnp.float32(config.range_cap_sigmas) * config.dist_sigma,
+                jnp.float32(_NO_HIT_T),
+            )
         if w is not None:
             full = jnp.where(w > 0.0, full, 0.0)
         return full
@@ -284,7 +293,7 @@ def sensor_update(
             ranges = jnp.concatenate([ranges, jnp.zeros((pad,), jnp.float32)])
             real_hit = jnp.concatenate([real_hit, jnp.zeros((pad,), bool)])
             beam_w = jnp.concatenate([beam_w, jnp.zeros((pad,), jnp.float32)])
-        beam_tmax = _cap(ranges, beam_w)
+        beam_tmax = _cap(ranges, real_hit, beam_w)
     Sp = dirs_s.shape[0]  # S or padded
 
     # particle sensor poses: Tsm_i = Tbm_i * Tsb  (reference :334-338)
@@ -320,7 +329,7 @@ def sensor_update(
             cp = closest_points(bvh, p_meas_m, chunk_size=chunk_size)
         error = jnp.where(cp.found, cp.dist, config.real_hit_sim_miss_error)
     else:
-        beam_tmax_all = beam_tmax if beam_tmax is not None else _cap(ranges)
+        beam_tmax_all = beam_tmax if beam_tmax is not None else _cap(ranges, real_hit)
         if config.engine == "binned" and particle_major:
             # dense engine, particle-major: each block covers few clustered
             # particles x their direction-sorted beams; the cull's ball

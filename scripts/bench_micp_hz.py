@@ -1,0 +1,180 @@
+"""MICP-L pose-update rate on chip — the BASELINE.json product metric.
+
+Workload: single-robot 6-DoF tracking through the procedural building map
+(BASELINE config-2 class: multi-room mesh, ~480k faces at subdiv 45) with
+a VLP-16 scan (900x16 = 14,400 rays) per correction, drifting odometry,
+full correct-once semantics (cast + 5 GN iterations + annealing) via
+micp.tracking.TrackedCorrector (candidate reuse with re-cull-on-drift).
+
+The reference caps its correction thread at 1000 Hz
+(micp_localization.cpp:130) and reports avg correction runtime per 1000
+iters (:1120-1161); its benchmark-class desktop CPU does 14.4k rays in
+~2-3 ms (71.6 M rays/s at 1M faces) => ~300-500 Hz sustained. This bench
+reports corrections/second with the SAME semantics: T chained corrections
+per dispatch (lax.scan; this backend has ~58 ms RPC per dispatch),
+fresh trajectory data per timing (relay result-cache hazard), readback-
+closed timing regions (TPU_NOTES).
+
+Two regimes:
+  * high_rate: 2 mm / 0.1 deg per step (a 1 m/s robot corrected at
+    ~500 Hz) — reuse serves nearly every step.
+  * rate_20hz: 5 cm / 1 deg per step (the same robot at 20 Hz) — the
+    margin forces frequent re-culls.
+
+Writes MICP_HZ_r03.json. Usage (TPU): python scripts/bench_micp_hz.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rmcl_tpu.bvh.bins import build_bins
+from rmcl_tpu.geom.mesh import make_building_scene
+from rmcl_tpu.math.se3 import Quaternion, Transform
+from rmcl_tpu.micp.pipeline import MICPConfig, MICPSensorConfig, MICPSensorData
+from rmcl_tpu.micp.tracking import TrackedCorrector
+from rmcl_tpu.sensors.models import SphericalModel
+from rmcl_tpu.sensors.simulate import simulate
+from rmcl_tpu.utils.timing import sync
+
+SUBDIV = int(os.environ.get("HZ_SUBDIV", 45))
+T = int(os.environ.get("HZ_STEPS", 32))  # corrections per dispatch
+ITERS = int(os.environ.get("HZ_ITERS", 3))
+C_BIN = int(os.environ.get("HZ_CBIN", 96))
+FLOOR = float(os.environ.get("HZ_FLOOR", 0.005))  # s per dispatch
+
+
+def build_world():
+    mesh = make_building_scene(rooms_x=4, rooms_y=3, subdiv=SUBDIV, seed=0,
+                               door_t=0.5)
+    bins = build_bins(mesh, bin_size=64, bins_per_super=16,
+                      supers_per_hyper=16)
+    model = SphericalModel.vlp16(width=900)
+    return mesh, bins, model
+
+
+def trajectory(rng, n, step_t, step_r, start):
+    """Smooth wander inside one room: per-step translation ~step_t,
+    yaw ~step_r (radians)."""
+    pos = np.zeros((n, 3), np.float32)
+    yaw = np.zeros(n, np.float32)
+    p = np.asarray(start, np.float32).copy()
+    h = rng.uniform(0, 2 * np.pi)
+    for i in range(n):
+        h += rng.normal(0.0, step_r)
+        p[:2] += step_t * np.asarray([np.cos(h), np.sin(h)], np.float32)
+        p[:2] = np.clip(p[:2], 1.5, 16.5)  # stay inside the building
+        pos[i] = p
+        yaw[i] = h * 0.2  # heading swings the sensor too
+    return pos, yaw
+
+
+def main():
+    mesh, bins, model = build_world()
+    print(f"map: {mesh.faces.shape[0]} faces, {bins.n_bins} bins",
+          file=sys.stderr)
+    cfg = MICPConfig(c_bin=C_BIN, c_hyper=0)
+    scfg = MICPSensorConfig.create(max_dist=1.0)
+    tsb = Transform.identity()
+    tc = TrackedCorrector(bins, model, cfg, origin_margin=0.05,
+                          dir_margin=0.01)
+
+    # budget sanity at a representative pose (saturation = silent loss)
+    st0 = tc.init(bins, Transform(rot=jnp.asarray([1.0, 0, 0, 0]),
+                                  trans=jnp.asarray([3.0, 3.0, 1.2])),
+                  Transform.identity(), tsb)
+    cmax = int(jnp.max(st0.candidates[1]))
+    print(f"candidates/block max {cmax} (budget {C_BIN})", file=sys.stderr)
+
+    def scan_window(state, pts, msk, tbo_q, tbo_t):
+        def body(st, inp):
+            p, m, q, t = inp
+            sensor = MICPSensorData(model=model, points=p, mask=m, tsb=tsb,
+                                    config=scfg)
+            st, stats = tc._step_impl(bins, sensor, st,
+                                      Transform(rot=q, trans=t))
+            return st, st.tom.trans
+        return jax.lax.scan(body, state, (pts, msk, tbo_q, tbo_t))
+
+    scan_window_j = jax.jit(scan_window)
+
+    results = {"metric": "micp_tracking_corrections_per_sec",
+               "map_faces": int(mesh.faces.shape[0]),
+               "rays_per_correction": model.n_rays,
+               "gn_iterations": cfg.optimization_iterations,
+               "steps_per_dispatch": T,
+               "reference": "correction cap 1000 Hz (micp_localization.cpp:130)",
+               "rows": []}
+
+    for regime, step_t, step_r in (("high_rate", 0.002, 0.002),
+                                   ("rate_20hz", 0.05, 0.02)):
+        rng = np.random.default_rng(1)
+        times = []
+        row_err = row_reculls = 0.0
+        for it in range(ITERS + 1):  # +1 warm
+            pos, yaw = trajectory(rng, T, step_t, step_r,
+                                  start=[3.0 + 0.1 * it, 3.0, 1.2])
+            truths = Transform.from_xyz_euler(
+                jnp.asarray(pos), jnp.stack(
+                    [jnp.zeros(T), jnp.zeros(T), jnp.asarray(yaw)], -1))
+            # scans at truth (dataset build — not timed, like the bench)
+            hits = simulate(bins, model, truths, c_super=24, c_bin=C_BIN)
+            ranges = jnp.where(hits.hit, hits.t, 0.0)
+            pts = jax.vmap(model.polar_to_cartesian)(ranges)
+            msk = hits.hit
+            # drifting odometry: tbo = drift^-1 * truth (so tbm = tom@tbo
+            # must re-discover truth; drift grows per step)
+            dr = np.cumsum(rng.normal(0, 0.002, (T, 3)).astype(np.float32),
+                           0) * np.asarray([1, 1, 0], np.float32)
+            tbo = Transform(
+                rot=truths.rot,
+                trans=truths.trans + jnp.asarray(dr),
+            )
+            state = tc.init(bins, Transform.identity(), tbo[0], tsb)
+            sync((pts, msk, state))
+            t0 = time.time()
+            state, track = scan_window_j(state, pts, msk, tbo.rot, tbo.trans)
+            sync(state.tom.trans)
+            dt = time.time() - t0
+            # track quality: corrected pose vs truth
+            tbm_t = np.asarray(track) + np.asarray(tbo.trans)  # tom.trans + tbo.trans (rot≈I)
+            err = np.linalg.norm(
+                np.asarray(state.tom.trans) + np.asarray(tbo.trans[-1])
+                - np.asarray(truths.trans[-1]))
+            if it == 0:
+                print(f"{regime}: warm {dt:.3f}s", file=sys.stderr)
+                continue
+            times.append(dt)
+            row_err = float(err)
+            row_reculls = int(state.n_reculls)
+            print(f"{regime} it{it}: {dt:.4f}s for {T} corrections, "
+                  f"reculls {int(state.n_reculls)}, end err {err:.4f} m",
+                  file=sys.stderr)
+        real = [t for t in times if t > FLOOR]
+        best = min(real) if real else min(times)
+        results["rows"].append({
+            "regime": regime,
+            "step_translation_m": step_t,
+            "corrections_per_sec": round(T / best, 1),
+            "ms_per_correction": round(1000 * best / T, 3),
+            "reculls_per_window": row_reculls,
+            "end_pose_error_m": round(row_err, 5),
+        })
+
+    out = os.environ.get("HZ_OUT", "/root/repo/MICP_HZ_r03.json")
+    with open(out, "w") as f:
+        json.dump(results, f, indent=1)
+    print(json.dumps(results))
+
+
+if __name__ == "__main__":
+    main()
