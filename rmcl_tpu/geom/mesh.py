@@ -628,11 +628,17 @@ def load_gltf(path: str) -> TriangleMesh:
         stride = view.get("byteStride") or dt.itemsize * nc
         if stride == dt.itemsize * nc:
             out = np.frombuffer(raw, dt, count * nc, base).reshape(count, nc)
-        else:  # interleaved: strided window per element
-            rowbytes = np.frombuffer(
-                raw, np.uint8, count * stride, base
-            ).reshape(count, stride)
-            out = rowbytes[:, : dt.itemsize * nc].copy().view(dt)
+        else:  # interleaved: strided window per element. A spec-valid tight
+            # bufferView only guarantees (count-1)*stride + elemSize bytes
+            # (the final stride may be cut after the last attribute), so
+            # read exactly that and stride over it.
+            elem = dt.itemsize * nc
+            nbytes = (count - 1) * stride + elem if count else 0
+            flat = np.frombuffer(raw, np.uint8, nbytes, base)
+            rowbytes = np.lib.stride_tricks.as_strided(
+                flat, shape=(count, elem), strides=(stride, 1)
+            )
+            out = np.ascontiguousarray(rowbytes).view(dt)
         return out.reshape(count, nc)
 
     placed: list[tuple[np.ndarray, np.ndarray]] = []

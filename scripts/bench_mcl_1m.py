@@ -1,0 +1,163 @@
+"""MCL full-cycle throughput at 1M particles — the BASELINE.json metric.
+
+Workload: the reference's RMCL defaults (rmcl_localization.cpp:349,384:
+max 1M particles, 100 sampled beams per sensor update) on the procedural
+building map, converged-tracking regime (the regime where 1M particles
+are actually live: position spread 0.2 m, yaw 3 deg — the binned engine
+is oracle-exact here, TPU_NOTES MCL audit). One cycle = motion update
+(+forget) -> sensor update (1M x 100 = 100M beam rays, scored + folded)
+-> gladiator resample -> stats induction.
+
+The sensor stage is chunked over particles (128k/dispatch) to bound the
+(N, S, 3) hit-payload memory; every timing region ends in a readback
+(TPU_NOTES block_until_ready rule) and every iteration gets fresh keys /
+odometry jitter (relay result-cache hazard).
+
+Writes MCL_1M_r03.json. Usage (TPU): python scripts/bench_mcl_1m.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rmcl_tpu.bvh.bins import build_bins
+from rmcl_tpu.geom.mesh import make_building_scene
+from rmcl_tpu.math.se3 import Transform
+from rmcl_tpu.math.stats import sample_pose_gaussian
+from rmcl_tpu.mcl.motion import MotionUpdateConfig, motion_update
+from rmcl_tpu.mcl.particles import ParticleCloud
+from rmcl_tpu.mcl.resampling import ResamplerConfig, gladiator_resample
+from rmcl_tpu.mcl.sensor_update import SensorUpdateConfig, sensor_update
+from rmcl_tpu.mcl.stats import estimate_stats
+from rmcl_tpu.ops.raycast_binned import candidate_stats
+from rmcl_tpu.sensors.models import SphericalModel
+from rmcl_tpu.sensors.simulate import simulate
+from rmcl_tpu.utils.timing import sync
+
+N = int(os.environ.get("MCL_N", 1_000_000))
+SAMPLES = int(os.environ.get("MCL_SAMPLES", 100))
+CHUNK = int(os.environ.get("MCL_CHUNK", 131072))
+SUBDIV = int(os.environ.get("MCL_SUBDIV", 45))
+ITERS = int(os.environ.get("MCL_ITERS", 3))
+C_BIN = int(os.environ.get("MCL_CBIN", 96))
+
+
+def main():
+    mesh = make_building_scene(rooms_x=4, rooms_y=3, subdiv=SUBDIV, seed=0,
+                               door_t=0.5)
+    bins = build_bins(mesh, bin_size=64, bins_per_super=16,
+                      supers_per_hyper=16)
+    print(f"map: {mesh.faces.shape[0]} faces, {bins.n_bins} bins",
+          file=sys.stderr)
+    model = SphericalModel.vlp16(width=900)
+    truth = Transform(rot=jnp.asarray([1.0, 0, 0, 0]),
+                      trans=jnp.asarray([3.0, 3.0, 1.2]))
+    hits = simulate(bins, model, truth, c_super=24, c_bin=192)
+    ranges = jnp.where(hits.hit, hits.t, 0.0)
+    points_s = model.polar_to_cartesian(ranges)
+    mask = hits.hit
+    tsb = Transform.identity()
+
+    key = jax.random.PRNGKey(0)
+    cov = jnp.diag(jnp.asarray(
+        [0.04, 0.04, 0.01, 1e-4, 1e-4, 3e-3], jnp.float32))  # 0.2m / ~3deg
+    key, k1 = jax.random.split(key)
+    poses = sample_pose_gaussian(k1, truth, cov, N)
+    cloud = ParticleCloud.create(N).with_poses(poses)
+
+    scfg = SensorUpdateConfig.create(
+        samples=SAMPLES, engine="binned", cluster=True,
+        c_super=24, c_bin=C_BIN, c_hyper=0, range_max=30.0,
+        dist_sigma=0.4,
+    )
+    mcfg = MotionUpdateConfig.create()
+    rcfg = ResamplerConfig.create()
+
+    # budget audit on the real distribution (lossless evidence): sampled
+    # beams from clustered particles, counts must stay under c_bin
+    key, kp = jax.random.split(key)
+    from rmcl_tpu.mcl.sensor_update import probe_update_rays
+    o_p, d_p = probe_update_rays(
+        jax.tree_util.tree_map(lambda x: x[:65536], cloud), kp,
+        points_s, mask, tsb, scfg)
+    counts = np.asarray(candidate_stats(
+        bins, o_p, d_p, t_max=30.0, c_super=24, c_bin=C_BIN))
+    print(f"audit: candidates/block mean {counts.mean():.1f} "
+          f"max {counts.max()} (budget {C_BIN})", file=sys.stderr)
+
+    # jitted stages; sensor update lax.map'd over particle chunks to bound
+    # the (chunk, S) hit-payload memory
+    n_chunks = N // CHUNK
+
+    @jax.jit
+    def cycle(cloud, key, delta_t):
+        delta = Transform(rot=jnp.asarray([1.0, 0, 0, 0], jnp.float32),
+                          trans=delta_t)
+        cloud = motion_update(cloud, delta, jnp.float32(0.05), mcfg)
+        k_s, k_r = jax.random.split(key)
+
+        def upd_chunk(args):
+            sub, kc = args
+            return sensor_update(bins, sub, kc, points_s, mask, tsb, scfg)
+
+        subs = jax.tree_util.tree_map(
+            lambda x: x.reshape((n_chunks, CHUNK) + x.shape[1:]), cloud)
+        keys = jax.random.split(k_s, n_chunks)
+        out = jax.lax.map(upd_chunk, (subs, keys))
+        cloud = jax.tree_util.tree_map(
+            lambda x: x.reshape((N,) + x.shape[2:]), out)
+        cloud = gladiator_resample(cloud, k_r, rcfg)
+        stats = estimate_stats(cloud, max_induction_particles=50_000)
+        return cloud, stats
+
+    rng = np.random.default_rng(0)
+    times = []
+    est_err = None
+    for it in range(ITERS + 1):
+        key, kc = jax.random.split(key)
+        dt_odo = jnp.asarray(rng.normal(0, 0.002, 3), jnp.float32)
+        sync((cloud, kc, dt_odo))
+        t0 = time.time()
+        cloud2, stats = cycle(cloud, kc, dt_odo)
+        sync(stats.pose.trans)
+        dt = time.time() - t0
+        est_err = float(jnp.linalg.norm(
+            stats.pose.trans - truth.trans))
+        tag = "warm" if it == 0 else f"it{it}"
+        print(f"{tag}: cycle {dt:.3f}s  est err {est_err:.4f} m",
+              file=sys.stderr)
+        if it > 0:
+            times.append(dt)
+        cloud = cloud2
+    best = min(times)
+    result = {
+        "metric": "mcl_full_cycle_particles_per_sec_1M",
+        "n_particles": N,
+        "samples_per_update": SAMPLES,
+        "map_faces": int(mesh.faces.shape[0]),
+        "cycle_seconds": round(best, 3),
+        "particles_per_sec": round(N / best, 1),
+        "beam_rays_per_sec": round(N * SAMPLES / best, 1),
+        "estimate_error_m": round(est_err, 4),
+        "audit_candidates_max": int(counts.max()),
+        "audit_budget": C_BIN,
+        "reference": "1M max particles, 100 beams, motion 50 Hz / resample "
+                     "20 Hz timers (rmcl_localization.cpp:349,384)",
+    }
+    out_path = os.environ.get("MCL_OUT", "/root/repo/MCL_1M_r03.json")
+    with open(out_path, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
