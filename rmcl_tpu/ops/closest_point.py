@@ -156,21 +156,29 @@ def _query_batch(nodes, root_link, q, max_d2):
     (best_d2, best_point, best_slot).
 
     Same (R,)-scalar-plane layout discipline as the ray caster (see
-    rmcl_tpu.ops.raycast._traverse_batch): full-lane VPU utilization."""
+    rmcl_tpu.ops.raycast._traverse_batch) — including the INT-GATHER rule:
+    slot words gather as int32 planes (links/ids below 2^23 are denormal
+    float patterns and the TPU float path flushes them — float gathers
+    corrupted every small link and left zombie queries spinning), and the
+    loop is bounded at n_slots (preorder visits each slot at most once)."""
     R = q.shape[0]
-    W = [nodes[:, k] for k in range(14)]
+    nodes_i = jax.lax.bitcast_convert_type(nodes, jnp.int32)
+    W = [nodes_i[:, k] for k in range(14)]
+    as_f = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
     qx, qy, qz = q[:, 0], q[:, 1], q[:, 2]
+    n_slots = nodes.shape[0]
 
     def cond(state):
-        return jnp.any(state[0] != _SENT)
+        return (state[0] < n_slots) & jnp.any(state[1] != _SENT)
 
     def body(state):
-        cur, best_d2, bx, by, bz, best_slot = state
+        c, cur, best_d2, bx, by, bz, best_slot = state
         active = cur != _SENT
         is_leaf = cur < 0
         idx = jnp.where(is_leaf, ~cur, cur)
         idx = jnp.where(active, idx, 0)
-        w = [jnp.take(Wk, idx) for Wk in W]
+        wi = [jnp.take(Wk, idx) for Wk in W]
+        w = [as_f(x) for x in wi[:12]]
         ax, ay, az = w[0], w[1], w[2]
         abx, aby, abz = w[3], w[4], w[5]
         acx, acy, acz = w[6], w[7], w[8]
@@ -197,13 +205,14 @@ def _query_batch(nodes, root_link, q, max_d2):
         d2_box = cx * cx + cy * cy + cz * cz
         descend = (~is_leaf) & (d2_box < best_d2)
 
-        hit_link = jax.lax.bitcast_convert_type(w[12], jnp.int32)
-        miss_link = jax.lax.bitcast_convert_type(w[13], jnp.int32)
+        hit_link = wi[12]  # int32 planes — no float round trip
+        miss_link = wi[13]
         cur_next = jnp.where(descend, hit_link, miss_link)
         cur_next = jnp.where(active, cur_next, _SENT)
-        return cur_next, best_d2, bx, by, bz, best_slot
+        return c + 1, cur_next, best_d2, bx, by, bz, best_slot
 
     init = (
+        jnp.int32(0),
         jnp.broadcast_to(root_link, (R,)).astype(jnp.int32),
         max_d2,
         jnp.zeros((R,), jnp.float32),
@@ -211,7 +220,7 @@ def _query_batch(nodes, root_link, q, max_d2):
         jnp.zeros((R,), jnp.float32),
         jnp.full((R,), -1, jnp.int32),
     )
-    _, best_d2, bx, by, bz, best_slot = jax.lax.while_loop(cond, body, init)
+    _, _, best_d2, bx, by, bz, best_slot = jax.lax.while_loop(cond, body, init)
     return best_d2, jnp.stack([bx, by, bz], axis=-1), best_slot
 
 
@@ -259,9 +268,17 @@ def closest_points(
 
     found = slot >= 0
     safe_slot = jnp.where(found, slot, 0)
-    leaf = jnp.take(nodes, safe_slot, axis=0)
-    normal = jnp.where(found[..., None], leaf[:, 9:12], 0.0)
-    prim_id = jnp.where(found, jax.lax.bitcast_convert_type(leaf[:, 12], jnp.int32), -1)
+    # int32 row gather: small prim ids are denormal float patterns (see
+    # _query_batch INT-GATHER note)
+    leaf_i = jnp.take(
+        jax.lax.bitcast_convert_type(nodes, jnp.int32), safe_slot, axis=0
+    )
+    normal = jnp.where(
+        found[..., None],
+        jax.lax.bitcast_convert_type(leaf_i[:, 9:12], jnp.float32),
+        0.0,
+    )
+    prim_id = jnp.where(found, leaf_i[:, 12], -1)
 
     return ClosestPoints(
         point=jnp.where(found[..., None], point, 0.0).reshape(batch_shape + (3,)),

@@ -81,11 +81,26 @@ def _traverse_batch(nodes, root_link, o, d, t_min, t_max):
     are gathered from 16 separate (N,) planes. (R,3)/(R,16)-shaped
     intermediates use only 3/128 or 16/128 vector lanes and profile ~40x
     slower on v5e; the transpose of `nodes` below is a one-time cost.
+
+    INT-GATHER NOTE (load-bearing for TPU correctness): the slot words are
+    gathered as INT32 planes and bitcast to float afterwards. Links/ids are
+    int32 bit patterns stored in a float array; values below 2^23 are
+    DENORMAL float patterns, and the TPU's float data path flushes
+    denormals — a float gather/select corrupts every small link to 0,
+    sending rays to slot 0 forever. (Found 2026-08-19: the exact engine's
+    worker "crash" was this — zombie rays kept the unbounded while_loop
+    spinning until the runtime watchdog killed the worker; identical code
+    is correct on CPU. Int gathers are bit-exact by construction.) The
+    loop is additionally BOUNDED at n_slots iterations — a preorder
+    traversal visits each slot at most once, so the bound is semantically
+    free and guarantees termination even on corrupted state.
     """
     R = o.shape[0]
-    # 14 of the 16 slot words as (N,) planes (words 14-15 — inst id / pad —
-    # are not needed in the loop) — full-lane gathers
-    W = [nodes[:, k] for k in range(14)]
+    # 14 of the 16 slot words as INT32 (N,) planes (words 14-15 — inst id /
+    # pad — are not needed in the loop) — full-lane, bit-exact gathers
+    nodes_i = _bitcast_i32(nodes)
+    W = [nodes_i[:, k] for k in range(14)]
+    as_f = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
 
     ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
     dx, dy, dz = d[:, 0], d[:, 1], d[:, 2]
@@ -95,17 +110,20 @@ def _traverse_batch(nodes, root_link, o, d, t_min, t_max):
 
     ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
 
+    n_slots = nodes.shape[0]
+
     def cond(state):
-        cur, _, _ = state
-        return jnp.any(cur != _SENT)
+        c, cur, _, _ = state
+        return (c < n_slots) & jnp.any(cur != _SENT)
 
     def body(state):
-        cur, t_best, best_slot = state
+        c, cur, t_best, best_slot = state
         active = cur != _SENT
         is_leaf = cur < 0
         idx = jnp.where(is_leaf, ~cur, cur)
         idx = jnp.where(active, idx, 0)
-        w = [jnp.take(Wk, idx) for Wk in W]
+        wi = [jnp.take(Wk, idx) for Wk in W]  # int32 planes — bit-exact
+        w = [as_f(x) for x in wi[:12]]
 
         # -- leaf interpretation: inline triangle (Möller–Trumbore) -------
         v0x, v0y, v0z = w[0], w[1], w[2]
@@ -154,20 +172,20 @@ def _traverse_batch(nodes, root_link, o, d, t_min, t_max):
         )
         box_hit = (t_near <= t_far) & (t_far >= t_min) & (t_near <= t_best)
 
-        hit_link = _bitcast_i32(w[12])
-        miss_link = _bitcast_i32(w[13])
+        hit_link = wi[12]  # already int32 — no float round trip
+        miss_link = wi[13]
         descend = box_hit & ~is_leaf
         cur_next = jnp.where(descend, hit_link, miss_link)
         cur_next = jnp.where(active, cur_next, _SENT)
-        return cur_next, t_best, best_slot
+        return c + 1, cur_next, t_best, best_slot
 
     cur0 = jnp.where(
         t_max > t_min,
         jnp.broadcast_to(root_link, (R,)).astype(jnp.int32),
         _SENT,
     )
-    _, t_best, best_slot = jax.lax.while_loop(
-        cond, body, (cur0, t_max, jnp.full((R,), -1, jnp.int32))
+    _, _, t_best, best_slot = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), cur0, t_max, jnp.full((R,), -1, jnp.int32))
     )
     return t_best, best_slot
 
@@ -234,11 +252,17 @@ def cast_rays(
     slot = jax.lax.stop_gradient(slot)
     hit = slot >= 0
     safe_slot = jnp.where(hit, slot, 0)
-    leaf = jax.lax.stop_gradient(jnp.take(nodes, safe_slot, axis=0))  # (n, 16)
+    # int32 row gather: word 12/14 are int ids whose small values are
+    # denormal float patterns — a float gather flushes them on TPU (see
+    # _traverse_batch INT-GATHER NOTE)
+    leaf_i = jax.lax.stop_gradient(
+        jnp.take(_bitcast_i32(nodes), safe_slot, axis=0)
+    )  # (n, 16)
+    leaf = jax.lax.bitcast_convert_type(leaf_i[:, 0:12], jnp.float32)
     v0 = leaf[:, 0:3]
     normal = leaf[:, 9:12]
-    prim_id = jnp.where(hit, _bitcast_i32(leaf[:, 12]), -1)
-    inst_id = jnp.where(hit, _bitcast_i32(leaf[:, 14]), -1)
+    prim_id = jnp.where(hit, leaf_i[:, 12], -1)
+    inst_id = jnp.where(hit, leaf_i[:, 14], -1)
 
     o_n = o_flat[:n]
     d_n = d_flat[:n]

@@ -176,6 +176,34 @@ def traverse_variant(nodes, root_link, o, d, kind, max_steps=64):
     return t_best, best_slot
 
 
+if mode == "unbounded":
+    # the EXACT original loop (rc._traverse_batch), no payload phase
+    f = jax.jit(lambda nodes, root, o, d: rc._traverse_batch(
+        nodes, root, o, d, jnp.zeros((R,), jnp.float32),
+        jnp.full((R,), rc.NO_HIT_T, jnp.float32)))
+    report("unbounded _traverse_batch", f, bvh.nodes, bvh.root_link, o, d)
+    sys.exit(0)
+
+if mode == "payload":
+    # capped loop + the post-loop payload row gather + plane rederivation
+    def with_payload(nodes, root, o, d):
+        t_hit, slot = traverse_variant(
+            nodes, root, o, d, "capped",
+            int(os.environ.get("MAX_STEPS", 4096)))
+        slot = jax.lax.stop_gradient(slot)
+        hit = slot >= 0
+        safe_slot = jnp.where(hit, slot, 0)
+        leaf = jnp.take(nodes, safe_slot, axis=0)  # (n, 16) row gather
+        v0 = leaf[:, 0:3]
+        normal = leaf[:, 9:12]
+        denom = jnp.sum(normal * d, axis=-1)
+        safe_denom = jnp.where(jnp.abs(denom) > 1e-12, denom, 1e-12)
+        t_plane = jnp.sum(normal * (v0 - o), axis=-1) / safe_denom
+        return jnp.where(hit, t_plane, 0.0)
+    report("capped+payload", jax.jit(with_payload),
+           bvh.nodes, bvh.root_link, o, d)
+    sys.exit(0)
+
 f = jax.jit(lambda nodes, root, o, d: traverse_variant(
     nodes, root, o, d, mode, int(os.environ.get("MAX_STEPS", 64))))
 report(f"traverse[{mode}]", f, bvh.nodes, bvh.root_link, o, d)
