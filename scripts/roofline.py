@@ -22,8 +22,8 @@ from rmcl_tpu.sensors.models import SphericalModel
 
 faces = int(os.environ.get("RL_FACES", 1_000_000))
 n_poses = int(os.environ.get("RL_POSES", 1000))
-CHUNK = 512
-B = 64
+CHUNK = int(os.environ.get("RL_CHUNK", 512))
+B = int(os.environ.get("RL_BIN", 0)) or (512 if int(os.environ.get("RL_FACES", 1000000)) > 4_000_000 else 64)
 
 n = int(np.sqrt(faces / 2))
 mesh = make_sphere(n, n, radius=50.0)
@@ -32,15 +32,19 @@ model = SphericalModel.vlp16(width=900)
 _, dirs_s = model.rays()
 rng = np.random.default_rng(0)
 trans = rng.uniform(-5, 5, size=(n_poses, 3)).astype(np.float32)
+PT = int(os.environ.get('RL_PT', 16)); AZ = int(os.environ.get('RL_AZ', 8))
 sweep = TiledSweep(trans, model.width, model.height,
-                   poses_per_tile=16, az_tile=8, el_tile=1)
+                   poses_per_tile=PT, az_tile=AZ, el_tile=1)
 o_blk, d_blk = sweep.factored_rays(jnp.asarray(trans), jnp.asarray(dirs_s))
+CB = int(os.environ.get('RL_CB', 0)) or (128 if faces > 4_000_000 else 64)
+CS = 32 if faces > 4_000_000 else 24
+CH = 24 if faces > 4_000_000 else 20
 _, counts, _ = factored_candidates(
-    bins, o_blk, d_blk, c_bin=64, block_chunk=CHUNK, c_hyper=20, c_super=24,
+    bins, o_blk, d_blk, c_bin=CB, block_chunk=CHUNK, c_hyper=CH, c_super=CS,
     sub_blocks=4, origin_margin=0.03)
 counts = np.asarray(counts)
 n_blk = counts.shape[0]
-Rb = 128  # 16 poses x 8 dirs
+Rb = PT * AZ  # poses x dirs per block
 n_rays = n_poses * model.n_rays
 
 # sorted count-homogeneous chunks: per-chunk trips = that chunk's max count
@@ -55,9 +59,9 @@ pairs = float(trips.sum()) * CHUNK * B * Rb
 # key pack+min-reduce (~3) plane payload one-hot selects 4ch (~8) => ~21
 ops_pair = 21.0
 # per-(tri,dir) grid (/P=16): Nd,invNd,Bu,Bv ~ 20 ops
-ops_tri_dir = 20.0 / 16
+ops_tri_dir = 20.0 / PT
 # per-(tri,pose) grid (/G=8): No,Au,Av ~ 18 ops
-ops_tri_pose = 18.0 / 8
+ops_tri_pose = 18.0 / AZ
 # per-tri rows (/Rb): BW plane+bary rows ~ 45 ops
 ops_tri = 45.0 / Rb
 vpu_ops = pairs * (ops_pair + ops_tri_dir + ops_tri_pose + ops_tri)
@@ -74,7 +78,7 @@ HBM = 81e9         # measured stream rate this chip
 VPU = 0.58e12      # measured elementwise chain rate this chip (see caveat)
 
 t_meas = float(os.environ.get("RL_MEASURED_S", 0.2366))
-print(f"shipped config @ {faces} faces / {n_poses} poses "
+print(f"config B={B} cb={CB} tile={PT}x{AZ} @ {faces} faces / {n_poses} poses "
       f"(counts: mean {counts.mean():.1f}, chunk-trip sum {chunk_trips})")
 print(f"pairs/correction:        {pairs/1e9:.2f} G")
 print(f"VPU ops/correction:      {vpu_ops/1e12:.3f} Tops "
