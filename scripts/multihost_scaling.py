@@ -39,7 +39,15 @@ def child(proc: int, nproc: int, iters: int, width: int, height: int,
         os.sched_setaffinity(0, {proc % os.cpu_count()})
     except (AttributeError, OSError):
         pass
-    os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=1"
+    # single-thread everything: each process owns ONE core, and XLA's
+    # default per-process eigen pool (n_cores threads) thrashes it —
+    # without this the rows measure oversubscription, not transport
+    os.environ["OMP_NUM_THREADS"] = "1"
+    os.environ["OPENBLAS_NUM_THREADS"] = "1"
+    os.environ["XLA_FLAGS"] = (
+        "--xla_force_host_platform_device_count=1 "
+        "--xla_cpu_multi_thread_eigen=false intra_op_parallelism_threads=1"
+    )
     import jax
 
     jax.config.update("jax_platforms", "cpu")
@@ -110,6 +118,31 @@ def child(proc: int, nproc: int, iters: int, width: int, height: int,
         track(0.05 + 0.001 * (i + 1), readback_each=False)
     dt = (time.time() - t0) / iters
 
+    # transport floor: time K bare scalar psums over the same mesh — the
+    # per-collective rendezvous cost that the efficiency rows pay (on TPU
+    # ICI this is ~µs; on gloo/loopback it DOMINATES the small workload,
+    # which is what makes the host-CPU efficiency an undercount)
+    from rmcl_tpu.parallel.mesh import RAY_AXIS
+    from jax.sharding import PartitionSpec as P_
+
+    @jax.jit
+    def psum_chain(x):
+        def body(c, _):
+            return jax.lax.psum(c, RAY_AXIS) * 0.5, None
+        y, _ = jax.lax.scan(body, x, None, length=20)
+        return y
+
+    pc = jax.shard_map(
+        psum_chain, mesh=mesh, in_specs=P_(), out_specs=P_(),
+        check_vma=False,
+    )
+    xs = jnp.float32(1.0)
+    sync(pc(xs))
+    t0 = time.time()
+    for _ in range(3):
+        sync(pc(xs + 1.0))
+    psum_floor = (time.time() - t0) / 3 / 20
+
     # deterministic track for cross-N comparison + bitwise repeat
     tr_a = track(0.1)
     tr_b = track(0.1)
@@ -120,6 +153,7 @@ def child(proc: int, nproc: int, iters: int, width: int, height: int,
             "rays": model.n_rays * steps,
             "track": tr_a.tolist(),
             "bitstable_repeat": bool((tr_a == tr_b).all()),
+            "psum_rendezvous_sec": psum_floor,
         }
         print("CHILD_JSON:" + json.dumps(out), flush=True)
 
