@@ -41,11 +41,11 @@ print(f"{mesh.faces.shape[0]} faces, {n_poses} poses", flush=True)
 CONFIGS = [
     # (B, cb, cs, ch, pt, az) — first row is the shipped baseline
     (512, 128, 32, 24, 16, 8),
-    (512, 128, 32, 24, 8, 4),
-    (128, 384, 48, 24, 16, 8),
-    (128, 384, 48, 24, 8, 4),
-    (64, 768, 64, 32, 8, 4),
-    (256, 256, 40, 24, 8, 4),
+    (512, 96, 32, 24, 8, 4),
+    (256, 160, 40, 24, 8, 4),
+    (128, 256, 48, 24, 8, 4),
+    (128, 320, 48, 24, 8, 2),
+    (256, 128, 48, 24, 4, 4),
 ]
 
 ref_t = None
@@ -71,7 +71,10 @@ for (B, cb, cs, ch, pt, az) in CONFIGS:
         hits = cast_rays_binned_factored(
             bins, o_blk, d_blk, candidates=cands, c_bin=cb, c_hyper=ch,
             c_super=cs, sub_blocks=4, block_chunk=CHUNK, sort_blocks=True)
-        t = np.asarray(hits.t).ravel()
+        # canonical (pose, dir) order: tile shapes permute rays differently
+        t = np.asarray(
+            sweep.unpermute(hits.t.reshape(sweep.n_rays, 1))
+        ).ravel()
         hr = float(np.asarray(hits.hit).mean())
         if ref_t is None:
             ref_t = t

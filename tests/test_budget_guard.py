@@ -48,6 +48,7 @@ def _naive_node(mm, auto_budget):
     )
 
 
+@pytest.mark.slow
 def test_mcl_auto_budget_corrects_and_scores_right():
     mm, model, true_pose = _world()
     node = _naive_node(mm, auto_budget=True)

@@ -623,6 +623,7 @@ def test_sensor_update_c_mid_matches_two_level(key):
     np.testing.assert_allclose(outs[0], outs[1], rtol=1e-5, atol=1e-7)
 
 
+@pytest.mark.slow
 def test_auto_engine_selection():
     """sensor.engine='auto' (VERDICT r1 #4): scattered cloud -> exact BVH;
     converged cloud -> binned; re-seeding flips back."""

@@ -351,6 +351,7 @@ def test_gladiator_mixing_time_doubling_schedule(mesh8, key, rng):
     assert t_global <= max_ticks  # sanity: the metric itself converges
 
 
+@pytest.mark.slow
 def test_sharded_dynamic_residual_counts(mesh8, key, rng):
     """Sharded dynamic-count resampling: the global live budget lands as
     weight-proportional per-shard prefixes summing exactly to n_target."""

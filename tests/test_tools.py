@@ -158,6 +158,7 @@ def test_micp_cli_o1dn_records(world_and_log, tmp_path):
     assert err < 0.05, err
 
 
+@pytest.mark.slow
 def test_micp_cli_depth_and_ondn_records(world_and_log, tmp_path):
     """Depth-camera and OnDn records roundtrip through the NPZ log and
     drive the MICP CLI, with config-driven sensor mounts (sensors.*.tsb =

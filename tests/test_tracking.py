@@ -68,6 +68,7 @@ def test_tracked_convergence(world):
     assert int(state.n_reculls) == 2
 
 
+@pytest.mark.slow
 def test_reuse_track_bitwise_equals_recull_track(world):
     """Forcing a fresh cull every step must produce the SAME pose track —
     the bitwise-lossless reuse guarantee composed through GN + annealing."""
