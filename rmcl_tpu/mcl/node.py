@@ -337,12 +337,14 @@ class MCLNode:
         cfg = self.config.sensor
         # deterministic probe key: the check sees the same beam distribution
         # as the updates without consuming filter randomness
-        o, d = probe_update_rays(
+        o, d, t_cap = probe_update_rays(
             self.cloud, jax.random.PRNGKey(self.config.seed ^ 0x5AFE),
             points_s, points_mask, tsb, cfg,
         )
+        # per-ray capped t_max — the reach the real cast uses; a flat
+        # range_max audit overstates counts (the wedge sweeps the map)
         counts = np.asarray(candidate_stats(
-            self.bins, o, d, t_max=float(np.asarray(cfg.range_max)),
+            self.bins, o, d, t_max=t_cap,
             c_super=cfg.c_super, c_bin=cfg.c_bin,
         ))
         if int(counts.max()) < cfg.c_bin:
@@ -358,7 +360,7 @@ class MCLNode:
             )
             return
         rec = suggest_budgets(
-            self.bins, o, d, t_max=float(np.asarray(cfg.range_max)),
+            self.bins, o, d, t_max=t_cap,
         )
         new = dataclasses.replace(
             cfg, c_super=max(rec.c_super, cfg.c_super),

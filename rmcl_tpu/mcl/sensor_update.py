@@ -176,13 +176,30 @@ def probe_update_rays(
     tsb: Transform,
     config: SensorUpdateConfig,
 ) -> Tuple[Array, Array]:
-    """The (orig, dirs) ray set a binned-RC :func:`sensor_update` would cast
-    — mirrors its layout branches (cluster + beam/particle-major) so budget
-    diagnosis (``candidate_stats`` / ``suggest_budgets``) sees the real
-    block composition. Keep in lockstep with sensor_update."""
+    """The (orig, dirs, t_max) ray set a binned-RC :func:`sensor_update`
+    would cast — mirrors its layout branches (cluster + beam/particle-major)
+    AND the per-beam range cap so budget diagnosis (``candidate_stats`` /
+    ``suggest_budgets``) sees the real block composition and reach. Keep in
+    lockstep with sensor_update."""
     S = config.samples
     N = cloud.capacity
-    dirs_s, ranges, _ = sample_beams(key, points_s, points_mask, S)
+    dirs_s, ranges, valid = sample_beams(key, points_s, points_mask, S)
+    # per-beam reach cap — the SAME t_max the real cast uses (real-hit
+    # beams capped at range + k*sigma, real-miss beams unbounded); audits
+    # with a flat t_max=range_max overstate candidate counts badly (the
+    # wedge sweeps the whole map instead of a few metres past the surface)
+    from rmcl_tpu.ops.raycast import NO_HIT_T as _NO_HIT_T
+
+    sensor_range = RangeInterval(config.range_min, config.range_max)
+    real_hit = sensor_range.contains(ranges) & valid
+    if config.range_cap_sigmas <= 0.0:
+        tmax_s = jnp.full((S,), jnp.float32(_NO_HIT_T))
+    else:
+        tmax_s = jnp.where(
+            real_hit,
+            ranges + jnp.float32(config.range_cap_sigmas) * config.dist_sigma,
+            jnp.float32(_NO_HIT_T),
+        )
     particle_major = config.layout == "particle"
     if particle_major:
         az = jnp.arctan2(dirs_s[:, 1], dirs_s[:, 0])
@@ -194,13 +211,16 @@ def probe_update_rays(
             ((az + jnp.pi) * (512.0 / (2.0 * jnp.pi))).astype(jnp.int32),
             0, 511,
         )
-        dirs_s = jnp.take(dirs_s, jnp.argsort(band * 512 + azq), axis=0)
+        bsort = jnp.argsort(band * 512 + azq)
+        dirs_s = jnp.take(dirs_s, bsort, axis=0)
+        tmax_s = jnp.take(tmax_s, bsort, axis=0)
         pad = (-S) % 32
         if pad:
             dirs_s = jnp.concatenate(
                 [dirs_s,
                  jnp.tile(jnp.asarray([[1.0, 0.0, 0.0]], jnp.float32), (pad, 1))]
             )
+            tmax_s = jnp.concatenate([tmax_s, jnp.zeros(pad, jnp.float32)])
     Sp = dirs_s.shape[0]
     tsm = cloud.poses @ tsb
     if config.cluster:
@@ -211,10 +231,12 @@ def probe_update_rays(
     orig_m = jnp.broadcast_to(tsm_b.trans, (N, Sp, 3))
     dirs_m = tsm_b.rotate(dirs_s)
     if particle_major:
-        return orig_m.reshape(-1, 3), dirs_m.reshape(-1, 3)
+        t_pm = jnp.broadcast_to(tmax_s[None, :], (N, Sp)).reshape(-1)
+        return orig_m.reshape(-1, 3), dirs_m.reshape(-1, 3), t_pm
     o_bm = jnp.swapaxes(orig_m, 0, 1).reshape(-1, 3)
     d_bm = jnp.swapaxes(dirs_m, 0, 1).reshape(-1, 3)
-    return o_bm, d_bm
+    t_bm = jnp.broadcast_to(tmax_s[:, None], (Sp, N)).reshape(-1)
+    return o_bm, d_bm, t_bm
 
 
 # config is a pytree argument; its `samples`/`correspondence_type` fields are

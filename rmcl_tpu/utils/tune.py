@@ -69,6 +69,8 @@ def suggest_budgets(
 
     orig = jnp.asarray(orig, jnp.float32).reshape(-1, 3)
     dirs = jnp.asarray(dirs, jnp.float32).reshape(-1, 3)
+    t_min = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), orig.shape[:1])
+    t_max = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), orig.shape[:1])
     n_blocks = max(1, orig.shape[0] // block_size)
     if n_blocks > max_sample_blocks:
         # deterministic stride subsample at BLOCK granularity (keeps the
@@ -80,6 +82,8 @@ def suggest_budgets(
         keep = keep.reshape(-1)
         orig = jnp.take(orig, jnp.asarray(keep), axis=0)
         dirs = jnp.take(dirs, jnp.asarray(keep), axis=0)
+        t_min = jnp.take(t_min, jnp.asarray(keep), axis=0)
+        t_max = jnp.take(t_max, jnp.asarray(keep), axis=0)
 
     # generous probe budgets: every super, up to the full bin count (capped
     # to keep the probe's top_k tractable on huge maps)

@@ -43,7 +43,7 @@ from rmcl_tpu.sensors.models import SphericalModel
 from rmcl_tpu.sensors.simulate import simulate
 from rmcl_tpu.utils.timing import sync
 
-N = int(os.environ.get("MCL_N", 1_000_000))
+N = int(os.environ.get("MCL_N", 1 << 20))  # 1,048,576 >= the reference's 1M cap
 SAMPLES = int(os.environ.get("MCL_SAMPLES", 100))
 CHUNK = int(os.environ.get("MCL_CHUNK", 131072))
 SUBDIV = int(os.environ.get("MCL_SUBDIV", 45))
@@ -86,16 +86,18 @@ def main():
     # beams from clustered particles, counts must stay under c_bin
     key, kp = jax.random.split(key)
     from rmcl_tpu.mcl.sensor_update import probe_update_rays
-    o_p, d_p = probe_update_rays(
+    o_p, d_p, t_p = probe_update_rays(
         jax.tree_util.tree_map(lambda x: x[:65536], cloud), kp,
         points_s, mask, tsb, scfg)
     counts = np.asarray(candidate_stats(
-        bins, o_p, d_p, t_max=30.0, c_super=24, c_bin=C_BIN))
+        bins, o_p, d_p, t_max=t_p, c_super=24, c_bin=C_BIN))
     print(f"audit: candidates/block mean {counts.mean():.1f} "
           f"max {counts.max()} (budget {C_BIN})", file=sys.stderr)
 
     # jitted stages; sensor update lax.map'd over particle chunks to bound
     # the (chunk, S) hit-payload memory
+    if N % CHUNK:
+        raise SystemExit(f"MCL_N={N} must be a multiple of MCL_CHUNK={CHUNK}")
     n_chunks = N // CHUNK
 
     @jax.jit
