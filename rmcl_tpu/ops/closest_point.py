@@ -157,13 +157,14 @@ def _query_batch(nodes, root_link, q, max_d2):
 
     Same (R,)-scalar-plane layout discipline as the ray caster (see
     rmcl_tpu.ops.raycast._traverse_batch) — including the INT-GATHER rule:
-    slot words gather as int32 planes (links/ids below 2^23 are denormal
-    float patterns and the TPU float path flushes them — float gathers
-    corrupted every small link and left zombie queries spinning), and the
-    loop is bounded at n_slots (preorder visits each slot at most once)."""
+    slot words gather as int32 (links/ids below 2^23 are denormal float
+    patterns and the TPU float path flushes them — float gathers corrupted
+    every small link and left zombie queries spinning), and the loop is
+    bounded at n_slots (preorder visits each slot at most once). Words
+    gather as ONE (N,14) int32 ROW per visit, then slice to planes —
+    measured 11x over 14 separate plane gathers (see raycast.py note)."""
     R = q.shape[0]
-    nodes_i = jax.lax.bitcast_convert_type(nodes, jnp.int32)
-    W = [nodes_i[:, k] for k in range(14)]
+    nodes_i = jax.lax.bitcast_convert_type(nodes, jnp.int32)[:, :14]
     as_f = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
     qx, qy, qz = q[:, 0], q[:, 1], q[:, 2]
     n_slots = nodes.shape[0]
@@ -177,7 +178,8 @@ def _query_batch(nodes, root_link, q, max_d2):
         is_leaf = cur < 0
         idx = jnp.where(is_leaf, ~cur, cur)
         idx = jnp.where(active, idx, 0)
-        wi = [jnp.take(Wk, idx) for Wk in W]
+        rows = jnp.take(nodes_i, idx, axis=0)  # (R,14) int32 — bit-exact
+        wi = [rows[:, k] for k in range(14)]
         w = [as_f(x) for x in wi[:12]]
         ax, ay, az = w[0], w[1], w[2]
         abx, aby, abz = w[3], w[4], w[5]

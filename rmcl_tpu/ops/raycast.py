@@ -96,10 +96,15 @@ def _traverse_batch(nodes, root_link, o, d, t_min, t_max):
     free and guarantees termination even on corrupted state.
     """
     R = o.shape[0]
-    # 14 of the 16 slot words as INT32 (N,) planes (words 14-15 — inst id /
-    # pad — are not needed in the loop) — full-lane, bit-exact gathers
-    nodes_i = _bitcast_i32(nodes)
-    W = [nodes_i[:, k] for k in range(14)]
+    # 14 of the 16 slot words as ONE INT32 (N,14) table (words 14-15 —
+    # inst id / pad — are not needed in the loop). Gathered as ROWS: one
+    # 56-byte row gather per visit, sliced back to (R,) planes for the
+    # arithmetic. Measured on chip (2026-08-20, 32k scattered rays,
+    # 433k-slot building BVH): row gather 332k rays/s vs 14 separate
+    # (N,)-plane gathers 30k rays/s — per-row cost dominates gather time,
+    # so one wide row beats 14 narrow ones 11x. Int32 gathers stay
+    # mandatory (see INT-GATHER NOTE above).
+    nodes_i = _bitcast_i32(nodes)[:, :14]
     as_f = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
 
     ox, oy, oz = o[:, 0], o[:, 1], o[:, 2]
@@ -122,7 +127,8 @@ def _traverse_batch(nodes, root_link, o, d, t_min, t_max):
         is_leaf = cur < 0
         idx = jnp.where(is_leaf, ~cur, cur)
         idx = jnp.where(active, idx, 0)
-        wi = [jnp.take(Wk, idx) for Wk in W]  # int32 planes — bit-exact
+        rows = jnp.take(nodes_i, idx, axis=0)  # (R,14) int32 — bit-exact
+        wi = [rows[:, k] for k in range(14)]
         w = [as_f(x) for x in wi[:12]]
 
         # -- leaf interpretation: inline triangle (Möller–Trumbore) -------

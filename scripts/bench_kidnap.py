@@ -40,7 +40,7 @@ from rmcl_tpu.sensors.simulate import simulate
 from rmcl_tpu.utils.timing import sync
 
 N = int(os.environ.get("KID_N", 131072))
-SAMPLES = int(os.environ.get("KID_SAMPLES", 32))
+SAMPLES = int(os.environ.get("KID_SAMPLES", 64))
 SUBDIV = int(os.environ.get("KID_SUBDIV", 30))
 MAX_STEPS = int(os.environ.get("KID_STEPS", 30))
 CONV_ERR = float(os.environ.get("KID_CONV", 0.3))
@@ -72,17 +72,28 @@ def main():
         (float(hi[0]), float(hi[1]), 1.5, 0.0, 0.0, np.pi),
     )
 
-    def phase(tag, truth, reseed):
+    def phase(tag, start, reseed):
+        """Drive a short straight segment from `start` (a static robot
+        cannot disambiguate a perceptually-aliased building — the rooms
+        differ only in clutter; movement + sharp likelihoods break the
+        symmetry, same recipe as test_building_rmcl_global_localization)."""
         if reseed:
             node.global_localization(*box)
             node.tbo_last = None
-        hits = simulate(map_.bvh, model, truth)
-        sync(hits.t)
         rows = []
         conv_step = None
+        # constant (v, omega) twist -> a tight circle of radius v/omega
+        # = 0.4 m: the scan sweeps the room's clutter without ever leaving
+        # a 1 m disc around the start (no wall collisions on any start)
+        delta = Transform.from_pose_tuple(jnp.asarray(
+            [0.04, 0.0, 0.0, 0.0, 0.0, 0.10], jnp.float32))
+        truth = start
         for s in range(MAX_STEPS):
+            truth = truth @ delta
+            hits = simulate(map_.bvh, model, truth)
+            sync(hits.t)
             t0 = time.time()
-            node.motion_update(Transform.identity(), stamp=0.1 * (s + 1))
+            node.motion_update(truth, stamp=0.1 * (s + 1))
             node.sensor_update(hits.point, hits.hit, Transform.identity())
             node.resample()
             st = node.estimate()
@@ -106,10 +117,14 @@ def main():
                 break
         return rows, conv_step, err
 
+    # truth poses INSIDE the building (kidnap = opposite corner room)
+    ext = hi - lo
+    ax, ay = lo[0] + 0.28 * ext[0], lo[1] + 0.30 * ext[1]
+    bx, by = lo[0] + 0.72 * ext[0], lo[1] + 0.70 * ext[1]
     pose_a = Transform.from_pose_tuple(
-        jnp.asarray([3.0, 3.0, 1.2, 0, 0, 0.4], jnp.float32))
+        jnp.asarray([ax, ay, 1.2, 0, 0, 0.4], jnp.float32))
     pose_b = Transform.from_pose_tuple(
-        jnp.asarray([-6.0, -4.0, 1.2, 0, 0, -1.9], jnp.float32))
+        jnp.asarray([bx, by, 1.2, 0, 0, -1.9], jnp.float32))
 
     rows_a, conv_a, err_a = phase("A(global)", pose_a, reseed=True)
     rows_b, conv_b, err_b = phase("B(kidnap)", pose_b, reseed=True)
