@@ -113,7 +113,10 @@ def main():
                   file=sys.stderr)
             if err < CONV_ERR and conv_step is None:
                 conv_step = s
-            if err < CONV_ERR and s >= (conv_step or 0) + 2:
+            # run 6 post-convergence steps: the auto-engine gate evaluates
+            # every auto_engine_period(=5) updates, so the artifact captures
+            # the exact->binned flip on the converged cloud
+            if err < CONV_ERR and s >= (conv_step or 0) + 6:
                 break
         return rows, conv_step, err
 

@@ -39,13 +39,25 @@ print(f"{mesh.faces.shape[0]} faces, {n_poses} poses", flush=True)
 
 # reference hits for the lossless audit: shipped 10M config
 CONFIGS = [
-    # (B, cb, cs, ch, pt, az) — first row is the shipped baseline
+    # (B, cb, cs, ch, pt, az) — first row is the shipped baseline.
+    # Key model: for surface meshes #bins-crossed ~ footprint_area /
+    # cell_area and cell_area ~ B, so pair work ~ footprint_area,
+    # INVARIANT under B alone — but small tiles only realize their
+    # footprint shrink when bins are fine enough not to quantize it away
+    # (round-2 tested tiles and bins separately; candidate reuse now
+    # amortizes the cull cost that killed small tiles at 10M).
     (512, 128, 32, 24, 16, 8),
     (512, 96, 32, 24, 8, 4),
     (256, 160, 40, 24, 8, 4),
     (128, 256, 48, 24, 8, 4),
     (128, 320, 48, 24, 8, 2),
     (256, 128, 48, 24, 4, 4),
+    # combined fine-bin + small-tile rows (the footprint-shrink bet)
+    (64, 512, 64, 24, 8, 4),
+    (64, 640, 80, 24, 8, 4),
+    (64, 512, 64, 24, 16, 8),
+    (128, 384, 48, 24, 8, 4),
+    (64, 384, 64, 24, 4, 4),
 ]
 
 ref_t = None
