@@ -1,0 +1,119 @@
+"""Mid-convergence regime on chip (VERDICT r2 #7 'done' evidence).
+
+probe_midconv.py (CPU, hardware-independent) re-audited the binned
+engine's likelihood agreement at mid-convergence spreads WITH the
+per-beam range cap that is now default:
+
+  0.5 m/15 deg: corr 0.864 @ cb=96 -> 0.988 @ cb=256 (true cands mean 355)
+  0.3 m/8 deg:  corr 0.952 @ cb=96 -> 0.996 @ cb=256
+  0.2 m/3 deg:  corr 1.000 @ cb=128 (bitwise-ish)
+
+This script times the same updates on the TPU: exact engine vs binned
+at the agreement-audited budgets, same cloud, fresh keys per iteration.
+Writes MIDCONV_r03.json. Usage (TPU): python scripts/bench_midconv_chip.py
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rmcl_tpu.bvh.bins import build_bins
+from rmcl_tpu.bvh.builder import build_bvh
+from rmcl_tpu.geom.mesh import make_building_scene
+from rmcl_tpu.math.se3 import Transform
+from rmcl_tpu.math.stats import sample_pose_gaussian
+from rmcl_tpu.mcl.particles import ParticleCloud
+from rmcl_tpu.mcl.sensor_update import SensorUpdateConfig, sensor_update
+from rmcl_tpu.sensors.models import SphericalModel
+from rmcl_tpu.sensors.simulate import simulate
+from rmcl_tpu.utils.timing import sync
+
+N = int(os.environ.get("MID_N", 65536))
+SAMPLES = int(os.environ.get("MID_SAMPLES", 50))
+SUBDIV = int(os.environ.get("MID_SUBDIV", 30))
+ITERS = int(os.environ.get("MID_ITERS", 3))
+
+
+def main():
+    mesh = make_building_scene(rooms_x=4, rooms_y=3, subdiv=SUBDIV, seed=0,
+                               door_t=0.5)
+    bins = build_bins(mesh, bin_size=64, bins_per_super=16,
+                      supers_per_hyper=16)
+    bvh = build_bvh(mesh)
+    print(f"map: {mesh.faces.shape[0]} faces", file=sys.stderr)
+    model = SphericalModel.vlp16(width=360)
+    truth = Transform(rot=jnp.asarray([1.0, 0, 0, 0]),
+                      trans=jnp.asarray([3.0, 3.0, 1.2]))
+    hits = simulate(bvh, model, truth)
+    ranges = jnp.where(hits.hit, hits.t, 0.0)
+    points_s = model.polar_to_cartesian(ranges)
+    mask = hits.hit
+    tsb = Transform.identity()
+
+    pv, yv = 0.25, (15 * np.pi / 180) ** 2  # 0.5 m / 15 deg
+    cov = jnp.diag(jnp.asarray([pv, pv, 0.01, 1e-4, 1e-4, yv], jnp.float32))
+    key = jax.random.PRNGKey(7)
+    key, k1 = jax.random.split(key)
+    poses = sample_pose_gaussian(k1, truth, cov, N)
+    cloud = ParticleCloud.create(N).with_poses(poses)
+    rays = N * SAMPLES
+
+    def run(tag, struct, cfg):
+        nonlocal key
+        times = []
+        for it in range(ITERS + 1):
+            key, kc = jax.random.split(key)
+            sync(kc)
+            t0 = time.time()
+            out = sensor_update(struct, cloud, kc, points_s, mask, tsb, cfg)
+            sync(out.likelihood.mean)
+            dt = time.time() - t0
+            print(f"{tag} it{it}: {dt:.3f}s {rays/dt/1e6:.2f} M rays/s",
+                  file=sys.stderr)
+            if it > 0:
+                times.append(dt)
+        best = min(times)
+        return {"seconds": round(best, 3),
+                "rays_per_sec": round(rays / best, 1)}
+
+    rows = {}
+    rows["exact_bvh"] = run(
+        "exact", bvh,
+        SensorUpdateConfig.create(samples=SAMPLES, engine="bvh",
+                                  dist_sigma=0.4, range_max=30.0))
+    for cb, cs, corr in ((256, 64, 0.988), (192, 48, 0.964),
+                         (128, 32, 0.887)):
+        r = run(f"binned cb={cb}", bins,
+                SensorUpdateConfig.create(
+                    samples=SAMPLES, engine="binned", cluster=True,
+                    c_super=cs, c_bin=cb, dist_sigma=0.4, range_max=30.0))
+        r["oracle_corr_cpu"] = corr
+        rows[f"binned_cb{cb}"] = r
+        rows[f"binned_cb{cb}_speedup_vs_exact"] = round(
+            rows["exact_bvh"]["seconds"] / r["seconds"], 2)
+
+    result = {
+        "metric": "mcl_midconvergence_update",
+        "spread": "0.5m_15deg",
+        "n_particles": N, "samples": SAMPLES,
+        "map_faces": int(mesh.faces.shape[0]),
+        **rows,
+        "cpu_agreement_audit": "scripts/probe_midconv.py (range-capped)",
+    }
+    with open(os.environ.get("MID_OUT", "/root/repo/MIDCONV_r03.json"),
+              "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
