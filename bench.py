@@ -74,17 +74,21 @@ def main():
 
     n = int(np.sqrt(faces / 2))
     mesh = make_sphere(n, n, radius=50.0)
-    # bin size scales with tessellation: at 10M faces the 1M-tuned 64-tri
-    # bins are ~10x finer than a block frustum and saturate ANY candidate
-    # budget (CPU-audited: hit rate 0.66 at the 1M defaults — the earlier
-    # 10M rows were invalid). B=512 / cs=32 / cb=128 / ch=24 is lossless at
-    # 10M (hit rate 0.999983, plateaued across budgets = edge ties only).
+    # Tessellated (big) maps: round-3 sweep (scripts/sweep_10m_model.py —
+    # CPU pair counts, lossless-audited vs the unbudgeted cast) + chip
+    # A/Bs. Pair work ~ block footprint area for surface meshes (invariant
+    # under B alone); SMALL TILES shrink the footprint but only realize it
+    # with FINE bins, and candidate reuse amortizes the bigger cull. Chip:
+    # B=64/cb=512/cs=64/8x4 tiles/16-step chains = 10.9M corr-rays/s vs
+    # the round-2 B=512/16x8 default's 6.6M (+65%); 4x4 tiles 10.3M
+    # (Rb=16 streams each gathered triangle row to half the rays);
+    # B=128/cb=256 4.2M (per-trip tile B*Rb doubles, trips don't halve).
     big = faces > 4_000_000
-    bin_size = int(os.environ.get("BENCH_BIN_SIZE", 512 if big else 64))
-    c_bin = int(os.environ.get("BENCH_CBIN", 128 if big else 64))
-    az_tile = int(os.environ.get("BENCH_AZ_TILE", 8))
+    bin_size = int(os.environ.get("BENCH_BIN_SIZE", 64))
+    c_bin = int(os.environ.get("BENCH_CBIN", 512 if big else 64))
+    az_tile = int(os.environ.get("BENCH_AZ_TILE", 4 if big else 8))
     el_tile = int(os.environ.get("BENCH_EL_TILE", 1))
-    poses_per_tile = int(os.environ.get("BENCH_POSES_PER_TILE", 16))
+    poses_per_tile = int(os.environ.get("BENCH_POSES_PER_TILE", 8 if big else 16))
     # BPS=16 + hyper coarse level measured best on chip (sweep_r7/r8:
     # 45.2M vs 41.5M at BPS=32 without hypers); candidate sets verified
     # bit-identical to the unbudgeted cast on CPU (check_hyper_bench)
@@ -117,7 +121,7 @@ def main():
                    c_mid=c_mid,
                    c_hyper=int(os.environ.get("BENCH_CHYPER", 24 if big else 20)),
                    payload=os.environ.get("BENCH_PAYLOAD", "plane"),
-                   c_super=int(os.environ.get("BENCH_CSUPER", 32 if big else 24)),
+                   c_super=int(os.environ.get("BENCH_CSUPER", 64 if big else 24)),
                    sub_blocks=int(os.environ.get("BENCH_SUBBLOCKS", 4)))
 
     # candidate reuse across the K chained corrections (the headline lever:
@@ -269,7 +273,7 @@ def main():
     # (lax.scan; fresh jitters per timing call, so the relay's result cache
     # cannot serve any step) and divides — measuring device throughput, not
     # the testbed's RPC latency. BENCH_STEPS=1 restores single-step timing.
-    k_steps = int(os.environ.get("BENCH_STEPS", 8))
+    k_steps = int(os.environ.get("BENCH_STEPS", 16 if big else 8))
 
     @jax.jit
     def correction_k(bins, data_points, data_mask, est0, dirs, jitters):
@@ -378,7 +382,10 @@ def _run_with_retries():
     import subprocess
 
     attempts = int(os.environ.get("BENCH_ATTEMPTS", 3))
-    timeout = float(os.environ.get("BENCH_TIMEOUT", 840))
+    # big maps build a 10M-face mesh + 156k bins host-side before the
+    # device ever runs — the default attempt window must cover it
+    big = int(os.environ.get("BENCH_FACES", 1_000_000)) > 4_000_000
+    timeout = float(os.environ.get("BENCH_TIMEOUT", 2700 if big else 840))
     env = dict(os.environ, BENCH_CHILD="1")
     last_err = "no attempts ran"
     for i in range(attempts):
