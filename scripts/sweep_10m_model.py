@@ -59,6 +59,19 @@ CONFIGS = [
     (128, 384, 48, 24, 8, 4),
     (64, 384, 64, 24, 4, 4),
 ]
+if faces <= 2_000_000:
+    # headline-scale rows: same footprint-shrink bet at the 1M config
+    # (B=64 is already the 1M bin size; the baseline row is the shipped
+    # 16x8/cb=64 headline config)
+    CONFIGS = [
+        (64, 64, 24, 20, 16, 8),
+        (64, 64, 24, 20, 8, 8),
+        (64, 96, 32, 20, 8, 4),
+        (64, 96, 32, 20, 4, 4),
+        (64, 128, 48, 20, 4, 2),
+        (32, 128, 48, 20, 8, 4),
+        (128, 64, 24, 20, 8, 4),
+    ]
 
 ref_t = None
 for (B, cb, cs, ch, pt, az) in CONFIGS:
