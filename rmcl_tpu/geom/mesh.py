@@ -6,8 +6,8 @@ AssimpIO, SURVEY.md §2.9). Host-side numpy; device upload happens when the
 BVH is built (rmcl_tpu.bvh).
 
 Supported file formats (self-contained parsers, no external deps):
-OBJ, ASCII/binary STL, ASCII/binary PLY, OFF, COLLADA DAE. Anything richer
-can be converted offline. Procedural generators mirror the synthetic
+OBJ, ASCII/binary STL, ASCII/binary PLY, OFF, COLLADA DAE, glTF/GLB,
+3MF, X3D, 3DS. Anything richer can be converted offline. Procedural generators mirror the synthetic
 benchmark geometry
 (parametric sphere — reference
 rmcl_ros/src/benchmarks/lidar_corrector_embree_benchmark.cpp:104-135).
@@ -95,6 +95,7 @@ def load_mesh(path: str) -> TriangleMesh:
         ".obj": load_obj, ".stl": load_stl, ".ply": load_ply,
         ".off": load_off, ".dae": load_dae,
         ".gltf": load_gltf, ".glb": load_gltf,
+        ".3mf": load_3mf, ".x3d": load_x3d, ".3ds": load_3ds,
     }
     if ext not in loaders:
         raise ValueError(f"unsupported mesh format '{ext}' (have {sorted(loaders)})")
@@ -732,6 +733,260 @@ def load_gltf(path: str) -> TriangleMesh:
     # glTF is +Y up / -Z forward; ROS maps are Z-up
     V = np.stack([V[:, 0], -V[:, 2], V[:, 1]], -1)
     return TriangleMesh(V.astype(np.float32), F.astype(np.int32))
+
+
+def load_3mf(path: str) -> TriangleMesh:
+    """3MF (.3mf) loader — OPC zip container with a core-spec model XML.
+
+    Widens the Assimp format set the reference's map import accepts
+    (micp_localization.cpp:320-332 inspects arbitrary assimp scenes).
+    Supports: `<object type="model">` meshes, `<components>` instancing
+    (recursive, with 4x3 row-major 3MF transforms), and `<build>` items;
+    objects unreferenced by the build are appended untransformed. 3MF is
+    Z-up already (printing convention) — no axis swap."""
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    with zipfile.ZipFile(path) as z:
+        model_name = None
+        for n in z.namelist():
+            if n.lower().endswith(".model"):
+                model_name = n
+                break
+        if model_name is None:
+            raise ValueError(f"no .model part in 3MF archive {path}")
+        root = ET.parse(io.BytesIO(z.read(model_name))).getroot()
+
+    ns = root.tag[: root.tag.index("}") + 1] if root.tag.startswith("{") else ""
+    q = lambda tag: f"{ns}{tag}"
+
+    def parse_transform(attr: Optional[str]) -> np.ndarray:
+        """3MF transform: 12 floats, 4x3 row-major (rows = basis + origin,
+        row-vector convention). Return a 4x4 column-vector matrix."""
+        M = np.eye(4)
+        if attr:
+            v = np.asarray(attr.split(), np.float64)
+            if v.size != 12:
+                raise ValueError(f"3MF transform needs 12 floats, got {v.size}")
+            M[:3, :3] = v.reshape(4, 3)[:3].T
+            M[:3, 3] = v.reshape(4, 3)[3]
+        return M
+
+    objects: dict[str, ET.Element] = {}
+    resources = root.find(q("resources"))
+    if resources is not None:
+        for obj in resources.findall(q("object")):
+            objects[obj.get("id", "")] = obj
+
+    placed: list[tuple[np.ndarray, np.ndarray]] = []
+    used: set[str] = set()
+
+    def emit(oid: str, M: np.ndarray, depth: int = 0) -> None:
+        if depth > 64 or oid not in objects:
+            return
+        used.add(oid)
+        obj = objects[oid]
+        mesh_el = obj.find(q("mesh"))
+        if mesh_el is not None:
+            vs = [
+                [float(v.get("x", 0)), float(v.get("y", 0)), float(v.get("z", 0))]
+                for v in mesh_el.find(q("vertices")).findall(q("vertex"))
+            ]
+            ts = [
+                [int(t.get("v1")), int(t.get("v2")), int(t.get("v3"))]
+                for t in mesh_el.find(q("triangles")).findall(q("triangle"))
+            ]
+            if vs and ts:
+                V = np.asarray(vs, np.float64)
+                V = V @ M[:3, :3].T + M[:3, 3]
+                placed.append((V, np.asarray(ts, np.int64)))
+        comps = obj.find(q("components"))
+        if comps is not None:
+            for c in comps.findall(q("component")):
+                emit(c.get("objectid", ""), M @ parse_transform(c.get("transform")), depth + 1)
+
+    build = root.find(q("build"))
+    if build is not None:
+        for item in build.findall(q("item")):
+            emit(item.get("objectid", ""), parse_transform(item.get("transform")))
+    for oid in objects:  # resources never built (spec allows it)
+        if oid not in used:
+            emit(oid, np.eye(4))
+
+    if not placed:
+        raise ValueError(f"no triangle geometry found in {path}")
+    v_off, verts, faces = 0, [], []
+    for V, F in placed:
+        verts.append(V)
+        faces.append(F + v_off)
+        v_off += V.shape[0]
+    return TriangleMesh(
+        np.concatenate(verts, 0).astype(np.float32),
+        np.concatenate(faces, 0).astype(np.int32),
+    )
+
+
+def load_x3d(path: str) -> TriangleMesh:
+    """X3D (.x3d) loader — XML-encoded successor of VRML.
+
+    Supports: `IndexedFaceSet` (coordIndex with -1 separators, n-gons
+    fan-triangulated), `IndexedTriangleSet` (index triples), `Coordinate`
+    point arrays with DEF/USE reuse, and nested `Transform` nodes
+    (translation / center / rotation axis-angle / scale). X3D is Y-up
+    (VRML convention) — converted to the Z-up ROS map frame like the
+    glTF loader."""
+    import xml.etree.ElementTree as ET
+
+    root = ET.parse(path).getroot()
+    ns = root.tag[: root.tag.index("}") + 1] if root.tag.startswith("{") else ""
+
+    def local(el) -> str:
+        return el.tag.rsplit("}", 1)[-1]
+
+    def floats(attr: Optional[str]) -> np.ndarray:
+        return np.asarray((attr or "").replace(",", " ").split(), np.float64)
+
+    def ints(attr: Optional[str]) -> np.ndarray:
+        toks = (attr or "").replace(",", " ").split()
+        return np.asarray(toks, np.int64) if toks else np.zeros((0,), np.int64)
+
+    def transform_matrix(el) -> np.ndarray:
+        t = floats(el.get("translation")) if el.get("translation") else np.zeros(3)
+        c = floats(el.get("center")) if el.get("center") else np.zeros(3)
+        s = floats(el.get("scale")) if el.get("scale") else np.ones(3)
+        R = np.eye(3)
+        if el.get("rotation"):
+            x, y, z, ang = floats(el.get("rotation"))
+            axis = np.asarray([x, y, z], np.float64)
+            n = np.linalg.norm(axis)
+            if n > 0 and ang != 0.0:
+                axis /= n
+                K = np.array(
+                    [[0, -axis[2], axis[1]], [axis[2], 0, -axis[0]], [-axis[1], axis[0], 0]]
+                )
+                R = np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * (K @ K)
+        # X3D: P' = T * C * R * S * -C  (scaleOrientation omitted)
+        M = np.eye(4)
+        M[:3, :3] = R @ np.diag(s)
+        M[:3, 3] = t + c - M[:3, :3] @ c
+        return M
+
+    defs: dict[str, np.ndarray] = {}
+    placed: list[tuple[np.ndarray, np.ndarray]] = []
+
+    def coord_points(geom_el) -> Optional[np.ndarray]:
+        for ch in geom_el:
+            if local(ch) == "Coordinate":
+                if ch.get("USE"):
+                    return defs.get(ch.get("USE"))
+                pts = floats(ch.get("point")).reshape(-1, 3)
+                if ch.get("DEF"):
+                    defs[ch.get("DEF")] = pts
+                return pts
+        return None
+
+    def walk(el, M: np.ndarray, depth: int = 0) -> None:
+        if depth > 256:
+            return
+        tag = local(el)
+        if tag == "Transform":
+            M = M @ transform_matrix(el)
+        if tag in ("IndexedFaceSet", "IndexedTriangleSet"):
+            pts = coord_points(el)
+            if pts is not None and pts.size:
+                if tag == "IndexedTriangleSet":
+                    tris = ints(el.get("index")).reshape(-1, 3).tolist()
+                else:
+                    tris, run = [], []
+                    for i in ints(el.get("coordIndex")).tolist():
+                        if i < 0:
+                            if len(run) >= 3:
+                                tris.extend(_fan_triangulate(run))
+                            run = []
+                        else:
+                            run.append(i)
+                    if len(run) >= 3:
+                        tris.extend(_fan_triangulate(run))
+                if tris:
+                    V = pts @ M[:3, :3].T + M[:3, 3]
+                    placed.append((V, np.asarray(tris, np.int64)))
+        for ch in el:
+            walk(ch, M, depth + 1)
+
+    scene = root.find(f"{ns}Scene")
+    walk(scene if scene is not None else root, np.eye(4))
+    if not placed:
+        raise ValueError(f"no triangle geometry found in {path}")
+    v_off, verts, faces = 0, [], []
+    for V, F in placed:
+        verts.append(V)
+        faces.append(F + v_off)
+        v_off += V.shape[0]
+    V = np.concatenate(verts, 0)
+    F = np.concatenate(faces, 0)
+    V = np.stack([V[:, 0], -V[:, 2], V[:, 1]], -1)  # Y-up -> Z-up
+    return TriangleMesh(V.astype(np.float32), F.astype(np.int32))
+
+
+def load_3ds(path: str) -> TriangleMesh:
+    """3D Studio (.3ds) loader — legacy binary chunk format still common
+    for CAD-exported building shells.
+
+    Walks MAIN(0x4D4D) -> EDITOR(0x3D3D) -> OBJECT(0x4000) ->
+    TRIMESH(0x4100) chunks and reads POINT_ARRAY(0x4110) +
+    FACE_ARRAY(0x4120). Vertices in a .3ds are stored in world space
+    (the 0x4160 local-axis chunk only matters for the keyframer), and
+    the format is Z-up — both match the ROS map frame, so no transform
+    is applied."""
+    data = open(path, "rb").read()
+    if len(data) < 6 or struct.unpack_from("<H", data, 0)[0] != 0x4D4D:
+        raise ValueError(f"{path} is not a 3DS file (missing 0x4D4D magic)")
+
+    placed: list[tuple[np.ndarray, np.ndarray]] = []
+
+    def walk(start: int, end: int, depth: int = 0) -> None:
+        pos = start
+        while pos + 6 <= end:
+            cid, clen = struct.unpack_from("<HI", data, pos)
+            if clen < 6 or pos + clen > end:
+                break  # malformed tail: stop scanning this level
+            body = pos + 6
+            if cid in (0x4D4D, 0x3D3D) and depth < 8:
+                walk(body, pos + clen, depth + 1)
+            elif cid == 0x4000 and depth < 8:  # named object: skip cstr name
+                name_end = data.index(b"\x00", body, pos + clen) + 1
+                walk(name_end, pos + clen, depth + 1)
+            elif cid == 0x4100 and depth < 8:  # triangle mesh
+                V = F = None
+                p = body
+                while p + 6 <= pos + clen:
+                    sid, slen = struct.unpack_from("<HI", data, p)
+                    if slen < 6 or p + slen > pos + clen:
+                        break
+                    if sid == 0x4110:  # point array
+                        (n,) = struct.unpack_from("<H", data, p + 6)
+                        V = np.frombuffer(data, np.float32, n * 3, p + 8).reshape(-1, 3)
+                    elif sid == 0x4120:  # face array: v1 v2 v3 flags
+                        (n,) = struct.unpack_from("<H", data, p + 6)
+                        F = np.frombuffer(data, np.uint16, n * 4, p + 8).reshape(-1, 4)[:, :3]
+                    p += slen
+                if V is not None and F is not None and len(V) and len(F):
+                    placed.append((np.array(V, np.float64), np.array(F, np.int64)))
+            pos += clen
+
+    walk(0, len(data))
+    if not placed:
+        raise ValueError(f"no triangle geometry found in {path}")
+    v_off, verts, faces = 0, [], []
+    for V, F in placed:
+        verts.append(V)
+        faces.append(F + v_off)
+        v_off += V.shape[0]
+    return TriangleMesh(
+        np.concatenate(verts, 0).astype(np.float32),
+        np.concatenate(faces, 0).astype(np.int32),
+    )
 
 
 def save_obj(mesh: TriangleMesh, path: str) -> None:

@@ -429,3 +429,133 @@ def test_glb_container(tmp_path):
         sorted([[0, 0, 0], [1, 0, 0], [0, 0, 1]]),
         atol=1e-6,
     )
+
+
+def test_3mf_build_transform(tmp_path):
+    import zipfile
+
+    # unit right triangle, instanced twice via build items: identity and +10 x
+    model = """<?xml version="1.0"?>
+<model unit="millimeter" xmlns="http://schemas.microsoft.com/3dmanufacturing/core/2015/02">
+ <resources>
+  <object id="1" type="model">
+   <mesh>
+    <vertices>
+     <vertex x="0" y="0" z="0"/><vertex x="1" y="0" z="0"/><vertex x="0" y="1" z="0"/>
+    </vertices>
+    <triangles><triangle v1="0" v2="1" v3="2"/></triangles>
+   </mesh>
+  </object>
+ </resources>
+ <build>
+  <item objectid="1"/>
+  <item objectid="1" transform="1 0 0 0 1 0 0 0 1 10 0 0"/>
+ </build>
+</model>"""
+    p = tmp_path / "tri.3mf"
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("3D/3dmodel.model", model)
+    m = load_mesh(str(p))
+    assert m.n_faces == 2
+    xs = np.sort(m.vertices[:, 0])
+    np.testing.assert_allclose(xs, [0, 0, 1, 10, 10, 11], atol=1e-6)
+
+
+def test_3mf_components(tmp_path):
+    import zipfile
+
+    model = """<?xml version="1.0"?>
+<model xmlns="http://schemas.microsoft.com/3dmanufacturing/core/2015/02">
+ <resources>
+  <object id="1" type="model">
+   <mesh>
+    <vertices>
+     <vertex x="0" y="0" z="0"/><vertex x="1" y="0" z="0"/><vertex x="0" y="0" z="1"/>
+    </vertices>
+    <triangles><triangle v1="0" v2="1" v3="2"/></triangles>
+   </mesh>
+  </object>
+  <object id="2" type="model">
+   <components>
+    <component objectid="1" transform="1 0 0 0 1 0 0 0 1 0 5 0"/>
+   </components>
+  </object>
+ </resources>
+ <build><item objectid="2"/></build>
+</model>"""
+    p = tmp_path / "comp.3mf"
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("3D/3dmodel.model", model)
+    m = load_mesh(str(p))
+    assert m.n_faces == 1
+    np.testing.assert_allclose(m.vertices[:, 1], [5, 5, 5], atol=1e-6)
+
+
+def test_x3d_indexed_face_set(tmp_path):
+    # quad in the X3D ground plane (y=0), fan-triangulated; Y-up -> Z-up
+    x3d = """<?xml version="1.0"?>
+<X3D><Scene>
+ <Transform translation="0 2 0">
+  <Shape>
+   <IndexedFaceSet coordIndex="0 1 2 3 -1">
+    <Coordinate DEF="C" point="0 0 0, 1 0 0, 1 0 -1, 0 0 -1"/>
+   </IndexedFaceSet>
+  </Shape>
+ </Transform>
+ <Shape>
+  <IndexedTriangleSet index="0 1 2">
+   <Coordinate USE="C"/>
+  </IndexedTriangleSet>
+ </Shape>
+</Scene></X3D>"""
+    p = tmp_path / "quad.x3d"
+    p.write_text(x3d)
+    m = load_mesh(str(p))
+    assert m.n_faces == 3  # quad fan (2) + reused-coord triangle (1)
+    # translated quad: X3D y=2 becomes ROS z=2; untranslated triangle z=0
+    zs = np.round(np.sort(m.vertices[:, 2]), 5)
+    assert (zs == 2.0).sum() == 4 and (zs == 0.0).sum() == 4
+    # X3D -z forward becomes ROS +y
+    assert m.vertices[:, 1].max() == 1.0 and m.vertices[:, 1].min() == 0.0
+
+
+def test_x3d_rotation(tmp_path):
+    # 90 deg about X3D y-axis with center offset
+    x3d = """<?xml version="1.0"?>
+<X3D><Scene>
+ <Transform rotation="0 1 0 1.5707963" center="1 0 0">
+  <Shape>
+   <IndexedTriangleSet index="0 1 2">
+    <Coordinate point="1 0 0 2 0 0 1 1 0"/>
+   </IndexedTriangleSet>
+  </Shape>
+ </Transform>
+</Scene></X3D>"""
+    p = tmp_path / "rot.x3d"
+    p.write_text(x3d)
+    m = load_mesh(str(p))
+    # (2,0,0) rotates about center (1,0,0) to X3D (1,0,-1) -> ROS (1,1,0)
+    got = sorted(np.round(m.vertices, 5).tolist())
+    assert [1.0, 0.0, 0.0] in got and [1.0, 1.0, 0.0] in got and [1.0, 0.0, 1.0] in got
+
+
+def test_3ds_two_objects(tmp_path):
+    def chunk(cid, body):
+        return struct.pack("<HI", cid, 6 + len(body)) + body
+
+    def trimesh_obj(name, verts, faces):
+        pts = struct.pack("<H", len(verts)) + np.asarray(verts, np.float32).tobytes()
+        fcs = struct.pack("<H", len(faces)) + np.asarray(
+            [[a, b, c, 0] for a, b, c in faces], np.uint16
+        ).tobytes()
+        tm = chunk(0x4100, chunk(0x4110, pts) + chunk(0x4120, fcs))
+        return chunk(0x4000, name.encode() + b"\x00" + tm)
+
+    o1 = trimesh_obj("a", [[0, 0, 0], [1, 0, 0], [0, 1, 0]], [[0, 1, 2]])
+    o2 = trimesh_obj("b", [[0, 0, 5], [1, 0, 5], [0, 1, 5]], [[0, 1, 2]])
+    data = chunk(0x4D4D, chunk(0x3D3D, o1 + o2))
+    p = tmp_path / "two.3ds"
+    p.write_bytes(data)
+    m = load_mesh(str(p))
+    assert m.n_faces == 2 and m.n_vertices == 6
+    assert set(np.round(m.vertices[:, 2], 5)) == {0.0, 5.0}
