@@ -44,6 +44,17 @@ def main():
 
         accel = build_bins(mesh, bin_size=64)
         run = lambda q: closest_points_binned(accel, q, max_dist=5.0)
+    elif engine == "seeded":
+        from rmcl_tpu.bvh.bins import build_bins
+        from rmcl_tpu.bvh.builder import build_bvh
+        from rmcl_tpu.ops.closest_point import closest_points_seeded
+
+        bins = build_bins(mesh, bin_size=64)
+        bvh = build_bvh(mesh)
+        chunk = int(os.environ.get("CP_CHUNK", "16384"))
+        run = lambda q: closest_points_seeded(
+            bvh, bins, q, max_dist=5.0, chunk_size=chunk
+        )
     else:
         from rmcl_tpu.bvh.builder import build_bvh
         from rmcl_tpu.ops.closest_point import closest_points

@@ -148,3 +148,44 @@ def test_closest_points_binned_cluster_exactness():
     b = closest_points_binned(bins, q, cluster=False, c_super=48, c_bin=256)
     np.testing.assert_allclose(np.asarray(a.dist), np.asarray(b.dist), atol=1e-6)
     np.testing.assert_array_equal(np.asarray(a.prim_id), np.asarray(b.prim_id))
+
+
+def test_closest_points_seeded_matches_exact():
+    """Seeded exact CP (binned bound prime + bound-sorted chunks) must be
+    bitwise-identical in found/prim_id and allclose in dist to the plain
+    exact traversal — the seed only tightens the initial bound."""
+    from rmcl_tpu.bvh.bins import build_bins
+    from rmcl_tpu.ops.closest_point import closest_points_seeded
+
+    mesh = make_sphere(60, 60, radius=10.0)
+    bvh = build_bvh(mesh)
+    bins = build_bins(mesh, bin_size=16)
+    rng = np.random.default_rng(7)
+    d = rng.normal(size=(2048, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    q = (d * rng.uniform(8.5, 11.5, 2048)[:, None]).astype(np.float32)
+
+    a = closest_points(bvh, q, max_dist=1.0)
+    # chunk smaller than n so the bound-sort + lax.map path is exercised
+    b = closest_points_seeded(bvh, bins, q, max_dist=1.0, chunk_size=256)
+    np.testing.assert_array_equal(np.asarray(b.found), np.asarray(a.found))
+    np.testing.assert_array_equal(np.asarray(b.prim_id), np.asarray(a.prim_id))
+    f = np.asarray(a.found)
+    np.testing.assert_allclose(
+        np.asarray(b.dist)[f], np.asarray(a.dist)[f], rtol=1e-6, atol=1e-6
+    )
+    # some queries must be gated out by max_dist for the test to mean much
+    assert 0 < f.sum() < len(q)
+
+
+def test_closest_points_seeded_batch_shape():
+    from rmcl_tpu.bvh.bins import build_bins
+    from rmcl_tpu.ops.closest_point import closest_points_seeded
+
+    mesh = make_box(size=(2.0, 2.0, 2.0), center=(0.0, 0.0, 0.0))
+    bvh = build_bvh(mesh)
+    bins = build_bins(mesh, bin_size=4)
+    q = np.zeros((4, 5, 3), np.float32)
+    out = closest_points_seeded(bvh, bins, q, max_dist=10.0)
+    assert out.dist.shape == (4, 5) and out.point.shape == (4, 5, 3)
+    np.testing.assert_allclose(np.asarray(out.dist), 1.0, atol=1e-5)
