@@ -750,16 +750,41 @@ def load_3mf(path: str) -> TriangleMesh:
 
     with zipfile.ZipFile(path) as z:
         model_name = None
-        for n in z.namelist():
-            if n.lower().endswith(".model"):
-                model_name = n
-                break
+        # OPC: the root model part is named by the package relationships
+        # (_rels/.rels, relationship type .../3dmodel); fall back to the
+        # first *.model member only when the rels part is absent/unreadable
+        try:
+            rels = ET.parse(io.BytesIO(z.read("_rels/.rels"))).getroot()
+            for rel in rels:
+                if rel.get("Type", "").endswith("3dmodel"):
+                    target = rel.get("Target", "").lstrip("/")
+                    if target in z.namelist():
+                        model_name = target
+                        break
+        except (KeyError, ET.ParseError):
+            pass
+        if model_name is None:
+            for n in z.namelist():
+                if n.lower().endswith(".model"):
+                    model_name = n
+                    break
         if model_name is None:
             raise ValueError(f"no .model part in 3MF archive {path}")
         root = ET.parse(io.BytesIO(z.read(model_name))).getroot()
 
     ns = root.tag[: root.tag.index("}") + 1] if root.tag.startswith("{") else ""
     q = lambda tag: f"{ns}{tag}"
+
+    # 3MF core spec: model/@unit defaults to MILLIMETER. Scale to the
+    # metre-based map frame (same policy as load_dae's <unit meter=.../>).
+    unit_scale = {
+        "micron": 1e-6,
+        "millimeter": 1e-3,
+        "centimeter": 1e-2,
+        "inch": 0.0254,
+        "foot": 0.3048,
+        "meter": 1.0,
+    }.get((root.get("unit") or "millimeter").lower(), 1e-3)
 
     def parse_transform(attr: Optional[str]) -> np.ndarray:
         """3MF transform: 12 floats, 4x3 row-major (rows = basis + origin,
@@ -782,9 +807,11 @@ def load_3mf(path: str) -> TriangleMesh:
     placed: list[tuple[np.ndarray, np.ndarray]] = []
     used: set[str] = set()
 
-    def emit(oid: str, M: np.ndarray, depth: int = 0) -> None:
+    def emit(oid: str, M: np.ndarray, depth: int = 0, skip_used: bool = False) -> None:
         if depth > 64 or oid not in objects:
             return
+        if skip_used and oid in used:
+            return  # fallback pass: object already placed via build/earlier fallback
         used.add(oid)
         obj = objects[oid]
         mesh_el = obj.find(q("mesh"))
@@ -804,21 +831,28 @@ def load_3mf(path: str) -> TriangleMesh:
         comps = obj.find(q("components"))
         if comps is not None:
             for c in comps.findall(q("component")):
-                emit(c.get("objectid", ""), M @ parse_transform(c.get("transform")), depth + 1)
+                emit(
+                    c.get("objectid", ""),
+                    M @ parse_transform(c.get("transform")),
+                    depth + 1,
+                    skip_used,
+                )
 
     build = root.find(q("build"))
     if build is not None:
         for item in build.findall(q("item")):
             emit(item.get("objectid", ""), parse_transform(item.get("transform")))
-    for oid in objects:  # resources never built (spec allows it)
+    for oid in objects:  # resources never built (spec allows it); skip_used
+        # prevents re-emitting objects already placed (directly or as a
+        # component) when a later unbuilt assembly references them
         if oid not in used:
-            emit(oid, np.eye(4))
+            emit(oid, np.eye(4), skip_used=True)
 
     if not placed:
         raise ValueError(f"no triangle geometry found in {path}")
     v_off, verts, faces = 0, [], []
     for V, F in placed:
-        verts.append(V)
+        verts.append(V * unit_scale)
         faces.append(F + v_off)
         v_off += V.shape[0]
     return TriangleMesh(
@@ -955,8 +989,10 @@ def load_3ds(path: str) -> TriangleMesh:
             if cid in (0x4D4D, 0x3D3D) and depth < 8:
                 walk(body, pos + clen, depth + 1)
             elif cid == 0x4000 and depth < 8:  # named object: skip cstr name
-                name_end = data.index(b"\x00", body, pos + clen) + 1
-                walk(name_end, pos + clen, depth + 1)
+                nul = data.find(b"\x00", body, pos + clen)
+                if nul < 0:
+                    break  # malformed: name never terminates in this chunk
+                walk(nul + 1, pos + clen, depth + 1)
             elif cid == 0x4100 and depth < 8:  # triangle mesh
                 V = F = None
                 p = body

@@ -175,7 +175,7 @@ def probe_update_rays(
     points_mask: Array,
     tsb: Transform,
     config: SensorUpdateConfig,
-) -> Tuple[Array, Array]:
+) -> Tuple[Array, Array, Array]:
     """The (orig, dirs, t_max) ray set a binned-RC :func:`sensor_update`
     would cast — mirrors its layout branches (cluster + beam/particle-major)
     AND the per-beam range cap so budget diagnosis (``candidate_stats`` /

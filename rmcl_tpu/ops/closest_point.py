@@ -617,4 +617,18 @@ def closest_points_seeded(
         chunk_size=chunk_size,
     )
     out = jax.tree.map(lambda x: jnp.take(x, inv, axis=0), out)
+    # Exactness safety net: the seed's d2 and the exact leaf's d2 come from
+    # different float32 code paths, so in large-coordinate maps (abs error
+    # ~eps*coord^2) the exact pass can fail to beat the inflated bound and
+    # report found=False where the seed holds a real surface point. The seed
+    # IS a true surface hit, so falling back to it per-query preserves the
+    # "never worse than plain closest_points" contract.
+    fb = seed.found & ~out.found
+    out = ClosestPoints(
+        point=jnp.where(fb[:, None], seed.point, out.point),
+        normal=jnp.where(fb[:, None], seed.normal, out.normal),
+        dist=jnp.where(fb, seed.dist, out.dist),
+        prim_id=jnp.where(fb, seed.prim_id, out.prim_id),
+        found=out.found | seed.found,
+    )
     return jax.tree.map(lambda x: x.reshape(batch_shape + x.shape[1:]), out)

@@ -178,6 +178,41 @@ def test_closest_points_seeded_matches_exact():
     assert 0 < f.sum() < len(q)
 
 
+def test_closest_points_seeded_large_coordinates():
+    """Exactness safety net (advisor r3): in large-coordinate maps the
+    binned seed's d2 and the exact leaf's d2 differ by ~eps*coord^2, which
+    can exceed the fixed bound inflation — the exact pass may then fail to
+    beat the seeded bound. The per-query fallback to the (real surface)
+    seed hit must keep `found` a superset of the plain exact traversal's."""
+    from rmcl_tpu.bvh.bins import build_bins
+    from rmcl_tpu.ops.closest_point import closest_points_seeded
+
+    mesh = make_sphere(40, 40, radius=10.0)
+    # push the whole map ~1e4 m from the origin: f32 ULP there is ~1e-3 m
+    off = np.asarray([1.0e4, -7.5e3, 3.0e3], np.float32)
+    mesh = type(mesh)(mesh.vertices + off, mesh.faces)
+    bvh = build_bvh(mesh)
+    bins = build_bins(mesh, bin_size=16)
+    rng = np.random.default_rng(11)
+    d = rng.normal(size=(1024, 3))
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    # queries hugging the surface — exactly the regime the advisor flagged
+    q = (off + d * rng.uniform(9.999, 10.001, 1024)[:, None]).astype(np.float32)
+
+    a = closest_points(bvh, q, max_dist=0.5)
+    b = closest_points_seeded(bvh, bins, q, max_dist=0.5, chunk_size=256)
+    af = np.asarray(a.found)
+    bf = np.asarray(b.found)
+    assert af.sum() > 0
+    # never worse than plain exact: no found -> not-found flips
+    assert not np.any(af & ~bf)
+    # and where both found, distances agree to surface-hit tolerance
+    both = af & bf
+    np.testing.assert_allclose(
+        np.asarray(b.dist)[both], np.asarray(a.dist)[both], atol=5e-3
+    )
+
+
 def test_closest_points_seeded_batch_shape():
     from rmcl_tpu.bvh.bins import build_bins
     from rmcl_tpu.ops.closest_point import closest_points_seeded

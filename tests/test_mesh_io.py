@@ -436,7 +436,7 @@ def test_3mf_build_transform(tmp_path):
 
     # unit right triangle, instanced twice via build items: identity and +10 x
     model = """<?xml version="1.0"?>
-<model unit="millimeter" xmlns="http://schemas.microsoft.com/3dmanufacturing/core/2015/02">
+<model unit="meter" xmlns="http://schemas.microsoft.com/3dmanufacturing/core/2015/02">
  <resources>
   <object id="1" type="model">
    <mesh>
@@ -465,7 +465,7 @@ def test_3mf_components(tmp_path):
     import zipfile
 
     model = """<?xml version="1.0"?>
-<model xmlns="http://schemas.microsoft.com/3dmanufacturing/core/2015/02">
+<model unit="meter" xmlns="http://schemas.microsoft.com/3dmanufacturing/core/2015/02">
  <resources>
   <object id="1" type="model">
    <mesh>
@@ -489,6 +489,79 @@ def test_3mf_components(tmp_path):
     m = load_mesh(str(p))
     assert m.n_faces == 1
     np.testing.assert_allclose(m.vertices[:, 1], [5, 5, 5], atol=1e-6)
+
+
+def test_3mf_unit_scaling(tmp_path):
+    import zipfile
+
+    # 3MF core spec: model/@unit defaults to MILLIMETER — a spec-default
+    # file must land 1000x smaller in the metre-based map frame (same
+    # policy as the DAE loader's <unit meter=.../> handling)
+    model = """<?xml version="1.0"?>
+<model xmlns="http://schemas.microsoft.com/3dmanufacturing/core/2015/02">
+ <resources>
+  <object id="1" type="model">
+   <mesh>
+    <vertices>
+     <vertex x="0" y="0" z="0"/><vertex x="1000" y="0" z="0"/><vertex x="0" y="1000" z="0"/>
+    </vertices>
+    <triangles><triangle v1="0" v2="1" v3="2"/></triangles>
+   </mesh>
+  </object>
+ </resources>
+ <build><item objectid="1"/></build>
+</model>"""
+    p = tmp_path / "mm.3mf"
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("3D/3dmodel.model", model)
+    m = load_mesh(str(p))
+    np.testing.assert_allclose(np.max(m.vertices), 1.0, atol=1e-6)
+    # explicit inch unit
+    p2 = tmp_path / "inch.3mf"
+    with zipfile.ZipFile(p2, "w") as z:
+        z.writestr("3D/3dmodel.model", model.replace("<model ", '<model unit="inch" '))
+    m2 = load_mesh(str(p2))
+    np.testing.assert_allclose(np.max(m2.vertices), 25.4, atol=1e-4)
+
+
+def test_3mf_rels_root_and_no_duplicate_fallback(tmp_path):
+    import zipfile
+
+    # two .model parts: a decoy listed first in the namelist and the real
+    # root named by _rels/.rels; plus an unbuilt assembly (id=3) that
+    # references the built object (id=1) as a component — the fallback
+    # must NOT re-emit object 1
+    model = """<?xml version="1.0"?>
+<model unit="meter" xmlns="http://schemas.microsoft.com/3dmanufacturing/core/2015/02">
+ <resources>
+  <object id="1" type="model">
+   <mesh>
+    <vertices>
+     <vertex x="0" y="0" z="0"/><vertex x="1" y="0" z="0"/><vertex x="0" y="1" z="0"/>
+    </vertices>
+    <triangles><triangle v1="0" v2="1" v3="2"/></triangles>
+   </mesh>
+  </object>
+  <object id="3">
+   <components><component objectid="1"/></components>
+  </object>
+ </resources>
+ <build><item objectid="1"/></build>
+</model>"""
+    decoy = model.replace('x="1"', 'x="99"')
+    rels = """<?xml version="1.0"?>
+<Relationships xmlns="http://schemas.openxmlformats.org/package/2006/relationships">
+ <Relationship Id="rel0" Target="/3D/real.model"
+  Type="http://schemas.microsoft.com/3dmanufacturing/2013/01/3dmodel"/>
+</Relationships>"""
+    p = tmp_path / "rels.3mf"
+    with zipfile.ZipFile(p, "w") as z:
+        z.writestr("3D/a_decoy.model", decoy)
+        z.writestr("3D/real.model", model)
+        z.writestr("_rels/.rels", rels)
+    m = load_mesh(str(p))
+    assert m.n_faces == 1  # root via rels, no duplicate from the fallback
+    assert np.max(m.vertices) == 1.0
 
 
 def test_x3d_indexed_face_set(tmp_path):
