@@ -226,10 +226,10 @@ class MCLNode:
         self.bvh = map_.bvh if hasattr(map_, "bvh") else map_
         self.bins = getattr(map_, "bins", None)
         self.config = config or MCLConfig()
-        if self.config.sensor.engine == "binned" and self.bins is None:
+        if self.config.sensor.engine in ("binned", "seeded") and self.bins is None:
             raise ValueError(
-                "sensor.engine='binned' needs a MeshMap (with triangle "
-                "bins), not a raw BVH"
+                f"sensor.engine='{self.config.sensor.engine}' needs a MeshMap "
+                "(with triangle bins), not a raw BVH"
             )
         self.key = jax.random.PRNGKey(self.config.seed)
         self.cloud = ParticleCloud.create(self.config.n_particles)
@@ -250,9 +250,13 @@ class MCLNode:
             self.config.adaptive_n_min, self.config.n_particles
         )
         self._budget_checked = False
-        # engine='auto' starts on the exact traversal (init clouds are
-        # scattered by definition); _auto_select_engine flips it later
-        self._engine_choice = "bvh"
+        # engine='auto' starts on the exact-result path (init clouds are
+        # scattered by definition); with bins available that is the SEEDED
+        # traversal (dense pass primes per-ray t_max — exact results,
+        # measured far cheaper in scattered regimes), else the plain BVH.
+        # _auto_select_engine flips to the dense binned engine once the
+        # cloud concentrates.
+        self._engine_choice = "seeded" if self.bins is not None else "bvh"
         self._engine_gate_seen = False
 
     # -- services ---------------------------------------------------------
@@ -404,6 +408,7 @@ class MCLNode:
         if self.bins is None:
             self._engine_choice = "bvh"
             return
+        exact_choice = "seeded"  # exact results; bins exist here by the gate above
         period = max(int(self.config.auto_engine_period), 1)
         if self.sensor_updates % period and self._engine_gate_seen:
             return
@@ -421,13 +426,13 @@ class MCLNode:
         prev = self._engine_choice
         if prev == "binned":
             choice = (
-                "bvh"
+                exact_choice
                 if spread > 2.0 * thresh or hspread > 2.0 * hthresh
                 else "binned"
             )
         else:
             choice = (
-                "binned" if spread < thresh and hspread < hthresh else "bvh"
+                "binned" if spread < thresh and hspread < hthresh else exact_choice
             )
         if choice != prev:
             self._engine_choice = choice
@@ -464,8 +469,14 @@ class MCLNode:
             )
         else:
             eff_cfg = self.config.sensor
-        # binned engine serves both RC ray casts and CP distance queries
-        accel = self.bins if eff_cfg.engine == "binned" else self.bvh
+        # binned engine serves both RC ray casts and CP distance queries;
+        # the seeded engine needs both structures
+        if eff_cfg.engine == "binned":
+            accel = self.bins
+        elif eff_cfg.engine == "seeded":
+            accel = (self.bvh, self.bins)
+        else:
+            accel = self.bvh
         if (
             not self._budget_checked
             and eff_cfg.engine == "binned"

@@ -53,7 +53,14 @@ class SensorUpdateConfig:
 
     samples: int = dataclasses.field(default=100, metadata=dict(static=True))
     correspondence_type: str = dataclasses.field(default="RC", metadata=dict(static=True))
-    engine: str = dataclasses.field(default="bvh", metadata=dict(static=True))  # bvh | binned
+    # bvh    — exact stackless traversal (no budgets, gather-bound)
+    # binned — dense gather-free caster (fast on coherent blocks; candidate
+    #          budgets can saturate => lossy on scattered clouds)
+    # seeded — exact results at a fraction of the traversal cost: a binned
+    #          pass primes the exact traversal's t_max per ray (true upper
+    #          bound wherever the dense pass hits anything) + bound-sorted
+    #          chunks. Needs BOTH structures: pass accel=(bvh, bins).
+    engine: str = dataclasses.field(default="bvh", metadata=dict(static=True))
     # binned engine only: Morton(+heading) cluster the particles per update
     # so beam-major ray blocks stay spatially/angularly tight (resampling
     # shuffles the cloud; the dense engine's frustum cull degrades on
@@ -266,10 +273,12 @@ def sensor_update(
     # each particle rotates them rigidly, so stream adjacency survives) and
     # pad to a lane-friendly multiple. Pad beams are DEAD rays (t_max=0,
     # excluded from block bounds, never hit) and carry zero fold weight.
-    particle_major = (
-        config.engine == "binned"
-        and config.correspondence_type != "CP"
-        and config.layout == "particle"
+    particle_major = config.correspondence_type != "CP" and (
+        (config.engine == "binned" and config.layout == "particle")
+        # seeded: the dense seed pass culls per particle-major block (tight
+        # origins from clustered particles; reach capped per beam), so the
+        # beams are always angular-sorted + padded like layout="particle"
+        or config.engine == "seeded"
     )
     beam_w = jnp.ones((S,), jnp.float32)
     beam_tmax = None
@@ -327,7 +336,7 @@ def sensor_update(
     # two (N,) reduced likelihood arrays at the end — never the (N, S) grid.
     perm_inv = None
     if (
-        config.engine == "binned"
+        config.engine in ("binned", "seeded")
         and config.correspondence_type != "CP"
         and config.cluster
     ):
@@ -347,12 +356,47 @@ def sensor_update(
             cp = closest_points_binned(
                 bvh, p_meas_m, c_super=config.c_super, c_bin=config.c_bin
             )
+        elif config.engine == "seeded":
+            from rmcl_tpu.ops.closest_point import closest_points_seeded
+
+            bvh_s, bins_s = bvh
+            cp = closest_points_seeded(
+                bvh_s,
+                bins_s,
+                p_meas_m,
+                chunk_size=chunk_size,
+                c_super=config.c_super,
+                c_bin=config.c_bin,
+            )
         else:
             cp = closest_points(bvh, p_meas_m, chunk_size=chunk_size)
         error = jnp.where(cp.found, cp.dist, config.real_hit_sim_miss_error)
     else:
         beam_tmax_all = beam_tmax if beam_tmax is not None else _cap(ranges, real_hit)
-        if config.engine == "binned" and particle_major:
+        if config.engine == "seeded":
+            # exact results via the dense seed: binned hit t (a true upper
+            # bound) primes the traversal's t_best per ray (see
+            # ops.raycast.cast_rays_seeded). Particle-major layout: the seed
+            # cull sees tight origin boxes from the clustered particles.
+            from rmcl_tpu.ops.raycast import cast_rays_seeded
+
+            bvh_s, bins_s = bvh
+            h = cast_rays_seeded(
+                bvh_s,
+                bins_s,
+                orig_m.reshape(-1, 3),
+                dirs_m.reshape(-1, 3),
+                t_max=jnp.broadcast_to(beam_tmax[None, :], (N, Sp)).reshape(-1),
+                chunk_size=chunk_size,
+                flip_normals=False,
+                block_size=config.block_size,
+                c_super=config.c_super,
+                c_bin=config.c_bin,
+                c_mid=config.c_mid,
+                c_hyper=config.c_hyper,
+            )
+            hits = jax.tree.map(lambda x: x.reshape(N, Sp, *x.shape[1:]), h)
+        elif config.engine == "binned" and particle_major:
             # dense engine, particle-major: each block covers few clustered
             # particles x their direction-sorted beams; the cull's ball
             # bound keeps candidates to bins within range of the cluster

@@ -372,7 +372,14 @@ def _chunk_level0(bins, ob, db, t_min_b, t_max_b, cs, sub_blocks, c_hyper=0,
     box-test count from n_super to n_hyper + c_hyper*H (probe_cull: the
     all-supers test was 93 ms of a 183 ms cull at 488 supers). Like every
     budget, c_hyper is a nearest-first truncation layer: audit with
-    passing-hyper counts before lowering."""
+    passing-hyper counts before lowering.
+
+    Also returns ``sat0`` (Cb,) bool: True when a level-(-1)/0 budget
+    truncated (passing hypers > c_hyper or passing supers > c_super) —
+    i.e. the block's candidate set may be LOSSY. ~sat0 (plus the
+    downstream level flags) certifies the block's result exact: budgets
+    are the engine's only loss source (every lossless audit rests on
+    this)."""
     raw_bounds = bounds_fn or (
         lambda r: _subblock_bounds(ob, db, t_min_b, t_max_b, r)
     )
@@ -428,6 +435,7 @@ def _chunk_level0(bins, ob, db, t_min_b, t_max_b, cs, sub_blocks, c_hyper=0,
             jnp.min(jnp.where(pass_hyp, tn_hyp, _BIG), axis=1), 0.0
         )
         anyh = jnp.any(pass_hyp, axis=1)  # (Cb, n_hyper)
+        sat0 = jnp.sum(anyh, axis=1) > ch  # hyper budget truncated
         hyp_bits = max(1, (n_hyper - 1).bit_length())
         if hyp_bits <= 20:
             idm = jnp.int32((1 << hyp_bits) - 1)
@@ -474,7 +482,8 @@ def _chunk_level0(bins, ob, db, t_min_b, t_max_b, cs, sub_blocks, c_hyper=0,
                 ssc > -_BIG, jnp.take_along_axis(gsup, spos, axis=1), 0
             )
             sup_valid = ssc > -_BIG
-        return bounds, sup_ids, sup_valid, n_hi_b
+        sat0 = sat0 | (jnp.sum(valid_sup, axis=1) > cs)
+        return bounds, sup_ids, sup_valid, n_hi_b, sat0
 
     # level 0: sub-block cones x supers -> OR over sub-blocks
     oc, oh, axis, tan_th, t_hi = bounds
@@ -489,7 +498,8 @@ def _chunk_level0(bins, ob, db, t_min_b, t_max_b, cs, sub_blocks, c_hyper=0,
     score = jnp.where(any_sup, -tn_sup, -_BIG)
     sup_score, sup_ids = jax.lax.top_k(score, cs)  # (Cb, cs)
     sup_valid = sup_score > -_BIG
-    return bounds, sup_ids, sup_valid, n_hi_b
+    sat0 = jnp.sum(any_sup, axis=1) > cs
+    return bounds, sup_ids, sup_valid, n_hi_b, sat0
 
 
 def _group_box_tests(bounds, boxes):
@@ -520,14 +530,15 @@ def _chunk_cull_tests(bins, ob, db, t_min_b, t_max_b, cs, sub_blocks,
                       c_hyper=0, bounds_fn=None):
     """Box-test phase of the 2-level chunk cull: bounds + level-0 + level-1
     bin tests over the cs candidate supers. Returns (valid_bin (Cb, cs*S),
-    gbin, tn_flat, n_hi_b) for :func:`_chunk_select` — split out so the
-    probe harness can time the tests separately from the level-1 top_k."""
+    gbin, tn_flat, n_hi_b, sat0) for :func:`_chunk_select` — split out so
+    the probe harness can time the tests separately from the level-1
+    top_k."""
     Cb = ob.shape[0]
     S = bins.bins_per_super
     n_super = bins.n_super
     n_bins = bins.n_bins
 
-    bounds, sup_ids, sup_valid, n_hi_b = _chunk_level0(
+    bounds, sup_ids, sup_valid, n_hi_b, sat0 = _chunk_level0(
         bins, ob, db, t_min_b, t_max_b, cs, sub_blocks, c_hyper, bounds_fn
     )
 
@@ -548,7 +559,7 @@ def _chunk_cull_tests(bins, ob, db, t_min_b, t_max_b, cs, sub_blocks,
     ).reshape(Cb, cs * S)
     gbin = gbin.reshape(Cb, cs * S)
     tn_flat = jnp.maximum(tn_bin.reshape(Cb, cs * S), 0.0)
-    return valid_bin, gbin, tn_flat, n_hi_b
+    return valid_bin, gbin, tn_flat, n_hi_b, sat0
 
 
 def _chunk_cull_tests3(bins, ob, db, t_min_b, t_max_b, cs, cm, sub_blocks,
@@ -568,7 +579,7 @@ def _chunk_cull_tests3(bins, ob, db, t_min_b, t_max_b, cs, cm, sub_blocks,
     n_bins = bins.n_bins
     n_mid = n_super * Sm
 
-    bounds, sup_ids, sup_valid, n_hi_b = _chunk_level0(
+    bounds, sup_ids, sup_valid, n_hi_b, sat0 = _chunk_level0(
         bins, ob, db, t_min_b, t_max_b, cs, sub_blocks, c_hyper, bounds_fn
     )
 
@@ -598,6 +609,7 @@ def _chunk_cull_tests3(bins, ob, db, t_min_b, t_max_b, cs, cm, sub_blocks,
         mid_sel = jnp.where(
             msc > -_BIG, jnp.take_along_axis(gmid, mpos, axis=1), -1
         )
+    sat0 = sat0 | (jnp.sum(valid_mid, axis=1) > cm)
 
     # level 1b: candidate mids' bins
     bin_aabb_g = bins.bin_aabb
@@ -617,7 +629,7 @@ def _chunk_cull_tests3(bins, ob, db, t_min_b, t_max_b, cs, cm, sub_blocks,
     ).reshape(Cb, cm * M)
     gbin = gbin.reshape(Cb, cm * M)
     tn_flat = jnp.maximum(tn_bin.reshape(Cb, cm * M), 0.0)
-    return valid_bin, gbin, tn_flat, n_hi_b
+    return valid_bin, gbin, tn_flat, n_hi_b, sat0
 
 
 def _chunk_select(bins, valid_bin, gbin, tn_flat, n_hi_b, cb):
@@ -667,18 +679,24 @@ def _chunk_candidates(
     pipeline (small intermediates). ``c_mid > 0`` routes through the
     3-level hierarchy (supers -> c_mid mid boxes -> bins).
 
-    Returns (cand_bin (Cb, cb), cand_count (Cb,), cand_tnear (Cb, cb))."""
+    Returns (cand_bin (Cb, cb), cand_count (Cb,), cand_tnear (Cb, cb),
+    sat (Cb,) bool — True when ANY budget level truncated this block's
+    candidate set, i.e. the block's results are not certified exact)."""
     if c_mid:
-        valid_bin, gbin, tn_flat, n_hi_b = _chunk_cull_tests3(
+        valid_bin, gbin, tn_flat, n_hi_b, sat0 = _chunk_cull_tests3(
             bins, ob, db, t_min_b, t_max_b, cs, c_mid, sub_blocks, c_hyper,
             bounds_fn,
         )
     else:
-        valid_bin, gbin, tn_flat, n_hi_b = _chunk_cull_tests(
+        valid_bin, gbin, tn_flat, n_hi_b, sat0 = _chunk_cull_tests(
             bins, ob, db, t_min_b, t_max_b, cs, sub_blocks, c_hyper,
             bounds_fn,
         )
-    return _chunk_select(bins, valid_bin, gbin, tn_flat, n_hi_b, cb)
+    sat = sat0 | (jnp.sum(valid_bin, axis=1) > cb)
+    cand_bin, cand_count, cand_tnear = _chunk_select(
+        bins, valid_bin, gbin, tn_flat, n_hi_b, cb
+    )
+    return cand_bin, cand_count, cand_tnear, sat
 
 
 @partial(
@@ -687,6 +705,7 @@ def _chunk_candidates(
         "block_size", "c_super", "c_bin", "block_chunk", "flip_normals",
         "use_pallas", "pallas_interpret", "shared_dir", "payload",
         "sub_blocks", "dir_groups", "sort_blocks", "c_mid", "c_hyper",
+        "with_lossless",
     ),
 )
 def cast_rays_binned(
@@ -709,8 +728,15 @@ def cast_rays_binned(
     sort_blocks: bool = False,
     c_mid: int = 0,
     c_hyper: int = 0,
+    with_lossless: bool = False,
 ) -> RayHits:
     """Dense closest-hit query (drop-in for ops.raycast.cast_rays).
+
+    ``with_lossless=True`` additionally returns a per-ray bool array:
+    True certifies the ray's result EXACT (its block's candidate set was
+    not truncated by any budget level — budgets are the engine's only
+    loss source). The basis of :func:`ops.raycast.cast_rays_seeded`'s
+    trust-or-refine split. Not supported with ``use_pallas``.
 
     Rays should be in a spatially coherent order (scan grids already are).
 
@@ -797,11 +823,12 @@ def cast_rays_binned(
         P = Rb // G
 
     def chunk_fn(args):
+        sat_c = None
         if sort_blocks:
             ob_c, db_c, tmin_c, tmax_c, cand_c, count_c, tnear_c = args
         else:
             ob_c, db_c, tmin_c, tmax_c = args
-            cand_c, count_c, tnear_c = _chunk_candidates(
+            cand_c, count_c, tnear_c, sat_c = _chunk_candidates(
                 bins, ob_c, db_c, tmin_c, tmax_c, cs, cb, sub_blocks, cm_,
                 c_hyper,
             )
@@ -977,6 +1004,8 @@ def cast_rays_binned(
             lambda cs_: (cs_[0] + 1, body(cs_[0], cs_[1])),
             (jnp.int32(0), init),
         )
+        if with_lossless and sat_c is not None:
+            return state + (sat_c,)
         return state
 
     chunk = min(block_chunk, n_blk)
@@ -1010,12 +1039,13 @@ def cast_rays_binned(
             bins, a[0], a[1], a[2], a[3], cs, cb, sub_blocks, cm_, c_hyper
         )
         if n_chunks == 1:
-            cand_a, count_a, tnear_a = cand_fn(tuple(a[0] for a in args))
+            cand_a, count_a, tnear_a, sat_a = cand_fn(tuple(a[0] for a in args))
         else:
-            cand_a, count_a, tnear_a = jax.lax.map(cand_fn, args)
+            cand_a, count_a, tnear_a, sat_a = jax.lax.map(cand_fn, args)
         cand_a = cand_a.reshape(n_blk_p, cb)
         count_a = count_a.reshape(n_blk_p)
         tnear_a = tnear_a.reshape(n_blk_p, cb)
+        sat_blk = sat_a.reshape(n_blk_p)  # original block order
         order = jnp.argsort(count_a)
         inv_order = jnp.argsort(order)
         perm = lambda x: jnp.take(x, order, axis=0)
@@ -1062,6 +1092,9 @@ def cast_rays_binned(
             outs = chunk_fn(tuple(a[0] for a in args))
         else:
             outs = jax.lax.map(chunk_fn, args)
+        if with_lossless and not sort_blocks:
+            sat_blk = outs[-1].reshape(n_blk_p)
+            outs = outs[:-1]
         if inv_order is not None:
             unblk = lambda x: jnp.take(
                 x.reshape(n_blk_p, Rb), inv_order, axis=0
@@ -1072,13 +1105,20 @@ def cast_rays_binned(
         if payload:
             pl = [unblk(x) for x in outs[1:]]
 
+    if with_lossless:
+        if use_pallas:
+            raise NotImplementedError("with_lossless is not supported with use_pallas")
+        lossless = jnp.broadcast_to(
+            (~sat_blk)[:, None], (n_blk_p, Rb)
+        ).reshape(-1)[:n].reshape(batch_shape)
+
     hit = (t_best < t_max_r.reshape(-1)[:n]) & (t_best < _BIG)
     if not payload:
         # occlusion-style query: loop t only (non-differentiable; the ~1e-5
         # packed-key perturbation applies), no ids/normals/points
         zero3 = jnp.zeros((n, 3), jnp.float32)
         neg1 = jnp.full((n,), -1, jnp.int32)
-        return RayHits(
+        out_np = RayHits(
             t=jnp.where(hit, t_best, NO_HIT_T).reshape(batch_shape),
             hit=hit.reshape(batch_shape),
             prim_id=neg1.reshape(batch_shape),
@@ -1086,6 +1126,7 @@ def cast_rays_binned(
             point=zero3.reshape(batch_shape + (3,)),
             normal=zero3.reshape(batch_shape + (3,)),
         )
+        return (out_np, lossless) if with_lossless else out_np
 
     nx, ny, nz, d0, prim, inst = pl
 
@@ -1103,7 +1144,7 @@ def cast_rays_binned(
         normal = normal * jnp.where(denom > 0, -1.0, 1.0)[..., None]
     normal = jnp.where(hit[..., None], normal, 0.0)
 
-    return RayHits(
+    out = RayHits(
         t=t_out.reshape(batch_shape),
         hit=hit.reshape(batch_shape),
         prim_id=jnp.where(hit, prim, -1.0).astype(jnp.int32).reshape(batch_shape),
@@ -1111,6 +1152,7 @@ def cast_rays_binned(
         point=point.reshape(batch_shape + (3,)),
         normal=normal.reshape(batch_shape + (3,)),
     )
+    return (out, lossless) if with_lossless else out
 
 
 def _resolve_budgets(bins: TriangleBins, c_super: int, c_bin: int,
@@ -1259,7 +1301,7 @@ def _factored_block_candidates(
         return _chunk_candidates(
             bins, ob, db, tmin_b, tmax_b, cs, cb, sub_blocks, cm_, c_hyper,
             bfn,
-        )
+        )[:3]
 
     cargs = (
         o_blk.reshape(n_chunks, chunk, P, 3),

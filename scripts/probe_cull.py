@@ -114,12 +114,12 @@ def main():
                 jnp.sum(jnp.where(pass_sup, tn_sup, 0.0), (1, 2)))
 
     def b_level0(ob, db, tmin, tmax):
-        bounds, sup_ids, sup_valid, n_hi_b = rb._chunk_level0(
+        bounds, sup_ids, sup_valid, n_hi_b, _sat = rb._chunk_level0(
             bins, ob, db, tmin, tmax, cs, SUB)
         return jnp.sum(sup_ids, 1), jnp.sum(sup_valid, 1)
 
     def c_tests(ob, db, tmin, tmax):
-        vb, gb, tn, nh = rb._chunk_cull_tests(
+        vb, gb, tn, nh, _sat = rb._chunk_cull_tests(
             bins, ob, db, tmin, tmax, cs, SUB)
         return jnp.sum(vb, 1), jnp.sum(tn, 1)
 

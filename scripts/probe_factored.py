@@ -77,7 +77,7 @@ def main():
             tmin = jnp.zeros((Cb, Rb))
             tmax = jnp.full((Cb, Rb), 3.0e38)
             return _chunk_candidates(bins, ob, db, tmin, tmax, CS,
-                                     min(CB, bins.n_bins), 4, CMID)
+                                     min(CB, bins.n_bins), 4, CMID)[:3]
 
         cand, count, tnear = jax.lax.map(
             f, (o_blk.reshape(nc, chunk, P, 3), d_blk.reshape(nc, chunk, G, 3))

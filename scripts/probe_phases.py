@@ -128,7 +128,7 @@ def main():
         f = lambda a: rb._chunk_candidates(bins, a[0], a[1], a[2], a[3],
                                            cs, cb, args.sub_blocks,
                                            args.c_mid)
-        cb_, cc_, tn_ = jax.lax.map(f, argz)
+        cb_, cc_, tn_, _sat = jax.lax.map(f, argz)
         return cc_
 
     @jax.jit
@@ -154,11 +154,11 @@ def main():
 
         def f(a):
             if args.c_mid:
-                vb, gb, tn, nh = rb._chunk_cull_tests3(
+                vb, gb, tn, nh, _sat = rb._chunk_cull_tests3(
                     bins, a[0], a[1], a[2], a[3], cs, args.c_mid,
                     args.sub_blocks)
             else:
-                vb, gb, tn, nh = rb._chunk_cull_tests(
+                vb, gb, tn, nh, _sat = rb._chunk_cull_tests(
                     bins, a[0], a[1], a[2], a[3], cs, args.sub_blocks)
             # reduce (prevents DCE) without a big sort
             return jnp.sum(vb, axis=1), jnp.sum(tn, axis=1)

@@ -292,3 +292,65 @@ def test_gradients_wrt_vertices_finite_difference(rng):
         f1 = float(mean_range(V + jnp.asarray(e)))
         fd = (f1 - f0) / eps
         np.testing.assert_allclose(fd, g.ravel()[i], rtol=0.05, atol=1e-3)
+
+
+def test_cast_rays_seeded_matches_exact(rng):
+    """Seeded exact ray cast (dense-engine bound prime + bound-sorted
+    chunks) must agree with the plain exact traversal: the seed only
+    tightens the per-ray initial t_best with a TRUE upper bound."""
+    from rmcl_tpu.bvh.bins import build_bins
+    from rmcl_tpu.ops.raycast import cast_rays_seeded
+
+    mesh = make_room_scene(n_pillars=3, seed=2)
+    bvh = build_bvh(mesh)
+    bins = build_bins(mesh, bin_size=16)
+    # scattered origins + random dirs — the global-MCL regime the seeded
+    # engine exists for
+    o = rng.uniform(-4, 4, (3000, 3)).astype(np.float32)
+    o[:, 2] = rng.uniform(0.3, 2.2, 3000)
+    d = rng.normal(size=(3000, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    a = cast_rays(bvh, jnp.asarray(o), jnp.asarray(d))
+    # small chunk to exercise the sorted lax.map path
+    b = cast_rays_seeded(
+        bvh, bins, jnp.asarray(o), jnp.asarray(d), chunk_size=512
+    )
+    ah, bh = np.asarray(a.hit), np.asarray(b.hit)
+    # never lose a hit the plain traversal finds
+    assert not np.any(ah & ~bh)
+    both = ah & bh
+    assert both.sum() > 2000
+    np.testing.assert_allclose(
+        np.asarray(b.t)[both], np.asarray(a.t)[both], rtol=1e-5, atol=1e-5
+    )
+    # per-beam capped t_max flows through (the MCL use)
+    t_cap = np.full(3000, 3.0, np.float32)
+    a2 = cast_rays(bvh, jnp.asarray(o), jnp.asarray(d), t_max=jnp.asarray(t_cap))
+    b2 = cast_rays_seeded(
+        bvh, bins, jnp.asarray(o), jnp.asarray(d), t_max=jnp.asarray(t_cap),
+        chunk_size=512,
+    )
+    assert not np.any(np.asarray(a2.hit) & ~np.asarray(b2.hit))
+    both2 = np.asarray(a2.hit) & np.asarray(b2.hit)
+    np.testing.assert_allclose(
+        np.asarray(b2.t)[both2], np.asarray(a2.t)[both2], rtol=1e-5, atol=1e-5
+    )
+
+
+def test_cast_rays_seeded_batch_shape_and_normals(rng):
+    from rmcl_tpu.bvh.bins import build_bins
+    from rmcl_tpu.ops.raycast import cast_rays_seeded
+
+    mesh = make_sphere(24, 24, radius=5.0)
+    bvh = build_bvh(mesh)
+    bins = build_bins(mesh, bin_size=16)
+    d = rng.normal(size=(4, 7, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    o = np.zeros((4, 7, 3), np.float32)
+    out = cast_rays_seeded(bvh, bins, jnp.asarray(o), jnp.asarray(d))
+    assert out.t.shape == (4, 7) and out.normal.shape == (4, 7, 3)
+    np.testing.assert_allclose(np.asarray(out.t), 5.0, atol=6e-2)
+    # flip_normals: normals face the sensor (dot(n, d) < 0)
+    dots = np.sum(np.asarray(out.normal) * d, axis=-1)
+    assert (dots < 0).all()

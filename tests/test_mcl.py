@@ -654,7 +654,7 @@ def test_auto_engine_selection():
     hits = _sim(mm.bvh, model, true_pose)
     node.motion_update(tbo, 0.0)
     node.sensor_update(hits.point, hits.hit, Transform.identity())
-    assert node._engine_choice == "bvh"  # scattered -> exact engine
+    assert node._engine_choice == "seeded"  # scattered -> exact-result engine
     for step in range(1, 25):
         node.motion_update(tbo, step * 0.1)
         hits = _sim(mm.bvh, model, true_pose)
@@ -671,7 +671,7 @@ def test_auto_engine_selection():
     node.motion_update(tbo, 100.1)
     hits = _sim(mm.bvh, model, true_pose)
     node.sensor_update(hits.point, hits.hit, Transform.identity())
-    assert node._engine_choice == "bvh"
+    assert node._engine_choice == "seeded"
 
 
 def test_binned_exact_agreement_by_regime(key, rng):
@@ -745,7 +745,48 @@ def test_auto_engine_heading_gate(rng):
 
     set_cloud(0.5)  # ~30 deg heading spread, tight positions
     node._auto_select_engine()
-    assert node._engine_choice == "bvh"
+    assert node._engine_choice == "seeded"
     set_cloud(0.02)  # converged headings
     node._auto_select_engine()
     assert node._engine_choice == "binned"
+
+
+def test_sensor_update_seeded_matches_exact(key, rng):
+    """engine='seeded' (dense seed pass priming the exact traversal) must
+    reproduce the exact-engine likelihoods in the SCATTERED regime — the
+    regime where the plain binned engine is uncorrelated (budget
+    saturation) and where auto-engine uses the seeded path."""
+    from rmcl_tpu.geom.map import MeshMap
+
+    mesh = make_room_scene((10.0, 8.0, 3.0), n_pillars=3, seed=5)
+    mm = MeshMap.from_mesh(mesh, bin_size=16)
+    model = SphericalModel.create(
+        width=60, height=3, phi_min=-0.2, phi_max=0.2, range_max=30.0
+    )
+    _, dirs_scan = model.rays()
+    points = jnp.asarray(np.asarray(dirs_scan) * 2.0)
+    mask = jnp.ones(points.shape[0], bool)
+    N, S = 512, 32
+    # scattered global-init cloud: uniform positions + random yaw
+    trans = rng.uniform(-4, 4, (N, 3)).astype(np.float32)
+    trans[:, 2] = 1.0
+    yaw = rng.uniform(-np.pi, np.pi, N).astype(np.float32)
+    poses = Transform.from_xyz_euler(
+        jnp.asarray(trans),
+        jnp.stack([jnp.zeros(N), jnp.zeros(N), jnp.asarray(yaw)], -1),
+    )
+    cloud = ParticleCloud.create(N).with_poses(poses)
+    cfg_kw = dict(samples=S, dist_sigma=0.4)
+    ref = np.asarray(
+        sensor_update(
+            mm.bvh, cloud, key, points, mask, Transform.identity(),
+            SensorUpdateConfig.create(engine="bvh", **cfg_kw),
+        ).likelihood.mean
+    )
+    got = np.asarray(
+        sensor_update(
+            (mm.bvh, mm.bins), cloud, key, points, mask, Transform.identity(),
+            SensorUpdateConfig.create(engine="seeded", **cfg_kw),
+        ).likelihood.mean
+    )
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-6)

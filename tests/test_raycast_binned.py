@@ -382,3 +382,59 @@ def test_three_level_cull_sorted_chunks(rng):
         c_mid=32, sort_blocks=True, block_chunk=8,
     )
     assert_hits_match(h, exact)
+
+
+def test_with_lossless_certifies_exactness():
+    """with_lossless=True: wherever the flag is True, the budget-bound cast
+    must agree with an effectively-unbudgeted cast (budgets are the only
+    loss source); under deliberately starved budgets some rays must be
+    flagged uncertified (the flag is not trivially True)."""
+    import numpy as np
+
+    from rmcl_tpu.bvh.bins import build_bins
+    from rmcl_tpu.geom.mesh import make_building_scene
+    from rmcl_tpu.ops.raycast_binned import cast_rays_binned
+
+    mesh = make_building_scene(rooms_x=2, rooms_y=2, subdiv=8, seed=1)
+    bins = build_bins(mesh, bin_size=16)
+    rng = np.random.default_rng(3)
+    lo, hi = mesh.vertices.min(0), mesh.vertices.max(0)
+    center = 0.5 * (lo + hi)
+    # first half: one coherent bundle (tight origins, narrow direction fan)
+    # -> its blocks stay under budget and must be certified; second half:
+    # scattered origins + random dirs -> deliberate saturation
+    o1 = (center + rng.normal(0, 0.1, (1024, 3))).astype(np.float32)
+    d1 = np.tile(np.float32([[1.0, 0.2, 0.0]]), (1024, 1))
+    d1 += rng.normal(0, 0.02, (1024, 3)).astype(np.float32)
+    o2 = rng.uniform(lo + 0.3, hi - 0.3, (1024, 3)).astype(np.float32)
+    d2 = rng.normal(size=(1024, 3)).astype(np.float32)
+    o = np.concatenate([o1, o2])
+    d = np.concatenate([d1, d2])
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+
+    # budgets sized between the bundle's ~28 passing bins/block and the
+    # scattered half's pass-all 270 -> saturation on the scattered half only
+    tight, flag = cast_rays_binned(
+        bins, o, d, c_super=6, c_bin=48, with_lossless=True
+    )
+    full = cast_rays_binned(
+        bins, o, d, c_super=1024, c_bin=4096
+    )
+    flag = np.asarray(flag)
+    assert flag.any(), "some blocks should be certified"
+    assert not flag.all(), "starved budgets must leave uncertified blocks"
+    ok = flag
+    np.testing.assert_array_equal(
+        np.asarray(tight.hit)[ok], np.asarray(full.hit)[ok]
+    )
+    np.testing.assert_allclose(
+        np.asarray(tight.t)[ok], np.asarray(full.t)[ok], rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_array_equal(
+        np.asarray(tight.prim_id)[ok], np.asarray(full.prim_id)[ok]
+    )
+    # generous budgets on the same rays: flag should certify (nearly) all
+    _, flag_full = cast_rays_binned(
+        bins, o, d, c_super=1024, c_bin=4096, with_lossless=True
+    )
+    assert np.asarray(flag_full).all()
