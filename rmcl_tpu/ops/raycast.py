@@ -70,11 +70,19 @@ def _bitcast_i32(x: Array) -> Array:
     return jax.lax.bitcast_convert_type(x, jnp.int32)
 
 
-def _traverse_batch(nodes, root_link, o, d, t_min, t_max):
+def _traverse_batch(nodes, root_link, o, d, t_min, t_max, max_iters=None,
+                    cur=None, t_best=None, best_slot=None):
     """Stackless closest-hit traversal, hand-batched over rays.
 
-    o, d: (R, 3); t_min, t_max: (R,). Returns (t_best, best_slot) with
-    best_slot == -1 on miss. All loop state is (R,) registers.
+    o, d: (R, 3); t_min, t_max: (R,). Returns (t_best, best_slot, cur) with
+    best_slot == -1 on miss and cur == SENTINEL_LINK when the ray FINISHED.
+    All loop state is (R,) registers.
+
+    ``max_iters`` caps the loop (static); ``cur``/``t_best``/``best_slot``
+    resume a paused traversal — together they let
+    :func:`_traverse_rounds` run the traversal in capped ROUNDS with
+    alive-compaction in between (per-ray serial semantics are untouched,
+    so results are bitwise identical to one uncapped run).
 
     LAYOUT NOTE (load-bearing for TPU): every array inside the loop is
     (R,)-shaped — ray components are split into scalar planes and node words
@@ -116,10 +124,13 @@ def _traverse_batch(nodes, root_link, o, d, t_min, t_max):
     ix, iy, iz = safe_inv(dx), safe_inv(dy), safe_inv(dz)
 
     n_slots = nodes.shape[0]
+    # the preorder traversal visits each slot at most once, so n_slots
+    # bounds any complete traversal; a smaller max_iters merely PAUSES it
+    bound = n_slots if max_iters is None else min(int(max_iters), n_slots)
 
     def cond(state):
         c, cur, _, _ = state
-        return (c < n_slots) & jnp.any(cur != _SENT)
+        return (c < bound) & jnp.any(cur != _SENT)
 
     def body(state):
         c, cur, t_best, best_slot = state
@@ -185,18 +196,76 @@ def _traverse_batch(nodes, root_link, o, d, t_min, t_max):
         cur_next = jnp.where(active, cur_next, _SENT)
         return c + 1, cur_next, t_best, best_slot
 
-    cur0 = jnp.where(
-        t_max > t_min,
-        jnp.broadcast_to(root_link, (R,)).astype(jnp.int32),
-        _SENT,
+    if cur is None:
+        cur = jnp.where(
+            t_max > t_min,
+            jnp.broadcast_to(root_link, (R,)).astype(jnp.int32),
+            _SENT,
+        )
+    if t_best is None:
+        t_best = t_max
+    if best_slot is None:
+        best_slot = jnp.full((R,), -1, jnp.int32)
+    _, cur, t_best, best_slot = jax.lax.while_loop(
+        cond, body, (jnp.int32(0), cur, t_best, best_slot)
     )
-    _, _, t_best, best_slot = jax.lax.while_loop(
-        cond, body, (jnp.int32(0), cur0, t_max, jnp.full((R,), -1, jnp.int32))
-    )
-    return t_best, best_slot
+    return t_best, best_slot, cur
 
 
-@partial(jax.jit, static_argnames=("chunk_size", "flip_normals"))
+def _traverse_rounds(nodes, root_link, o, d, t_min, t_max, rounds, sub_chunk):
+    """Capped-round traversal with alive-compaction — lockstep-waste killer.
+
+    The single-shot lockstep loop bills every ray in a chunk for the
+    chunk's MAX visit count; on scattered MCL workloads that is 3.25x the
+    per-ray ideal (measured, scripts/probe_traversal_visits.py: visits
+    mean 58 / p99 115 / max 189 on the 217k-face building map, and no
+    static key — t_max, origin Morton, direction octant — predicts the
+    deep rays). This runs the SAME traversal in capped rounds: round 0
+    caps every lane at ``rounds[0]`` iterations; between rounds the rays
+    are stably re-ordered alive-first and re-mapped over ``sub_chunk``
+    lanes, so sub-chunks of finished rays exit their while_loop at
+    iteration one and the surviving tail concentrates into ever fewer
+    sub-chunks; the last round is uncapped (correctness). Per-ray serial
+    semantics are untouched — results are BITWISE identical to the
+    single-shot loop; only billing changes. Schedule model on the
+    measured distribution: caps (32,32,32,32) @ sub 8192 = 1.06x ideal
+    vs 3.25x single-shot.
+    """
+    R = o.shape[0]
+    idx = jnp.arange(R, dtype=jnp.int32)
+    t_best, best_slot, cur = _traverse_batch(
+        nodes, root_link, o, d, t_min, t_max, max_iters=rounds[0]
+    )
+    n_sub = R // sub_chunk
+    for K in tuple(rounds[1:]) + (None,):
+        order = jnp.argsort((cur == _SENT).astype(jnp.int8), stable=True)
+        take = lambda x: jnp.take(x, order, axis=0)
+        idx, o, d, t_min = take(idx), take(o), take(d), take(t_min)
+        cur, t_best, best_slot = take(cur), take(t_best), take(best_slot)
+        sub = lambda x: x.reshape(n_sub, sub_chunk, *x.shape[1:])
+        # t_max is only consulted when cur/t_best are None (fresh start),
+        # so resumed rounds pass t_best in its slot
+        t_best, best_slot, cur = jax.lax.map(
+            lambda a: _traverse_batch(
+                nodes, root_link, a[0], a[1], a[2], a[3], max_iters=K,
+                cur=a[4], t_best=a[3], best_slot=a[5],
+            ),
+            (sub(o), sub(d), sub(t_min), sub(t_best), sub(cur),
+             sub(best_slot)),
+        )
+        t_best = t_best.reshape(R)
+        best_slot = best_slot.reshape(R)
+        cur = cur.reshape(R)
+    # scatter back to original ray order
+    t_out = jnp.zeros((R,), t_best.dtype).at[idx].set(t_best)
+    s_out = jnp.zeros((R,), best_slot.dtype).at[idx].set(best_slot)
+    return t_out, s_out
+
+
+@partial(
+    jax.jit,
+    static_argnames=("chunk_size", "flip_normals", "rounds", "sub_chunk"),
+)
 def cast_rays(
     bvh: BVH,
     orig: Array,
@@ -205,12 +274,19 @@ def cast_rays(
     t_max: float | Array = NO_HIT_T,
     chunk_size: int = 262144,
     flip_normals: bool = True,
+    rounds: tuple = (32, 32, 32, 32),
+    sub_chunk: int = 8192,
 ) -> RayHits:
     """Batch closest-hit query.
 
     orig, dirs: (..., 3) — broadcastable ray origins and (unit) directions.
     Returns a RayHits with the same leading batch shape. ``t`` is
     differentiable w.r.t. ``orig`` and ``dirs`` (plane-equation rederivation).
+
+    ``rounds``/``sub_chunk`` control the capped-round compaction schedule
+    (see :func:`_traverse_rounds`); they change BILLING only, never
+    results. ``rounds=None`` forces the single-shot loop (small batches
+    use it automatically).
     """
     orig, dirs = jnp.broadcast_arrays(
         jnp.asarray(orig, jnp.float32), jnp.asarray(dirs, jnp.float32)
@@ -234,9 +310,21 @@ def cast_rays(
     nodes = bvh.nodes
     root = bvh.root_link
 
+    # capped-round compaction only pays off when a chunk spans several
+    # sub-chunks (lockstep waste needs room to exist); small batches keep
+    # the single-shot loop
+    use_rounds = (
+        rounds is not None
+        and chunk >= 4 * sub_chunk
+        and chunk % sub_chunk == 0
+    )
+
     def chunk_fn(args):
         o, d, lo, hi = args
-        return _traverse_batch(nodes, root, o, d, lo, hi)
+        if use_rounds:
+            return _traverse_rounds(nodes, root, o, d, lo, hi, rounds,
+                                    sub_chunk)
+        return _traverse_batch(nodes, root, o, d, lo, hi)[:2]
 
     n_chunks = (n + n_pad) // chunk
     if n_chunks == 1:

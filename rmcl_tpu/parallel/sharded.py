@@ -74,6 +74,23 @@ def _correct_once_jit(config: MICPConfig, chunk_size: int):
     return jax.jit(partial(correct_once, config=config, chunk_size=chunk_size))
 
 
+@functools.lru_cache(maxsize=32)
+def _correct_once_shmap(mesh: Mesh, config: MICPConfig, chunk_size: int,
+                        n_sensors: int):
+    sensor_spec = MICPSensorData(
+        model=P(), points=P(RAY_AXIS), mask=P(RAY_AXIS), tsb=P(), config=P()
+    )
+    f = jax.shard_map(
+        partial(correct_once, config=config, chunk_size=chunk_size,
+                psum_axis=RAY_AXIS),
+        mesh=mesh,
+        in_specs=(P(), (sensor_spec,) * n_sensors, P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(f)
+
+
 def sharded_correct_once(
     bvh: BVH,
     sensors: Sequence[MICPSensorData],
@@ -84,18 +101,23 @@ def sharded_correct_once(
     config: MICPConfig = MICPConfig(),
     chunk_size: int = 1 << 30,
 ) -> Tuple[Transform, MICPStats]:
-    """correct_once under automatic SPMD partitioning.
+    """correct_once sharded over rays with an EXPLICIT collective budget.
 
     Inputs must be placed by :func:`shard_sensor_data` /
-    :func:`rmcl_tpu.parallel.mesh.put_replicated`. The ray-parallel
-    reductions partition along the ray axis; XLA inserts the psum for the
-    merged statistics (replacing the reference's ``Cmerged += Cs`` loop,
-    micp_localization.cpp:936-937). chunk_size defaults to "no chunking"
-    because the per-device ray count is already mesh-divided.
+    :func:`rmcl_tpu.parallel.mesh.put_replicated`. Runs the whole
+    correction inside ``shard_map``: correspondence search is purely
+    shard-local; the GN statistics merge (the reference's ``Cmerged += Cs``
+    loop, micp_localization.cpp:936-937) is ONE packed psum per GN
+    iteration plus one final stats pack — K+1 collectives per correction
+    (6 at the default K=5) vs the ~16 rendezvous the previous auto-SPMD
+    lowering incurred; on rendezvous-dominated transports (multi-process
+    gloo, DCN multi-host) the collective COUNT is the scaling floor
+    (SCALING_r03 analysis — VERDICT r3 #4). chunk_size defaults to "no
+    chunking" because the per-device ray count is already mesh-divided.
     """
     bvh = put_replicated(bvh, mesh)
-    f = _correct_once_jit(config, chunk_size)
-    return f(bvh, sensors, tom, tbo, convergence_progress)
+    f = _correct_once_shmap(mesh, config, chunk_size, len(sensors))
+    return f(bvh, tuple(sensors), tom, tbo, convergence_progress)
 
 
 # ---------------------------------------------------------------------------

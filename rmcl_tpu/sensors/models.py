@@ -260,4 +260,35 @@ class OnDnModel:
         return self.origs + self.dirs * ranges[..., None]
 
 
-SensorModel = SphericalModel | PinholeModel | O1DnModel | OnDnModel
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class RaySliceModel:
+    """A contiguous window of another model's ray grid.
+
+    Used by the sharded MICP correction (``shard_map`` over rays): each
+    shard simulates only its own slice of the sensor's pixels —
+    ``start = axis_index * size`` — so the RC ray cast is purely
+    shard-local while the model stays replicated. A contiguous slice of a
+    scan grid stays spatially coherent, which the dense binned engine's
+    block cull depends on."""
+
+    inner: "SensorModel"
+    start: Array  # () int32 — may be traced (axis_index inside shard_map)
+    size: int = dataclasses.field(metadata=dict(static=True))
+
+    @property
+    def range(self) -> RangeInterval:
+        return self.inner.range
+
+    @property
+    def n_rays(self) -> int:
+        return self.size
+
+    def rays(self) -> Tuple[Array, Array]:
+        o, d = self.inner.rays()
+        o = jnp.broadcast_to(o, d.shape)
+        sl = lambda x: jax.lax.dynamic_slice_in_dim(x, self.start, self.size, 0)
+        return sl(o), sl(d)
+
+
+SensorModel = SphericalModel | PinholeModel | O1DnModel | OnDnModel | RaySliceModel

@@ -390,3 +390,86 @@ def test_sharded_dynamic_residual_counts(mesh8, key, rng):
         cloud_s, key, cfg, jnp.int32(n), mesh8
     )
     assert int(np.asarray(out2.alive).sum()) == n
+
+
+def test_sharded_correct_once_umeyama_and_multisensor(mesh8):
+    """Packed-psum path parity for the umeyama solver and a 2-sensor
+    (RC + CP) rig — the raw-moment monoid and per-sensor weights must
+    reproduce the single-device merge (VERDICT r3 #4)."""
+    from rmcl_tpu.micp.pipeline import MICPConfig
+
+    bvh = build_bvh(make_room_scene(n_pillars=3, seed=4))
+    model = SphericalModel.create(
+        width=256, height=8, phi_min=-0.3, phi_max=0.2, range_max=30.0
+    )
+    true_pose = Transform.from_pose_tuple(jnp.asarray([0.4, -0.2, 1.0, 0, 0, 0.3]))
+    hits = simulate(bvh, model, true_pose)
+    s_rc = MICPSensorData(
+        model=model, points=hits.point, mask=hits.hit,
+        tsb=Transform.identity(),
+        config=MICPSensorConfig.create(max_dist=2.0, weight=1.0),
+    )
+    s_cp = MICPSensorData(
+        model=model, points=hits.point, mask=hits.hit,
+        tsb=Transform.from_pose_tuple(jnp.asarray([0.05, 0.0, 0.1, 0, 0, 0])),
+        config=MICPSensorConfig.create(max_dist=2.0, weight=0.5, corr_type="CP"),
+    )
+    tom = true_pose @ Transform.from_pose_tuple(
+        jnp.asarray([0.08, -0.05, 0.04, 0, 0, 0.04])
+    )
+    tbo = Transform.identity()
+
+    for cfg, sensors in (
+        (MICPConfig(solver="umeyama"), [s_rc]),
+        (MICPConfig(), [s_rc, s_cp]),
+    ):
+        tom_ref, stats_ref = correct_once(
+            bvh, sensors, tom, tbo, jnp.float32(0.0), config=cfg
+        )
+        sensors_s = shard_sensor_data(sensors, mesh8)
+        tom_s, stats_s = sharded_correct_once(
+            bvh, sensors_s, put_replicated(tom, mesh8),
+            put_replicated(tbo, mesh8), jnp.float32(0.0), mesh8, config=cfg,
+        )
+        np.testing.assert_allclose(
+            np.asarray(tom_s.trans), np.asarray(tom_ref.trans), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            np.asarray(tom_s.rot), np.asarray(tom_ref.rot), atol=1e-4
+        )
+        np.testing.assert_allclose(
+            float(stats_s.valid_matches), float(stats_ref.valid_matches),
+            rtol=1e-4,
+        )
+
+
+def test_sharded_correct_once_collective_budget(mesh8):
+    """The packed design's contract: K+1 all-reduces per correction
+    (one packed psum per GN iteration + one final stats pack), not the
+    ~16 rendezvous auto-SPMD used to insert (VERDICT r3 #4)."""
+    import re
+
+    from rmcl_tpu.micp.pipeline import MICPConfig
+    from rmcl_tpu.parallel.sharded import _correct_once_shmap
+
+    bvh = build_bvh(make_room_scene(n_pillars=2, seed=1))
+    model = SphericalModel.create(
+        width=64, height=4, phi_min=-0.2, phi_max=0.2, range_max=30.0
+    )
+    hits = simulate(bvh, model, Transform.identity())
+    sensor = MICPSensorData(
+        model=model, points=hits.point, mask=hits.hit,
+        tsb=Transform.identity(), config=MICPSensorConfig.create(max_dist=2.0),
+    )
+    sensors_s = shard_sensor_data([sensor], mesh8)
+    for k in (5, 2):
+        f = _correct_once_shmap(
+            mesh8, MICPConfig(optimization_iterations=k), 1 << 30, 1
+        )
+        hlo = f.lower(
+            put_replicated(bvh, mesh8), tuple(sensors_s),
+            put_replicated(Transform.identity(), mesh8),
+            put_replicated(Transform.identity(), mesh8), jnp.float32(0.0),
+        ).compile().as_text()
+        n_ar = len(re.findall(r"\ball-reduce\b", hlo))
+        assert n_ar == k + 1, (k, n_ar)
