@@ -1375,7 +1375,7 @@ def factored_candidates(
     static_argnames=(
         "t_min", "t_max", "c_super", "c_bin", "block_chunk", "sort_blocks",
         "c_mid", "c_hyper", "sub_blocks", "payload", "flip_normals",
-        "origin_margin", "dir_margin",
+        "origin_margin", "dir_margin", "paired",
     ),
 )
 def cast_rays_binned_factored(
@@ -1397,6 +1397,7 @@ def cast_rays_binned_factored(
     origin_margin: float = 0.0,
     dir_margin: float = 0.0,
     candidates: Tuple[Array, Array, Array] | None = None,
+    paired: bool = False,
 ) -> RayHits:
     """Closest-hit for *factored* ray blocks: each block is the cross
     product of P pose origins x G shared directions (ray = g*P + p within
@@ -1431,6 +1432,16 @@ def cast_rays_binned_factored(
     inflates the origin boxes when the cull DOES run here, so the hits can
     double as reusable candidates.
 
+    ``paired=True``: PER-RAY origins instead of the pose x dir cross
+    product — ``o_blk`` must be (n_blk, G, 3), origin i pairing with
+    direction i (ray = block-local index i; Rb = G). This is the OnDn
+    sensor layout (per-ray origins — reference OnDnSimulator contract) in
+    the factored engine: the cull is unchanged (it already bounds the
+    block's origin SET with a box and its directions with cones), only
+    the pair grid collapses from (B, G, P) to (B, G) by placing origins
+    on the direction axis. Enables candidate reuse / TrackedCorrector for
+    OnDn rigs (VERDICT r3 #6).
+
     Constraints: ``t_min >= 0`` (degenerate/padding triangles rely on
     ``t=0`` failing the gate); scalar t_min/t_max.
     """
@@ -1439,7 +1450,12 @@ def cast_rays_binned_factored(
     d_blk = jnp.asarray(d_blk, jnp.float32)
     n_blk, P, _ = o_blk.shape
     G = d_blk.shape[1]
-    Rb = P * G
+    if paired:
+        assert o_blk.shape == d_blk.shape, (
+            "paired=True needs one origin per direction: o_blk (n_blk, G, 3)"
+        )
+    P_eff = 1 if paired else P
+    Rb = P_eff * G
     t_min_s = float(t_min)
     t_max_s = float(t_max)
     assert t_min_s >= 0.0
@@ -1513,8 +1529,13 @@ def cast_rays_binned_factored(
         Cb = o_c.shape[0]
         limit = jnp.max(count_c)
         j_iota = jax.lax.broadcasted_iota(jnp.int32, (1, B, 1, 1), 1)
-        # component planes: origins (Cb, 1, 1, P), directions (Cb, 1, G, 1)
-        ox, oy, oz = (o_c[..., k][:, None, None, :] for k in range(3))
+        # component planes: directions (Cb, 1, G, 1); origins (Cb, 1, 1, P)
+        # for the cross-product layout, or (Cb, 1, G, 1) when paired (one
+        # origin per direction — the pair grid loses the P axis)
+        if paired:
+            ox, oy, oz = (o_c[..., k][:, None, :, None] for k in range(3))
+        else:
+            ox, oy, oz = (o_c[..., k][:, None, None, :] for k in range(3))
         dx, dy, dz = (d_c[..., k][:, None, :, None] for k in range(3))
 
         def body(c, state):
@@ -1597,17 +1618,19 @@ def cast_rays_binned_factored(
                 pl = pl + (upd(state[5], tw[:, 12]), upd(state[6], tw[:, 13]))
             return (t_best,) + pl
 
-        z = jnp.zeros((Cb, G, P), jnp.float32)
-        t0 = jnp.broadcast_to((alive_c * t_max_s)[:, None, None], (Cb, G, P))
+        z = jnp.zeros((Cb, G, P_eff), jnp.float32)
+        t0 = jnp.broadcast_to(
+            (alive_c * t_max_s)[:, None, None], (Cb, G, P_eff)
+        )
         if payload == "none":
             init = (t0,)
         elif payload == "index":
-            zi = jnp.zeros((Cb, G, P), jnp.int32)
-            init = (t0, zi, jnp.full((Cb, G, P), -1, jnp.int32))
+            zi = jnp.zeros((Cb, G, P_eff), jnp.int32)
+            init = (t0, zi, jnp.full((Cb, G, P_eff), -1, jnp.int32))
         else:
             init = (t0,) + (z,) * 4
             if carry_ids:
-                init = init + (jnp.full((Cb, G, P), -1.0), z)
+                init = init + (jnp.full((Cb, G, P_eff), -1.0), z)
 
         def cond(cs_):
             c, state = cs_
@@ -1654,11 +1677,14 @@ def cast_rays_binned_factored(
         )
 
     # per-ray origins/directions for the exact plane re-derivation
-    o_r = jnp.broadcast_to(
-        o_blk[:n_blk, None], (n_blk, G, P, 3)
-    ).reshape(batch + (3,))
+    if paired:
+        o_r = o_blk[:n_blk].reshape(batch + (3,))
+    else:
+        o_r = jnp.broadcast_to(
+            o_blk[:n_blk, None], (n_blk, G, P, 3)
+        ).reshape(batch + (3,))
     d_r = jnp.broadcast_to(
-        d_blk[:n_blk, :, None], (n_blk, G, P, 3)
+        d_blk[:n_blk, :, None], (n_blk, G, P_eff, 3)
     ).reshape(batch + (3,))
     if payload == "index":
         # winner (candidate, lane) -> global triangle row, one gather/ray.

@@ -92,7 +92,7 @@ def main():
     st0 = tc.init(bins, Transform(rot=jnp.asarray([1.0, 0, 0, 0]),
                                   trans=jnp.asarray([3.0, 3.0, 1.2])),
                   Transform.identity(), tsb)
-    cmax = int(jnp.max(st0.candidates[1]))
+    cmax = int(jnp.max(st0.candidates[0][1]))
     print(f"candidates/block max {cmax} (budget {C_BIN})", file=sys.stderr)
 
     def scan_window(state, pts, msk, tbo_q, tbo_t):
@@ -100,7 +100,7 @@ def main():
             p, m, q, t = inp
             sensor = MICPSensorData(model=model, points=p, mask=m, tsb=tsb,
                                     config=scfg)
-            st, stats = tc._step_impl(bins, sensor, st,
+            st, stats = tc._step_impl(bins, (sensor,), st,
                                       Transform(rot=q, trans=t))
             return st, st.tom.trans
         return jax.lax.scan(body, state, (pts, msk, tbo_q, tbo_t))
