@@ -212,7 +212,18 @@ def _traverse_batch(nodes, root_link, o, d, t_min, t_max, max_iters=None,
     return t_best, best_slot, cur
 
 
-def _traverse_rounds(nodes, root_link, o, d, t_min, t_max, rounds, sub_chunk):
+def _partition_alive_first(cur):
+    """Stable alive-first permutation via cumsums (cheaper than argsort)."""
+    R = cur.shape[0]
+    alive = (cur != _SENT).astype(jnp.int32)
+    ca = jnp.cumsum(alive)
+    dest = jnp.where(alive == 1, ca - 1, ca[-1] + jnp.cumsum(1 - alive) - 1)
+    return jnp.zeros((R,), jnp.int32).at[dest].set(
+        jnp.arange(R, dtype=jnp.int32)
+    )
+
+
+def _traverse_rounds(nodes, root_link, o, d, t_min, t_max, rounds):
     """Capped-round traversal with alive-compaction — lockstep-waste killer.
 
     The single-shot lockstep loop bills every ray in a chunk for the
@@ -220,42 +231,51 @@ def _traverse_rounds(nodes, root_link, o, d, t_min, t_max, rounds, sub_chunk):
     per-ray ideal (measured, scripts/probe_traversal_visits.py: visits
     mean 58 / p99 115 / max 189 on the 217k-face building map, and no
     static key — t_max, origin Morton, direction octant — predicts the
-    deep rays). This runs the SAME traversal in capped rounds: round 0
-    caps every lane at ``rounds[0]`` iterations; between rounds the rays
-    are stably re-ordered alive-first and re-mapped over ``sub_chunk``
-    lanes, so sub-chunks of finished rays exit their while_loop at
-    iteration one and the surviving tail concentrates into ever fewer
-    sub-chunks; the last round is uncapped (correctness). Per-ray serial
-    semantics are untouched — results are BITWISE identical to the
-    single-shot loop; only billing changes. Schedule model on the
-    measured distribution: caps (32,32,32,32) @ sub 8192 = 1.06x ideal
-    vs 3.25x single-shot.
+    deep rays). This runs the SAME traversal in capped WINDOW rounds:
+    ``rounds = ((1.0, K0), (frac1, K1), ...)`` — round j re-orders rays
+    alive-first (cumsum partition; argsort measured the same, both ~the
+    permute cost) and runs ONE full-vector while_loop over the leading
+    ``frac*R`` lanes capped at K iterations; a final FULL-width uncapped
+    pass guarantees correctness for any stragglers beyond the last window
+    (it costs ZERO iterations when none are alive — the loop cond fails
+    before the first body). Per-ray serial semantics are untouched, so
+    results are BITWISE identical to the single-shot loop; only billing
+    changes.
+
+    Chip A/B (2.1M scattered kidnap rays, 217k-face building map,
+    2026-08-20, scripts/probe_rounds{,2,3}.py): single-shot 1.833 s;
+    sub-chunk lax.map variants 1.30-1.61 s (serialization + per-dispatch
+    overhead eat the model's 3x); window rounds ((1,64),(3/8,48),
+    (1/8,None)) **1.296 s = 1.41x** — the best measured schedule, kept as
+    the default. Checksums bitwise-equal throughout.
     """
     R = o.shape[0]
     idx = jnp.arange(R, dtype=jnp.int32)
     t_best, best_slot, cur = _traverse_batch(
-        nodes, root_link, o, d, t_min, t_max, max_iters=rounds[0]
+        nodes, root_link, o, d, t_min, t_max, max_iters=rounds[0][1]
     )
-    n_sub = R // sub_chunk
-    for K in tuple(rounds[1:]) + (None,):
-        order = jnp.argsort((cur == _SENT).astype(jnp.int8), stable=True)
+    for frac, K in rounds[1:]:
+        order = _partition_alive_first(cur)
         take = lambda x: jnp.take(x, order, axis=0)
-        idx, o, d, t_min = take(idx), take(o), take(d), take(t_min)
-        cur, t_best, best_slot = take(cur), take(t_best), take(best_slot)
-        sub = lambda x: x.reshape(n_sub, sub_chunk, *x.shape[1:])
-        # t_max is only consulted when cur/t_best are None (fresh start),
-        # so resumed rounds pass t_best in its slot
-        t_best, best_slot, cur = jax.lax.map(
-            lambda a: _traverse_batch(
-                nodes, root_link, a[0], a[1], a[2], a[3], max_iters=K,
-                cur=a[4], t_best=a[3], best_slot=a[5],
-            ),
-            (sub(o), sub(d), sub(t_min), sub(t_best), sub(cur),
-             sub(best_slot)),
+        idx, cur = take(idx), take(cur)
+        t_best, best_slot = take(t_best), take(best_slot)
+        W = max(int(R * frac), 1)
+        iw = idx[:W]
+        tb_w, bs_w, cur_w = _traverse_batch(
+            nodes, root_link, jnp.take(o, iw, axis=0),
+            jnp.take(d, iw, axis=0), jnp.take(t_min, iw), t_best[:W],
+            max_iters=K, cur=cur[:W], t_best=t_best[:W],
+            best_slot=best_slot[:W],
         )
-        t_best = t_best.reshape(R)
-        best_slot = best_slot.reshape(R)
-        cur = cur.reshape(R)
+        t_best = jnp.concatenate([tb_w, t_best[W:]])
+        best_slot = jnp.concatenate([bs_w, best_slot[W:]])
+        cur = jnp.concatenate([cur_w, cur[W:]])
+    # safety net: full-width uncapped — 0 iterations when nothing is alive
+    t_best, best_slot, cur = _traverse_batch(
+        nodes, root_link, jnp.take(o, idx, axis=0),
+        jnp.take(d, idx, axis=0), jnp.take(t_min, idx), t_best,
+        cur=cur, t_best=t_best, best_slot=best_slot,
+    )
     # scatter back to original ray order
     t_out = jnp.zeros((R,), t_best.dtype).at[idx].set(t_best)
     s_out = jnp.zeros((R,), best_slot.dtype).at[idx].set(best_slot)
@@ -264,7 +284,7 @@ def _traverse_rounds(nodes, root_link, o, d, t_min, t_max, rounds, sub_chunk):
 
 @partial(
     jax.jit,
-    static_argnames=("chunk_size", "flip_normals", "rounds", "sub_chunk"),
+    static_argnames=("chunk_size", "flip_normals", "rounds"),
 )
 def cast_rays(
     bvh: BVH,
@@ -274,8 +294,7 @@ def cast_rays(
     t_max: float | Array = NO_HIT_T,
     chunk_size: int = 262144,
     flip_normals: bool = True,
-    rounds: tuple = (32, 32, 32, 32),
-    sub_chunk: int = 8192,
+    rounds: tuple = ((1.0, 64), (0.375, 48), (0.125, 48)),
 ) -> RayHits:
     """Batch closest-hit query.
 
@@ -283,10 +302,10 @@ def cast_rays(
     Returns a RayHits with the same leading batch shape. ``t`` is
     differentiable w.r.t. ``orig`` and ``dirs`` (plane-equation rederivation).
 
-    ``rounds``/``sub_chunk`` control the capped-round compaction schedule
-    (see :func:`_traverse_rounds`); they change BILLING only, never
-    results. ``rounds=None`` forces the single-shot loop (small batches
-    use it automatically).
+    ``rounds`` controls the capped window-round compaction schedule (see
+    :func:`_traverse_rounds`); it changes BILLING only, never results.
+    ``rounds=None`` forces the single-shot loop (small batches use it
+    automatically).
     """
     orig, dirs = jnp.broadcast_arrays(
         jnp.asarray(orig, jnp.float32), jnp.asarray(dirs, jnp.float32)
@@ -310,20 +329,14 @@ def cast_rays(
     nodes = bvh.nodes
     root = bvh.root_link
 
-    # capped-round compaction only pays off when a chunk spans several
-    # sub-chunks (lockstep waste needs room to exist); small batches keep
-    # the single-shot loop
-    use_rounds = (
-        rounds is not None
-        and chunk >= 4 * sub_chunk
-        and chunk % sub_chunk == 0
-    )
+    # capped-round compaction only pays off when a chunk is large enough
+    # for lockstep waste to exist; small batches keep the single-shot loop
+    use_rounds = rounds is not None and chunk >= 32768
 
     def chunk_fn(args):
         o, d, lo, hi = args
         if use_rounds:
-            return _traverse_rounds(nodes, root, o, d, lo, hi, rounds,
-                                    sub_chunk)
+            return _traverse_rounds(nodes, root, o, d, lo, hi, rounds)
         return _traverse_batch(nodes, root, o, d, lo, hi)[:2]
 
     n_chunks = (n + n_pad) // chunk
