@@ -258,14 +258,27 @@ def sensor_update(
     tsb: Transform,
     config: SensorUpdateConfig = None,
     chunk_size: int = 262144,
+    beams: Tuple[Array, Array, Array] | None = None,
 ) -> ParticleCloud:
-    """Evaluate S sampled beams against all particles; fold likelihoods."""
+    """Evaluate S sampled beams against all particles; fold likelihoods.
+
+    ``beams``: optionally inject a pre-sampled ``(dirs_s, ranges, valid)``
+    triple (the :func:`sample_beams` output). The reference samples ONE
+    beam set per update and broadcasts it to every particle
+    (PCDSensorUpdaterEmbree.cpp:330-341); callers that chunk the cloud
+    over several sensor_update dispatches (bench_mcl_1m) pass the shared
+    sample here so all chunks score the same beams — reference parity AND
+    one sample_beams instead of n_chunks (measured 114 ms/chunk at 1M).
+    """
     if config is None:
         config = SensorUpdateConfig.create()
     S = config.samples
     N = cloud.capacity
 
-    dirs_s, ranges, beam_valid = sample_beams(key, points_s, points_mask, S)
+    if beams is None:
+        dirs_s, ranges, beam_valid = sample_beams(key, points_s, points_mask, S)
+    else:
+        dirs_s, ranges, beam_valid = beams
     sensor_range = RangeInterval(config.range_min, config.range_max)
     real_hit = sensor_range.contains(ranges) & beam_valid  # (S,)
 
@@ -407,6 +420,7 @@ def sensor_update(
                 t_max=jnp.broadcast_to(beam_tmax_all[None, :], (N, Sp)).reshape(-1),
                 block_size=config.block_size,
                 flip_normals=False,
+                payload="index",
                 c_super=config.c_super,
                 c_bin=config.c_bin,
                 c_mid=config.c_mid,
@@ -430,6 +444,7 @@ def sensor_update(
                 t_max=t_bm,
                 block_size=config.block_size,
                 flip_normals=False,
+                payload="index",
                 c_super=config.c_super,
                 c_bin=config.c_bin,
                 c_mid=config.c_mid,

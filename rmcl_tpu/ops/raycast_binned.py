@@ -722,7 +722,7 @@ def cast_rays_binned(
     use_pallas: bool = False,
     pallas_interpret: bool = False,
     shared_dir: bool = False,
-    payload: bool = True,
+    payload: bool | str = True,
     sub_blocks: int = 4,
     dir_groups: int = 0,
     sort_blocks: bool = False,
@@ -731,6 +731,16 @@ def cast_rays_binned(
     with_lossless: bool = False,
 ) -> RayHits:
     """Dense closest-hit query (drop-in for ops.raycast.cast_rays).
+
+    ``payload``: True/"select" carries the winner's (normal, plane offset,
+    ids) through the loop via one-hot lane selects on the pair grid;
+    ``"index"`` carries only (lane, bin) winner indices — two cheap
+    (Bc, Rb) int selects per trip instead of pair-grid one-hot sums — and
+    gathers the winning triangle's 14-float row ONCE per ray at the end
+    (one row gather ~= one narrow gather on this chip, so this replaces
+    the 6 channel gathers that originally motivated the select path).
+    Outputs are bitwise-identical between the two (same winner, same
+    plane re-derivation). False/"none" is the occlusion query (t only).
 
     ``with_lossless=True`` additionally returns a per-ray bool array:
     True certifies the ray's result EXACT (its block's candidate set was
@@ -772,6 +782,8 @@ def cast_rays_binned(
     o = orig.reshape(-1, 3)
     d = dirs.reshape(-1, 3)
     n = o.shape[0]
+    pmode = {True: "select", False: "none"}.get(payload, payload)
+    assert pmode in ("select", "index", "none"), payload
     t_min_r = jnp.broadcast_to(jnp.asarray(t_min, jnp.float32), batch_shape).reshape(-1)
     t_max_r = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32), batch_shape).reshape(-1)
 
@@ -951,8 +963,15 @@ def cast_rays_binned(
             t_min_bin = jax.lax.bitcast_convert_type(key_min2 | jmask, jnp.float32)
             better = t_min_bin < t_best
             t_best = jnp.where(better, t_min_bin, t_best)
-            if not payload:
+            if pmode == "none":
                 return (t_best,)
+            if pmode == "index":
+                # winner indices only — all selects on the (Bc, Rb) ray
+                # grid, none on the pair grid; the triangle row itself is
+                # gathered once per ray after the loop
+                j_win = jnp.where(better, key_min2 & jmask, state[1])
+                b_win = jnp.where(better, bid[:, None], state[2])
+                return (t_best, j_win, b_win)
             # carry the winner's shading payload in registers: one-hot
             # lane-select from the already-resident tw planes. Replaces the
             # end-of-cast global winner gathers (6 x 3.7M from HBM was
@@ -982,8 +1001,11 @@ def cast_rays_binned(
             return (t_best,) + pl
 
         z = jnp.zeros((Bc, Rb_l), jnp.float32)
-        if payload:
+        if pmode == "select":
             init = (tmax_c, z, z, z, z, jnp.full((Bc, Rb_l), -1.0), z)
+        elif pmode == "index":
+            init = (tmax_c, jnp.zeros((Bc, Rb_l), jnp.int32),
+                    jnp.full((Bc, Rb_l), -1, jnp.int32))
         else:
             init = (tmax_c,)
 
@@ -1102,8 +1124,11 @@ def cast_rays_binned(
         else:
             unblk = lambda x: x.reshape(-1)[:n]
         t_best = unblk(outs[0])
-        if payload:
+        if pmode == "select":
             pl = [unblk(x) for x in outs[1:]]
+        elif pmode == "index":
+            j_win = unblk(outs[1])
+            b_win = unblk(outs[2])
 
     if with_lossless:
         if use_pallas:
@@ -1113,7 +1138,7 @@ def cast_rays_binned(
         ).reshape(-1)[:n].reshape(batch_shape)
 
     hit = (t_best < t_max_r.reshape(-1)[:n]) & (t_best < _BIG)
-    if not payload:
+    if pmode == "none":
         # occlusion-style query: loop t only (non-differentiable; the ~1e-5
         # packed-key perturbation applies), no ids/normals/points
         zero3 = jnp.zeros((n, 3), jnp.float32)
@@ -1127,6 +1152,18 @@ def cast_rays_binned(
             normal=zero3.reshape(batch_shape + (3,)),
         )
         return (out_np, lossless) if with_lossless else out_np
+
+    if pmode == "index" and not use_pallas:
+        # one 56-byte row gather per ray resolves the winner's full payload
+        safe_bid = jnp.where(hit & (b_win >= 0), b_win, n_bins)
+        tri_rows = tri.transpose(0, 2, 1).reshape((n_bins + 1) * B, 14)
+        rows = jnp.take(tri_rows, safe_bid * B + j_win, axis=0)  # (n, 14)
+        nxi, nyi, nzi = rows[:, 9], rows[:, 10], rows[:, 11]
+        pl = [
+            nxi, nyi, nzi,
+            nxi * rows[:, 0] + nyi * rows[:, 1] + nzi * rows[:, 2],
+            rows[:, 12], rows[:, 13],
+        ]
 
     nx, ny, nz, d0, prim, inst = pl
 

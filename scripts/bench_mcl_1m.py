@@ -13,7 +13,7 @@ The sensor stage is chunked over particles (128k/dispatch) to bound the
 (TPU_NOTES block_until_ready rule) and every iteration gets fresh keys /
 odometry jitter (relay result-cache hazard).
 
-Writes MCL_1M_r03.json. Usage (TPU): python scripts/bench_mcl_1m.py
+Writes MCL_1M_r04.json. Usage (TPU): python scripts/bench_mcl_1m.py
 """
 
 import json
@@ -74,8 +74,13 @@ def main():
     poses = sample_pose_gaussian(k1, truth, cov, N)
     cloud = ParticleCloud.create(N).with_poses(poses)
 
+    # cluster=False: clustering is pure reordering for block coherence;
+    # in the converged regime EVERY subset of the 0.2 m cloud already
+    # gives the same tight origin box, so the Morton sort buys nothing
+    # (r4 phase split: 77 ms/chunk = 0.6 s/cycle of pure overhead)
     scfg = SensorUpdateConfig.create(
-        samples=SAMPLES, engine="binned", cluster=True,
+        samples=SAMPLES, engine="binned",
+        cluster=os.environ.get("MCL_CLUSTER", "0") == "1",
         c_super=24, c_bin=C_BIN, c_hyper=0, range_max=30.0,
         dist_sigma=0.4,
     )
@@ -100,6 +105,8 @@ def main():
         raise SystemExit(f"MCL_N={N} must be a multiple of MCL_CHUNK={CHUNK}")
     n_chunks = N // CHUNK
 
+    from rmcl_tpu.mcl.sensor_update import sample_beams
+
     @jax.jit
     def cycle(cloud, key, delta_t):
         delta = Transform(rot=jnp.asarray([1.0, 0, 0, 0], jnp.float32),
@@ -107,9 +114,16 @@ def main():
         cloud = motion_update(cloud, delta, jnp.float32(0.05), mcfg)
         k_s, k_r = jax.random.split(key)
 
+        # ONE beam sample per update, shared by every particle chunk —
+        # reference semantics (each sampled beam is broadcast to ALL
+        # particles, PCDSensorUpdaterEmbree.cpp:330-341) and one
+        # sample_beams instead of n_chunks (r4 phase split: 114 ms/chunk)
+        beams = sample_beams(k_s, points_s, mask, SAMPLES)
+
         def upd_chunk(args):
             sub, kc = args
-            return sensor_update(bins, sub, kc, points_s, mask, tsb, scfg)
+            return sensor_update(bins, sub, kc, points_s, mask, tsb, scfg,
+                                 beams=beams)
 
         subs = jax.tree_util.tree_map(
             lambda x: x.reshape((n_chunks, CHUNK) + x.shape[1:]), cloud)
@@ -155,7 +169,7 @@ def main():
         "reference": "1M max particles, 100 beams, motion 50 Hz / resample "
                      "20 Hz timers (rmcl_localization.cpp:349,384)",
     }
-    out_path = os.environ.get("MCL_OUT", "/root/repo/MCL_1M_r03.json")
+    out_path = os.environ.get("MCL_OUT", "/root/repo/MCL_1M_r04.json")
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
