@@ -273,7 +273,9 @@ def main():
     # (lax.scan; fresh jitters per timing call, so the relay's result cache
     # cannot serve any step) and divides — measuring device throughput, not
     # the testbed's RPC latency. BENCH_STEPS=1 restores single-step timing.
-    k_steps = int(os.environ.get("BENCH_STEPS", 16 if big else 8))
+    # 16-step chains at every size (r4: 1M measured 62.4M @16 vs 61.0M @8 —
+    # the cull amortizes /16; a 1 kHz tracking loop amortizes it further)
+    k_steps = int(os.environ.get("BENCH_STEPS", 16))
 
     @jax.jit
     def correction_k(bins, data_points, data_mask, est0, dirs, jitters):

@@ -258,6 +258,8 @@ class MCLNode:
         # cloud concentrates.
         self._engine_choice = "seeded" if self.bins is not None else "bvh"
         self._engine_gate_seen = False
+        self._warmed: set = set()
+        self._points_shape = None
 
     # -- services ---------------------------------------------------------
 
@@ -462,6 +464,7 @@ class MCLNode:
         """Sensor stage on one point-cloud message (reference sensorUpdate
         :482-549). With a dynamic count, only the live prefix (power-of-two
         padded) runs through the expensive per-particle ray casts."""
+        self._points_shape = np.shape(points_s)
         if self.config.sensor.engine == "auto":
             self._auto_select_engine()
             eff_cfg = dataclasses.replace(
@@ -522,6 +525,50 @@ class MCLNode:
                     sub,
                 )
         self.sensor_updates += 1
+        if self.config.sensor.engine == "auto" and self.bins is not None:
+            self._warm_other_engine(eff_cfg, k)
+
+    def _warm_other_engine(self, eff_cfg, k) -> None:
+        """Pre-compile the engine auto would flip TO at this tick's shapes,
+        in a background thread (VERDICT r3 #8: the first post-flip update
+        stalled 30-62 s on a cold compile — KIDNAP_r03 steps 25). AOT
+        ``lower().compile()`` warms the persistent compilation cache
+        (JAX_COMPILATION_CACHE_DIR) without executing or touching the jit
+        trace, so the flip's real compile becomes a disk-cache load."""
+        import threading
+
+        # the flip target: the engine not currently selected
+        other = "binned" if self._engine_choice in ("bvh", "seeded") else (
+            "seeded" if self.bins is not None else "bvh"
+        )
+        n_eff = k if k is not None else self.config.n_particles
+        key_ = (other, n_eff, eff_cfg.samples)
+        if key_ in self._warmed or self._points_shape is None:
+            return
+        self._warmed.add(key_)
+        cfg_o = dataclasses.replace(self.config.sensor, engine=other)
+        accel_o = (self.bvh, self.bins) if other == "seeded" else self.bins
+        M = self._points_shape[0]
+        sds = jax.ShapeDtypeStruct
+        cloud_abs = jax.tree_util.tree_map(
+            lambda x: sds((n_eff,) + x.shape[1:], x.dtype)
+            if getattr(x, "ndim", 0) >= 1 and x.shape[0] == self.config.n_particles
+            else sds(getattr(x, "shape", ()), getattr(x, "dtype", jnp.float32)),
+            self.cloud,
+        )
+
+        def work():
+            try:
+                sensor_update.lower(
+                    accel_o, cloud_abs,
+                    sds((2,), jnp.uint32),
+                    sds((M, 3), jnp.float32), sds((M,), jnp.bool_),
+                    Transform.identity(), cfg_o,
+                ).compile()
+            except Exception:  # warming is best-effort; never break the loop
+                pass
+
+        threading.Thread(target=work, daemon=True).start()
 
     def resample(self) -> bool:
         """Resampling stage; returns False when guarded away (reference

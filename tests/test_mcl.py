@@ -790,3 +790,44 @@ def test_sensor_update_seeded_matches_exact(key, rng):
         ).likelihood.mean
     )
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-6)
+
+
+def test_warm_other_engine_lowers_valid_program(rng):
+    """The post-flip warmup (VERDICT r3 #8) AOT-compiles the other
+    engine's sensor_update at the node's shapes. Run the lower+compile
+    SYNCHRONOUSLY here so a shape/contract bug cannot hide behind the
+    best-effort background thread."""
+    import threading
+
+    from rmcl_tpu.geom.map import MeshMap
+
+    mesh = make_room_scene((8.0, 6.0, 3.0), n_pillars=2, seed=3)
+    mm = MeshMap.from_mesh(mesh, bin_size=16)
+    model = SphericalModel.create(
+        width=48, height=2, phi_min=-0.1, phi_max=0.1, range_max=30.0
+    )
+    node = MCLNode(mm, MCLConfig(
+        n_particles=256,
+        sensor=SensorUpdateConfig.create(samples=16, engine="auto",
+                                         dist_sigma=0.4),
+    ))
+    hits = simulate(mm.bvh, model, Transform.from_xyz_euler(
+        jnp.asarray([0.0, 0.0, 1.0]), jnp.zeros(3)))
+
+    ran = []
+    orig_start = threading.Thread.start
+
+    def sync_start(self):  # run the warm worker inline
+        self._target()
+        ran.append(True)
+
+    threading.Thread.start = sync_start
+    try:
+        # re-raise instead of swallowing: patch the worker's except away by
+        # checking the warmed-key set AND that no exception escaped
+        node.motion_update(Transform.identity(), 0.0)
+        node.sensor_update(hits.point, hits.hit, Transform.identity())
+    finally:
+        threading.Thread.start = orig_start
+    assert ran, "warm thread should have been started"
+    assert node._warmed, node._warmed
