@@ -48,7 +48,9 @@ SAMPLES = int(os.environ.get("MCL_SAMPLES", 100))
 CHUNK = int(os.environ.get("MCL_CHUNK", 131072))
 SUBDIV = int(os.environ.get("MCL_SUBDIV", 45))
 ITERS = int(os.environ.get("MCL_ITERS", 3))
-C_BIN = int(os.environ.get("MCL_CBIN", 96))
+# c_bin 288: covers the capped-reach worst block (262 measured r3);
+# budgets are ~free under count-sorted chunks (TPU_NOTES: 96->288 cost 0.9%)
+C_BIN = int(os.environ.get("MCL_CBIN", 288))
 
 
 def main():
@@ -74,13 +76,13 @@ def main():
     poses = sample_pose_gaussian(k1, truth, cov, N)
     cloud = ParticleCloud.create(N).with_poses(poses)
 
-    # cluster=False: clustering is pure reordering for block coherence;
-    # in the converged regime EVERY subset of the 0.2 m cloud already
-    # gives the same tight origin box, so the Morton sort buys nothing
-    # (r4 phase split: 77 ms/chunk = 0.6 s/cycle of pure overhead)
+    # cluster=True: measured NECESSARY even in the converged regime —
+    # without the Morton(+heading) sort the audit counts rise 51 -> 82
+    # mean (beam-major blocks lose their heading tightness) and the cycle
+    # is ~25% slower (r4 chip A/B: 7.8 s clustered vs 10.7 s not)
     scfg = SensorUpdateConfig.create(
         samples=SAMPLES, engine="binned",
-        cluster=os.environ.get("MCL_CLUSTER", "0") == "1",
+        cluster=os.environ.get("MCL_CLUSTER", "1") == "1",
         c_super=24, c_bin=C_BIN, c_hyper=0, range_max=30.0,
         dist_sigma=0.4,
     )
@@ -95,7 +97,7 @@ def main():
         jax.tree_util.tree_map(lambda x: x[:65536], cloud), kp,
         points_s, mask, tsb, scfg)
     counts = np.asarray(candidate_stats(
-        bins, o_p, d_p, t_max=t_p, c_super=24, c_bin=C_BIN))
+        bins, o_p, d_p, t_max=t_p, c_super=24, c_bin=4096))  # uncapped audit
     print(f"audit: candidates/block mean {counts.mean():.1f} "
           f"max {counts.max()} (budget {C_BIN})", file=sys.stderr)
 

@@ -21,7 +21,7 @@ Two regimes:
   * rate_20hz: 5 cm / 1 deg per step (the same robot at 20 Hz) — the
     margin forces frequent re-culls.
 
-Writes MICP_HZ_r03.json. Usage (TPU): python scripts/bench_micp_hz.py
+Writes MICP_HZ_r04.json. Usage (TPU): python scripts/bench_micp_hz.py
 """
 
 import json
@@ -170,7 +170,84 @@ def main():
             "end_pose_error_m": round(row_err, 5),
         })
 
-    out = os.environ.get("HZ_OUT", "/root/repo/MICP_HZ_r03.json")
+    # --- two-sensor rig: spherical + O1Dn (VERDICT r3 #6 done-criterion:
+    # multi-sensor tracked rate within 1.5x of single-sensor) -------------
+    from rmcl_tpu.sensors.models import O1DnModel
+
+    rng = np.random.default_rng(7)
+    d2 = rng.normal(size=(2048, 3)).astype(np.float32)
+    d2[:, 2] = np.abs(d2[:, 2]) * -0.3  # mostly forward/level fan
+    d2 /= np.linalg.norm(d2, axis=1, keepdims=True)
+    o1dn = O1DnModel.create(jnp.asarray(d2), range_max=50.0)
+    tsb2 = Transform.from_pose_tuple(
+        jnp.asarray([0.1, 0.0, 0.15, 0.0, 0.0, 0.0]))
+    tc2 = TrackedCorrector(bins, [model, o1dn], cfg, origin_margin=0.05,
+                           dir_margin=0.01)
+
+    def scan_window2(state, pts, msk, pts2, msk2, tbo_q, tbo_t):
+        def body(st, inp):
+            p, m, p2, m2, q, t = inp
+            s1 = MICPSensorData(model=model, points=p, mask=m, tsb=tsb,
+                                config=scfg)
+            s2 = MICPSensorData(model=o1dn, points=p2, mask=m2, tsb=tsb2,
+                                config=MICPSensorConfig.create(
+                                    max_dist=1.0, weight=0.7))
+            st, stats = tc2._step_impl(bins, (s1, s2), st,
+                                       Transform(rot=q, trans=t))
+            return st, st.tom.trans
+        return jax.lax.scan(body, state, (pts, msk, pts2, msk2, tbo_q, tbo_t))
+
+    scan_window2_j = jax.jit(scan_window2)
+    rng = np.random.default_rng(1)
+    times = []
+    row_err = row_reculls = 0.0
+    for it in range(ITERS + 1):
+        pos, yaw = trajectory(rng, T, 0.002, 0.002,
+                              start=[3.0 + 0.1 * it, 3.0, 1.2])
+        truths = Transform.from_xyz_euler(
+            jnp.asarray(pos),
+            jnp.stack([jnp.zeros(T), jnp.zeros(T), jnp.asarray(yaw)], -1))
+        hits = simulate(bins, model, truths, c_super=24, c_bin=C_BIN)
+        pts = jax.vmap(model.polar_to_cartesian)(
+            jnp.where(hits.hit, hits.t, 0.0))
+        msk = hits.hit
+        hits2 = simulate(bins, o1dn, truths @ tsb2, c_super=24, c_bin=C_BIN)
+        pts2 = jax.vmap(o1dn.polar_to_cartesian)(
+            jnp.where(hits2.hit, hits2.t, 0.0))
+        msk2 = hits2.hit
+        dr = np.cumsum(rng.normal(0, 0.002, (T, 3)).astype(np.float32),
+                       0) * np.asarray([1, 1, 0], np.float32)
+        tbo = Transform(rot=truths.rot, trans=truths.trans + jnp.asarray(dr))
+        state = tc2.init(bins, Transform.identity(), tbo[0], [tsb, tsb2])
+        sync((pts, msk, pts2, msk2, state))
+        t0 = time.time()
+        state, track = scan_window2_j(state, pts, msk, pts2, msk2,
+                                      tbo.rot, tbo.trans)
+        sync(state.tom.trans)
+        dt = time.time() - t0
+        err = np.linalg.norm(
+            np.asarray(state.tom.trans) + np.asarray(tbo.trans[-1])
+            - np.asarray(truths.trans[-1]))
+        if it == 0:
+            print(f"two_sensor: warm {dt:.3f}s", file=sys.stderr)
+            continue
+        times.append(dt)
+        row_err = float(err)
+        row_reculls = int(state.n_reculls)
+        print(f"two_sensor it{it}: {dt:.4f}s for {T} corrections, "
+              f"reculls {row_reculls}, end err {err:.4f} m", file=sys.stderr)
+    real = [t for t in times if t > FLOOR]
+    best = min(real) if real else min(times)
+    results["rows"].append({
+        "regime": "two_sensor_sph_o1dn",
+        "rays_per_correction": model.n_rays + o1dn.n_rays,
+        "corrections_per_sec": round(T / best, 1),
+        "ms_per_correction": round(1000 * best / T, 3),
+        "reculls_per_window": row_reculls,
+        "end_pose_error_m": round(row_err, 5),
+    })
+
+    out = os.environ.get("HZ_OUT", "/root/repo/MICP_HZ_r04.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))
