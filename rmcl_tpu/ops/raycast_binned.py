@@ -871,7 +871,11 @@ def cast_rays_binned(
             bid = jax.lax.dynamic_slice_in_dim(cand_c, c, 1, axis=1)[:, 0]  # (Bc,)
             ok_bin = bid >= 0
             safe = jnp.where(ok_bin, bid, n_bins)  # sentinel: never hits
-            tw = jnp.take(tri, safe, axis=0)  # (Bc, 12, B)
+            # index mode reads only v0/e1/e2 in-loop (the winner's full row
+            # is gathered once per ray at the end) — stream 9 of 14
+            # components; select mode also needs normal/ids (rows 9-13)
+            tw = jnp.take(tri if pmode == "select" else tri[:, :9],
+                          safe, axis=0)  # (Bc, 14 or 9, B)
 
             v0x, v0y, v0z = tw[:, 0, :, None], tw[:, 1, :, None], tw[:, 2, :, None]
             e1x, e1y, e1z = tw[:, 3, :, None], tw[:, 4, :, None], tw[:, 5, :, None]
