@@ -480,6 +480,11 @@ class MCLNode:
             accel = (self.bvh, self.bins)
         else:
             accel = self.bvh
+        # the audit stays binned-only and therefore FLIP-time: running it on
+        # the scattered init cloud would adopt worst-case budgets for the
+        # whole run. The seeded engine is exact regardless of budgets (its
+        # refine pass covers every uncertified ray), so under-budgeting
+        # there costs only speed — see TPU_NOTES r4 certified-fraction rows.
         if (
             not self._budget_checked
             and eff_cfg.engine == "binned"

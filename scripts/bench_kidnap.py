@@ -15,7 +15,7 @@ doubles as the VERDICT #2 evidence that the exact engine RUNS on the chip
 inside the product loop (post int32-gather fix) and that auto never
 selects a crashing path.
 
-Writes KIDNAP_r03.json. Usage (TPU): python scripts/bench_kidnap.py
+Writes KIDNAP_r04.json. Usage (TPU): python scripts/bench_kidnap.py
 """
 
 import json
@@ -145,7 +145,7 @@ def main():
         "reference": "global_localization service + kidnapped scenario "
                      "(rmcl_localization.cpp:233-260, docs/RMCL.md)",
     }
-    out = os.environ.get("KID_OUT", "/root/repo/KIDNAP_r03.json")
+    out = os.environ.get("KID_OUT", "/root/repo/KIDNAP_r04.json")
     with open(out, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps({k: v for k, v in result.items() if k != "phase_a"

@@ -51,6 +51,7 @@ ITERS = int(os.environ.get("MCL_ITERS", 3))
 # c_bin 288: covers the capped-reach worst block (262 measured r3);
 # budgets are ~free under count-sorted chunks (TPU_NOTES: 96->288 cost 0.9%)
 C_BIN = int(os.environ.get("MCL_CBIN", 288))
+BLOCK = int(os.environ.get("MCL_BLOCK", 128))
 
 
 def main():
@@ -84,7 +85,7 @@ def main():
         samples=SAMPLES, engine="binned",
         cluster=os.environ.get("MCL_CLUSTER", "1") == "1",
         c_super=24, c_bin=C_BIN, c_hyper=0, range_max=30.0,
-        dist_sigma=0.4,
+        dist_sigma=0.4, block_size=BLOCK,
     )
     mcfg = MotionUpdateConfig.create()
     rcfg = ResamplerConfig.create()

@@ -14,7 +14,7 @@ import jax, jax.numpy as jnp, numpy as np
 from functools import partial
 from rmcl_tpu.utils.timing import sync
 
-NB, B, KV, Cb, TRIPS = 156_000, 64, 64, 512, 55
+NB, B, KV, Cb, TRIPS = 156_000, 64, 64, 512, 880
 
 rng = np.random.default_rng(0)
 tri_raw = jnp.asarray(rng.normal(size=(NB, 9, B)).astype(np.float32))
@@ -22,6 +22,9 @@ vtab = jnp.asarray(rng.normal(size=(NB, 3, KV)).astype(np.float32))
 idx = rng.integers(0, KV, (NB, B, 3)).astype(np.int32)
 idx_packed = jnp.asarray(idx[..., 0] | (idx[..., 1] << 6) | (idx[..., 2] << 12))
 cand = jnp.asarray(rng.integers(0, NB, (Cb, TRIPS)).astype(np.int32))
+# NOTE round 1 of this probe used TRIPS=55: both variants measured
+# ~54 ms = the relay dispatch floor, i.e. nothing. 880 trips puts
+# device work 10x above the floor.
 
 @jax.jit
 def loop_raw(tri, cand):
@@ -63,3 +66,21 @@ def bench(tag, f, *a, iters=5):
 bench("raw 9xB rows (2304 B)   ", loop_raw, tri_raw, cand)
 bench("indexed verts (1024 B)  ", loop_idx, vtab, idx_packed, cand)
 # and with only 4 of 9 matvecs materialized (x component set) to bound
+
+@partial(jax.jit, static_argnames=("u",))
+def loop_raw_unroll(tri, cand, u):
+    def body(c, acc):
+        s = jnp.zeros((Cb,))
+        for k in range(u):
+            bid = jax.lax.dynamic_slice_in_dim(cand, c * u + k, 1, axis=1)[:, 0]
+            tw = jnp.take(tri, bid, axis=0)
+            s = s + jnp.sum(tw[:, 0] * tw[:, 3] + tw[:, 6], axis=1)
+        return acc + s
+    return jax.lax.fori_loop(0, TRIPS // u, body, jnp.zeros((Cb,)))
+
+for u in (2, 4, 8):
+    bench(f"raw unroll={u}          ", loop_raw_unroll, tri_raw, cand, u)
+
+# candidate-sorted gather locality: adjacent trips fetch adjacent bins
+cand_sorted = jnp.sort(cand, axis=1)
+bench("raw, per-block sorted ids", loop_raw, tri_raw, cand_sorted)
