@@ -74,21 +74,21 @@ def main():
 
     n = int(np.sqrt(faces / 2))
     mesh = make_sphere(n, n, radius=50.0)
-    # Tessellated (big) maps: round-3 sweep (scripts/sweep_10m_model.py —
-    # CPU pair counts, lossless-audited vs the unbudgeted cast) + chip
-    # A/Bs. Pair work ~ block footprint area for surface meshes (invariant
-    # under B alone); SMALL TILES shrink the footprint but only realize it
-    # with FINE bins, and candidate reuse amortizes the bigger cull. Chip:
-    # B=64/cb=512/cs=64/8x4 tiles/16-step chains = 10.9M corr-rays/s vs
-    # the round-2 B=512/16x8 default's 6.6M (+65%); 4x4 tiles 10.3M
-    # (Rb=16 streams each gathered triangle row to half the rays);
-    # B=128/cb=256 4.2M (per-trip tile B*Rb doubles, trips don't halve).
+    # Tessellated (big) maps: r3 sweep (scripts/sweep_10m_model.py — CPU
+    # pair counts, lossless-audited) + chip A/Bs; r4 re-sweep after the
+    # candidate-row gather path was shown GATHER-OP bound (probe_vstream:
+    # per-trip cost invariant under 2.25x fewer bytes / unrolling /
+    # sorting) — so ROWS-PER-RAY-SERVED is the knob, not bytes. Chip at
+    # 10M faces, 16-step chains: 16x8 tiles/cb=512/cs=128 = 11.79M
+    # corr-rays/s (lossless: true counts max 468, /tmp audit in TPU_NOTES)
+    # vs r3's 8x4/cb=512/cs=64 = 10.9M; 16x4 10.0M; 32x8 9.0M; 16x16
+    # 8.2M. 1M keeps the same 16x8 shape (60.9-62.4M).
     big = faces > 4_000_000
     bin_size = int(os.environ.get("BENCH_BIN_SIZE", 64))
     c_bin = int(os.environ.get("BENCH_CBIN", 512 if big else 64))
-    az_tile = int(os.environ.get("BENCH_AZ_TILE", 4 if big else 8))
+    az_tile = int(os.environ.get("BENCH_AZ_TILE", 8))
     el_tile = int(os.environ.get("BENCH_EL_TILE", 1))
-    poses_per_tile = int(os.environ.get("BENCH_POSES_PER_TILE", 8 if big else 16))
+    poses_per_tile = int(os.environ.get("BENCH_POSES_PER_TILE", 16))
     # BPS=16 + hyper coarse level measured best on chip (sweep_r7/r8:
     # 45.2M vs 41.5M at BPS=32 without hypers); candidate sets verified
     # bit-identical to the unbudgeted cast on CPU (check_hyper_bench)
@@ -121,7 +121,7 @@ def main():
                    c_mid=c_mid,
                    c_hyper=int(os.environ.get("BENCH_CHYPER", 24 if big else 20)),
                    payload=os.environ.get("BENCH_PAYLOAD", "plane"),
-                   c_super=int(os.environ.get("BENCH_CSUPER", 64 if big else 24)),
+                   c_super=int(os.environ.get("BENCH_CSUPER", 128 if big else 24)),
                    sub_blocks=int(os.environ.get("BENCH_SUBBLOCKS", 4)))
 
     # candidate reuse across the K chained corrections (the headline lever:

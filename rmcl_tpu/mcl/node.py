@@ -250,13 +250,15 @@ class MCLNode:
             self.config.adaptive_n_min, self.config.n_particles
         )
         self._budget_checked = False
-        # engine='auto' starts on the exact-result path (init clouds are
-        # scattered by definition); with bins available that is the SEEDED
-        # traversal (dense pass primes per-ray t_max — exact results,
-        # measured far cheaper in scattered regimes), else the plain BVH.
-        # _auto_select_engine flips to the dense binned engine once the
-        # cloud concentrates.
-        self._engine_choice = "seeded" if self.bins is not None else "bvh"
+        # engine='auto' starts on the exact traversal (init clouds are
+        # scattered by definition; chip A/B r4: plain exact with window
+        # rounds 1.65 s vs seeded 1.94 s on the scattered kidnap update —
+        # the budgeted seed pass certifies ~0% there and only adds its own
+        # cost). engine='seeded' stays available explicitly for deployments
+        # with certifying budgets (see TPU_NOTES r4 certified-fraction
+        # rows). _auto_select_engine flips to the dense binned engine once
+        # the cloud concentrates.
+        self._engine_choice = "bvh"
         self._engine_gate_seen = False
         self._warmed: set = set()
         self._points_shape = None
@@ -410,7 +412,7 @@ class MCLNode:
         if self.bins is None:
             self._engine_choice = "bvh"
             return
-        exact_choice = "seeded"  # exact results; bins exist here by the gate above
+        exact_choice = "bvh"  # measured fastest exact path (see __init__ note)
         period = max(int(self.config.auto_engine_period), 1)
         if self.sensor_updates % period and self._engine_gate_seen:
             return

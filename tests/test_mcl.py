@@ -654,7 +654,7 @@ def test_auto_engine_selection():
     hits = _sim(mm.bvh, model, true_pose)
     node.motion_update(tbo, 0.0)
     node.sensor_update(hits.point, hits.hit, Transform.identity())
-    assert node._engine_choice == "seeded"  # scattered -> exact-result engine
+    assert node._engine_choice == "bvh"  # scattered -> exact engine
     for step in range(1, 25):
         node.motion_update(tbo, step * 0.1)
         hits = _sim(mm.bvh, model, true_pose)
@@ -671,7 +671,7 @@ def test_auto_engine_selection():
     node.motion_update(tbo, 100.1)
     hits = _sim(mm.bvh, model, true_pose)
     node.sensor_update(hits.point, hits.hit, Transform.identity())
-    assert node._engine_choice == "seeded"
+    assert node._engine_choice == "bvh"
 
 
 def test_binned_exact_agreement_by_regime(key, rng):
@@ -745,7 +745,7 @@ def test_auto_engine_heading_gate(rng):
 
     set_cloud(0.5)  # ~30 deg heading spread, tight positions
     node._auto_select_engine()
-    assert node._engine_choice == "seeded"
+    assert node._engine_choice == "bvh"
     set_cloud(0.02)  # converged headings
     node._auto_select_engine()
     assert node._engine_choice == "binned"
