@@ -370,10 +370,10 @@ class MCLNode:
         rec = suggest_budgets(
             self.bins, o, d, t_max=t_cap,
         )
-        new = dataclasses.replace(
-            cfg, c_super=max(rec.c_super, cfg.c_super),
-            c_bin=max(rec.c_bin, cfg.c_bin), c_mid=rec.c_mid,
+        cs, cb = self._budget_rung(
+            max(rec.c_super, cfg.c_super), max(rec.c_bin, cfg.c_bin)
         )
+        new = dataclasses.replace(cfg, c_super=cs, c_bin=cb, c_mid=rec.c_mid)
         print(
             f"[rmcl_tpu] sensor-update budgets saturated ({frac:.0%} of "
             f"blocks at c_bin={cfg.c_bin}); auto-adopting c_super="
@@ -381,6 +381,22 @@ class MCLNode:
             f"(worst sampled block: {rec.max_bins} bins)"
         )
         self.config.sensor = new
+
+    # adopted budgets are QUANTIZED to this rung ladder: budgets are ~free
+    # under count-sorted chunks (TPU_NOTES — trips bill actual candidate
+    # counts), but every distinct (c_super, c_bin) is a fresh XLA program,
+    # and the post-flip stall in KIDNAP_r03/r04 was exactly a cold compile
+    # of an unpredictable adopted config (c_bin=3387...). Three rungs keep
+    # the config space small enough for _warm_other_engine to pre-compile
+    # every budget the flip could adopt.
+    _BUDGET_RUNGS = ((48, 256), (96, 1024), (192, 4096))
+
+    @classmethod
+    def _budget_rung(cls, c_super: int, c_bin: int):
+        for cs, cb in cls._BUDGET_RUNGS:
+            if cs >= c_super and cb >= c_bin:
+                return cs, cb
+        return c_super, c_bin  # beyond the ladder: adopt exactly (rare)
 
     @staticmethod
     @jax.jit
@@ -554,6 +570,14 @@ class MCLNode:
             return
         self._warmed.add(key_)
         cfg_o = dataclasses.replace(self.config.sensor, engine=other)
+        # the flip-time budget audit adopts one of the quantized rungs (or
+        # keeps the current budgets) — warm every config it could pick
+        cfgs = [cfg_o]
+        if other == "binned":
+            cfgs += [
+                dataclasses.replace(cfg_o, c_super=cs, c_bin=cb)
+                for cs, cb in self._BUDGET_RUNGS
+            ]
         accel_o = (self.bvh, self.bins) if other == "seeded" else self.bins
         M = self._points_shape[0]
         sds = jax.ShapeDtypeStruct
@@ -565,15 +589,16 @@ class MCLNode:
         )
 
         def work():
-            try:
-                sensor_update.lower(
-                    accel_o, cloud_abs,
-                    sds((2,), jnp.uint32),
-                    sds((M, 3), jnp.float32), sds((M,), jnp.bool_),
-                    Transform.identity(), cfg_o,
-                ).compile()
-            except Exception:  # warming is best-effort; never break the loop
-                pass
+            for cfg_w in cfgs:
+                try:
+                    sensor_update.lower(
+                        accel_o, cloud_abs,
+                        sds((2,), jnp.uint32),
+                        sds((M, 3), jnp.float32), sds((M,), jnp.bool_),
+                        Transform.identity(), cfg_w,
+                    ).compile()
+                except Exception:  # warming is best-effort
+                    pass
 
         threading.Thread(target=work, daemon=True).start()
 
