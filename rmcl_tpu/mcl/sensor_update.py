@@ -53,13 +53,18 @@ class SensorUpdateConfig:
 
     samples: int = dataclasses.field(default=100, metadata=dict(static=True))
     correspondence_type: str = dataclasses.field(default="RC", metadata=dict(static=True))
-    # bvh    — exact stackless traversal (no budgets, gather-bound)
+    # bvh    — exact stackless traversal (no budgets; window-round
+    #          compaction — the fastest exact path on scattered clouds)
     # binned — dense gather-free caster (fast on coherent blocks; candidate
     #          budgets can saturate => lossy on scattered clouds)
-    # seeded — exact results at a fraction of the traversal cost: a binned
-    #          pass primes the exact traversal's t_max per ray (true upper
-    #          bound wherever the dense pass hits anything) + bound-sorted
-    #          chunks. Needs BOTH structures: pass accel=(bvh, bins).
+    # seeded — trust-or-refine: a binned pass whose CERTIFIED rays (blocks
+    #          with untruncated budgets) are accepted outright, everything
+    #          else refined by the exact traversal with the seed hit
+    #          priming t_best. Always exact. Pays off ONLY when budgets
+    #          certify most blocks (measured: 100% at cs=48/cb=288 in
+    #          mid-convergence spreads, ~0% scattered — TPU_NOTES r4);
+    #          scattered clouds should use "bvh" (chip A/B: 1.65 s vs
+    #          seeded 1.94 s). Needs BOTH structures: accel=(bvh, bins).
     engine: str = dataclasses.field(default="bvh", metadata=dict(static=True))
     # binned engine only: Morton(+heading) cluster the particles per update
     # so beam-major ray blocks stay spatially/angularly tight (resampling
