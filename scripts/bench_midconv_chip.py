@@ -10,7 +10,7 @@ per-beam range cap that is now default:
 
 This script times the same updates on the TPU: exact engine vs binned
 at the agreement-audited budgets, same cloud, fresh keys per iteration.
-Writes MIDCONV_r03.json. Usage (TPU): python scripts/bench_midconv_chip.py
+Writes MIDCONV_r04.json. Usage (TPU): python scripts/bench_midconv_chip.py
 """
 
 import json
@@ -90,6 +90,15 @@ def main():
         "exact", bvh,
         SensorUpdateConfig.create(samples=SAMPLES, engine="bvh",
                                   dist_sigma=0.4, range_max=30.0))
+    # trust-or-refine at certifying budgets: EXACT results; blocks whose
+    # budgets did not truncate skip the traversal outright (r4)
+    rows["seeded_cs48_cb288"] = run(
+        "seeded", (bvh, bins),
+        SensorUpdateConfig.create(
+            samples=SAMPLES, engine="seeded", cluster=True, layout="particle",
+            c_super=48, c_bin=288, dist_sigma=0.4, range_max=30.0))
+    rows["seeded_speedup_vs_exact"] = round(
+        rows["exact_bvh"]["seconds"] / rows["seeded_cs48_cb288"]["seconds"], 2)
     for cb, cs, corr in ((256, 64, 0.988), (192, 48, 0.964),
                          (128, 32, 0.887)):
         r = run(f"binned cb={cb}", bins,
@@ -109,7 +118,7 @@ def main():
         **rows,
         "cpu_agreement_audit": "scripts/probe_midconv.py (range-capped)",
     }
-    with open(os.environ.get("MID_OUT", "/root/repo/MIDCONV_r03.json"),
+    with open(os.environ.get("MID_OUT", "/root/repo/MIDCONV_r04.json"),
               "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))
