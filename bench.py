@@ -122,7 +122,19 @@ def main():
                    c_hyper=int(os.environ.get("BENCH_CHYPER", 24 if big else 20)),
                    payload=os.environ.get("BENCH_PAYLOAD", "plane"),
                    c_super=int(os.environ.get("BENCH_CSUPER", 128 if big else 24)),
-                   sub_blocks=int(os.environ.get("BENCH_SUBBLOCKS", 4)))
+                   # r4: PER-RAY cull cones (sub_blocks == Rb). With the
+                   # cull amortized /16 by candidate reuse, maximally tight
+                   # cones are nearly free while pair+stream work follows
+                   # the candidate sets down. Chip ladder at 1M:
+                   # sub 4/8/16/32/64/128 = 0.872/0.897/0.929/0.953/1.001/
+                   # **1.024x**; at 10M 0.373 -> **0.584x**. Lossless-
+                   # audited at 128 (check_reuse_bench: bitwise reuse
+                   # equality + unbudgeted coarse-cone cast match).
+                   # 100k-class maps keep coarser cones: candidate sets
+                   # are already tiny there and the finer cull only adds
+                   # cost (chip: 1.77x @ sub 8 vs 1.47x @ 128)
+                   sub_blocks=int(os.environ.get(
+                       "BENCH_SUBBLOCKS", 128 if faces >= 400_000 else 8)))
 
     # candidate reuse across the K chained corrections (the headline lever:
     # the cull was 54% of the round-2 correction). Consecutive tracking
