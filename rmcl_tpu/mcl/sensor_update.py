@@ -91,6 +91,12 @@ class SensorUpdateConfig:
     # ops.raycast_binned._chunk_level0: sizes the coarse levels with ONE
     # fat block cone, so c_super must cover the fat-cone passing count.
     c_hyper: int = dataclasses.field(default=0, metadata=dict(static=True))
+    # per-sub-block cull cones (cast_rays_binned sub_blocks): finer cones
+    # shrink candidate sets conservatively (each cone bounds its own rays;
+    # the union covers the block) at higher cull cost. MCL pays the cull
+    # EVERY update (no cross-correction reuse here), so the optimum sits
+    # lower than the corrector's reuse-amortized sub=128 ladder top.
+    sub_blocks: int = dataclasses.field(default=4, metadata=dict(static=True))
     # binned engine ray layout:
     #   "beam":     blocks = many particles x one beam (good once the cloud
     #               has concentrated: positions tight, headings aligned)
@@ -139,6 +145,7 @@ class SensorUpdateConfig:
         layout="beam",
         range_cap_sigmas=6.0,
         block_size=128,
+        sub_blocks=4,
     ):
         return SensorUpdateConfig(
             samples=samples,
@@ -152,6 +159,7 @@ class SensorUpdateConfig:
             layout=layout,
             range_cap_sigmas=float(range_cap_sigmas),
             block_size=block_size,
+            sub_blocks=sub_blocks,
             dist_sigma=jnp.float32(dist_sigma),
             real_hit_sim_miss_error=jnp.float32(real_hit_sim_miss_error),
             real_miss_sim_hit_error=jnp.float32(real_miss_sim_hit_error),
@@ -412,6 +420,7 @@ def sensor_update(
                 c_bin=config.c_bin,
                 c_mid=config.c_mid,
                 c_hyper=config.c_hyper,
+                sub_blocks=config.sub_blocks,
             )
             hits = jax.tree.map(lambda x: x.reshape(N, Sp, *x.shape[1:]), h)
         elif config.engine == "binned" and particle_major:
@@ -430,6 +439,7 @@ def sensor_update(
                 c_bin=config.c_bin,
                 c_mid=config.c_mid,
                 c_hyper=config.c_hyper,
+                sub_blocks=config.sub_blocks,
             )
             hits = jax.tree.map(
                 lambda x: x.reshape(N, Sp, *x.shape[1:]), h
@@ -454,6 +464,7 @@ def sensor_update(
                 c_bin=config.c_bin,
                 c_mid=config.c_mid,
                 c_hyper=config.c_hyper,
+                sub_blocks=config.sub_blocks,
             )
             resh = lambda x: jnp.swapaxes(
                 x.reshape(Sp, N, *x.shape[1:]), 0, 1

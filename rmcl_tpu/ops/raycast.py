@@ -248,6 +248,14 @@ def _traverse_rounds(nodes, root_link, o, d, t_min, t_max, rounds):
     overhead eat the model's 3x); window rounds ((1,64),(3/8,48),
     (1/8,None)) **1.296 s = 1.41x** — the best measured schedule, kept as
     the default. Checksums bitwise-equal throughout.
+
+    Round-4b A/B (scripts/probe_rounds4.py, same workload): CAPPING the
+    last window at 48 sends the >160-visit stragglers (max 189) to the
+    full-width safety pass — 1.536 s vs 1.313 s with the tail window
+    uncapped (1.17x); an extra 1/32 window after a capped 1/8 is worse
+    (1.358 s), and larger chunks lose outright (512k 2.57 s / 1M 1.46 s /
+    2M 1.67 s at this 2.1M-ray workload) — the per-iteration gather cost
+    scales with lanes, there is no fixed dispatch term to amortize.
     """
     R = o.shape[0]
     idx = jnp.arange(R, dtype=jnp.int32)
@@ -294,7 +302,7 @@ def cast_rays(
     t_max: float | Array = NO_HIT_T,
     chunk_size: int = 262144,
     flip_normals: bool = True,
-    rounds: tuple = ((1.0, 64), (0.375, 48), (0.125, 48)),
+    rounds: tuple = ((1.0, 64), (0.375, 48), (0.125, None)),
 ) -> RayHits:
     """Batch closest-hit query.
 
@@ -405,6 +413,7 @@ def cast_rays(
         "c_bin",
         "c_mid",
         "c_hyper",
+        "sub_blocks",
         "sort",
     ),
 )
@@ -422,6 +431,7 @@ def cast_rays_seeded(
     c_bin: int = 96,
     c_mid: int = 0,
     c_hyper: int = 0,
+    sub_blocks: int = 4,
     sort: bool = True,
 ) -> RayHits:
     """Exact closest-hit query with a dense-engine seed pass.
@@ -487,6 +497,7 @@ def cast_rays_seeded(
         c_mid=c_mid,
         c_hyper=c_hyper,
         with_lossless=True,
+        sub_blocks=sub_blocks,
     )
     bound = jnp.where(
         seed.hit, seed.t * jnp.float32(1.0 + 1e-5) + jnp.float32(1e-6), t_max_r

@@ -52,6 +52,7 @@ ITERS = int(os.environ.get("MCL_ITERS", 3))
 # budgets are ~free under count-sorted chunks (TPU_NOTES: 96->288 cost 0.9%)
 C_BIN = int(os.environ.get("MCL_CBIN", 288))
 BLOCK = int(os.environ.get("MCL_BLOCK", 128))
+SUBB = int(os.environ.get("MCL_SUBB", 16))  # r4b chip A/B @256k: sub 4/16 = 2.537/2.297 s
 
 
 def main():
@@ -85,7 +86,7 @@ def main():
         samples=SAMPLES, engine="binned",
         cluster=os.environ.get("MCL_CLUSTER", "1") == "1",
         c_super=24, c_bin=C_BIN, c_hyper=0, range_max=30.0,
-        dist_sigma=0.4, block_size=BLOCK,
+        dist_sigma=0.4, block_size=BLOCK, sub_blocks=SUBB,
     )
     mcfg = MotionUpdateConfig.create()
     rcfg = ResamplerConfig.create()
