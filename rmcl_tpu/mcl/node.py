@@ -60,7 +60,12 @@ def _join_warm_threads():
 
     deadline = _time.monotonic() + 30.0
     for t in _WARM_THREADS:
-        t.join(timeout=max(0.0, deadline - _time.monotonic()))
+        try:
+            t.join(timeout=max(0.0, deadline - _time.monotonic()))
+        except RuntimeError:
+            # registered but not yet started (append/start race) — nothing
+            # is compiling on it, so there is nothing to wait for
+            pass
 
 
 import atexit as _atexit
@@ -634,8 +639,8 @@ class MCLNode:
                 pass
 
         t = threading.Thread(target=work, daemon=True)
+        t.start()  # start BEFORE publishing: the atexit joiner may run now
         _WARM_THREADS.append(t)
-        t.start()
 
     def resample(self) -> bool:
         """Resampling stage; returns False when guarded away (reference

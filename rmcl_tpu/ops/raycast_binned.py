@@ -829,6 +829,9 @@ def cast_rays_binned(
     assert B & (B - 1) == 0, "bin_size must be a power of two (packed-key min)"
     jmask = jnp.int32(B - 1)
 
+    assert Rb % sub_blocks == 0, (
+        f"block_size ({Rb}) must be a multiple of sub_blocks ({sub_blocks})"
+    )
     G = dir_groups
     if G:
         assert Rb % G == 0, "block_size must be a multiple of dir_groups"

@@ -212,13 +212,43 @@ def sharded_gladiator_resample(
         L_self = jnp.where(cloud.alive, cloud.likelihood.mean, -jnp.inf)
         if exchange and n_dev > 1 and shifts:
             # rotate candidate blocks (poses + likelihood) from the
-            # configured ring distances
+            # configured ring distances. The cloud's 7 leaves are PACKED
+            # into one (n, 17) f32 buffer so each shift is ONE
+            # collective-permute, not 7 (same discipline as the packed
+            # psums in sharded_correct_once — on rendezvous-dominated
+            # transports the collective COUNT is the floor). Pinned by
+            # tests/test_sharding.py::test_sharded_mcl_collective_budget.
+            packed = jnp.concatenate(
+                [
+                    cloud.poses.rot, cloud.poses.trans,
+                    cloud.likelihood.mean[:, None],
+                    cloud.likelihood.sigma[:, None],
+                    cloud.likelihood.n_meas[:, None],
+                    cloud.state_sigma,
+                    cloud.alive.astype(jnp.float32)[:, None],
+                ],
+                axis=1,
+            )
+
+            def unpack(p) -> ParticleCloud:
+                from rmcl_tpu.math.gaussian import Gaussian1D
+
+                return dataclasses.replace(
+                    cloud,
+                    poses=Transform(rot=p[:, 0:4], trans=p[:, 4:7]),
+                    likelihood=Gaussian1D(
+                        mean=p[:, 7], sigma=p[:, 8], n_meas=p[:, 9]
+                    ),
+                    state_sigma=p[:, 10:16],
+                    alive=p[:, 16] > 0.5,
+                )
+
             blocks = [cloud]
             for s in shifts:
                 perm = [(i, (i + s) % n_dev) for i in range(n_dev)]
-                blocks.append(jax.tree.map(
-                    lambda x: jax.lax.ppermute(x, RAY_AXIS, perm), cloud
-                ))
+                blocks.append(
+                    unpack(jax.lax.ppermute(packed, RAY_AXIS, perm))
+                )
             pool = jax.tree.map(
                 lambda *xs: jnp.concatenate(xs, axis=0), *blocks
             )

@@ -98,8 +98,12 @@ def main():
     o_p, d_p, t_p = probe_update_rays(
         jax.tree_util.tree_map(lambda x: x[:65536], cloud), kp,
         points_s, mask, tsb, scfg)
+    # uncapped audit at the benchmark's own block size (ADVICE r4: the
+    # default 256-block audit measured a different configuration). The
+    # full-block cone is a conservative upper bound of the sub-block
+    # cones' union, so max < C_BIN still certifies the run lossless.
     counts = np.asarray(candidate_stats(
-        bins, o_p, d_p, t_max=t_p, c_super=24, c_bin=4096))  # uncapped audit
+        bins, o_p, d_p, t_max=t_p, block_size=BLOCK, c_super=24, c_bin=4096))
     print(f"audit: candidates/block mean {counts.mean():.1f} "
           f"max {counts.max()} (budget {C_BIN})", file=sys.stderr)
 

@@ -41,6 +41,9 @@ R = o.shape[0]
 print(f"rays {R}", file=sys.stderr)
 
 
+_ref_checksum = [None]
+
+
 def run(tag, schedule, chunk=262144):
     f = jax.jit(partial(cast_rays, chunk_size=chunk, rounds=schedule))
     ts = []
@@ -50,6 +53,14 @@ def run(tag, schedule, chunk=262144):
         sync(h.t)
         ts.append(time.perf_counter() - t0)
     cs = float(jnp.sum(jnp.where(h.hit, h.t, 0.0)))
+    # `rounds` is documented bitwise-identical across schedules — enforce
+    # it instead of eyeballing stderr (ADVICE r4)
+    if _ref_checksum[0] is None:
+        _ref_checksum[0] = cs
+    else:
+        assert cs == _ref_checksum[0], (
+            f"{tag}: checksum {cs} != reference {_ref_checksum[0]}"
+        )
     print(f"{tag}: best {min(ts[1:]):.3f}s (cold {ts[0]:.1f}s) checksum {cs:.1f}", flush=True)
 
 

@@ -473,3 +473,62 @@ def test_sharded_correct_once_collective_budget(mesh8):
         ).compile().as_text()
         n_ar = len(re.findall(r"\ball-reduce\b", hlo))
         assert n_ar == k + 1, (k, n_ar)
+
+
+def test_sharded_mcl_collective_budget(mesh8, key):
+    """Collective-budget pin for the sharded MCL path (VERDICT r4 #8c):
+    the sensor update is purely shard-local (ZERO collectives), the
+    gladiator exchange is ONE packed collective-permute per shift, and
+    the dynamic residual share split is ONE all-gather."""
+    import re
+
+    from rmcl_tpu.parallel.sharded import sharded_residual_resample_dynamic
+
+    def counts(jitted, *args):
+        hlo = jitted.lower(*args).compile().as_text()
+        return {
+            kind: len(re.findall(rf"\b{kind}\b", hlo))
+            for kind in ("all-reduce", "all-gather", "collective-permute")
+        }
+
+    n = 1024
+    cloud = ParticleCloud.create(n)
+    cloud_s = put_sharded(cloud, mesh8)
+    cfg = ResamplerConfig.create()
+
+    bvh = build_bvh(make_room_scene(n_pillars=1, seed=3))
+    model = SphericalModel.create(
+        width=64, height=2, phi_min=-0.1, phi_max=0.1, range_max=30.0
+    )
+    hits = simulate(bvh, model, Transform.identity())
+    scfg = SensorUpdateConfig.create(samples=16, dist_sigma=0.5)
+    c = counts(
+        jax.jit(
+            lambda *a: sharded_sensor_update(*a, config=scfg, mesh=mesh8)
+        ),
+        bvh, cloud_s, key, hits.point, hits.hit, Transform.identity(),
+    )
+    assert c == {"all-reduce": 0, "all-gather": 0, "collective-permute": 0}, c
+
+    for shifts in ((1,), (1, 2)):
+        c = counts(
+            jax.jit(
+                lambda cl, k: sharded_gladiator_resample(
+                    cl, k, cfg, mesh8, shifts=shifts
+                )
+            ),
+            cloud_s, key,
+        )
+        assert c["collective-permute"] == len(shifts), (shifts, c)
+        assert c["all-reduce"] == 0 and c["all-gather"] == 0, (shifts, c)
+
+    c = counts(
+        jax.jit(
+            lambda cl, k, nt: sharded_residual_resample_dynamic(
+                cl, k, cfg, nt, mesh8
+            )
+        ),
+        cloud_s, key, jnp.int32(n),
+    )
+    assert c["all-gather"] + c["all-reduce"] == 1, c
+    assert c["collective-permute"] == 0, c
