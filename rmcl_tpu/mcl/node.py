@@ -246,6 +246,12 @@ class MCLNode:
     """
 
     def __init__(self, map_: Union[BVH, "MeshMap"], config: Optional[MCLConfig] = None):
+        # persistent compile cache: the reference loop has no warmup cliff
+        # (AOT C++); ours re-loads compiled programs across process runs
+        # (VERDICT r4 #4 — the 89 s first-update head was a cold compile)
+        from rmcl_tpu.utils.cache import enable_persistent_cache
+
+        enable_persistent_cache()
         # accept either a raw BVH or a MeshMap container
         self.bvh = map_.bvh if hasattr(map_, "bvh") else map_
         self.bins = getattr(map_, "bins", None)
@@ -579,6 +585,75 @@ class MCLNode:
                 jnp.asarray(points_mask, bool), tsb,
             )
 
+    def _accel_for(self, engine: str):
+        if engine == "binned":
+            return self.bins
+        if engine == "seeded":
+            return (self.bvh, self.bins)
+        return self.bvh
+
+    def _spawn_warm(self, engine: str, n_eff: int, n_points: int,
+                    audit_args=None) -> None:
+        """AOT ``lower().compile()`` the sensor-update program for
+        ``engine`` at (n_eff particles, n_points measurements) in a
+        background daemon thread, warming the in-process jit cache AND
+        the persistent compilation cache. ``audit_args`` (points, mask,
+        tsb) additionally runs the binned budget audit first so the
+        compiled budgets are the ones the flip will adopt."""
+        import threading
+
+        key_ = (engine, n_eff, n_points, self.config.sensor.samples)
+        if key_ in self._warmed:
+            return
+        self._warmed.add(key_)
+        accel = self._accel_for(engine)
+        sds = jax.ShapeDtypeStruct
+        cloud_abs = jax.tree_util.tree_map(
+            lambda x: sds((n_eff,) + x.shape[1:], x.dtype)
+            if getattr(x, "ndim", 0) >= 1 and x.shape[0] == self.config.n_particles
+            else sds(getattr(x, "shape", ()), getattr(x, "dtype", jnp.float32)),
+            self.cloud,
+        )
+
+        def work():
+            try:
+                if audit_args is not None and not self._budget_checked:
+                    # adopts (rung-quantized) budgets into
+                    # self.config.sensor and sets _budget_checked — the
+                    # eventual flip then skips its own audit and uses a
+                    # config this thread compiles below
+                    self._check_budgets(*audit_args)
+                cfg_w = dataclasses.replace(self.config.sensor, engine=engine)
+                sensor_update.lower(
+                    accel, cloud_abs,
+                    sds((2,), jnp.uint32),
+                    sds((n_points, 3), jnp.float32),
+                    sds((n_points,), jnp.bool_),
+                    Transform.identity(), cfg_w,
+                ).compile()
+            except Exception:  # warming is best-effort
+                pass
+
+        t = threading.Thread(target=work, daemon=True)
+        t.start()  # start BEFORE publishing: the atexit joiner may run now
+        _WARM_THREADS.append(t)
+
+    def warm(self, n_points: int) -> None:
+        """Pre-compile the FIRST sensor-update program in the background
+        (VERDICT r4 #4: the first update paid an ~89 s cold compile; the
+        reference's AOT loop has no such cliff —
+        micp_localization.cpp:1086-1171). Call right after construction /
+        re-initialization with the expected measurement count: the compile
+        then overlaps host-side setup (map IO, replay parsing, driver
+        logic), and lands in the persistent cache so every later process
+        start is warm even when nothing overlaps.
+        """
+        engine = self.config.sensor.engine
+        if engine == "auto":
+            engine = self._engine_choice
+        n_eff = self._compact_slice() or self.config.n_particles
+        self._spawn_warm(engine, n_eff, int(n_points))
+
     def _warm_other_engine(self, eff_cfg, k, points_s, points_mask,
                            tsb) -> None:
         """Audit + pre-compile the engine auto would flip TO, in a
@@ -593,54 +668,23 @@ class MCLNode:
         conservative rung; budgets are ~free under count-sorted chunks
         (TPU_NOTES), so over-provisioning costs ~nothing while making the
         flip-time config fully predictable."""
-        import threading
-
         # the flip target: the engine not currently selected
         other = "binned" if self._engine_choice in ("bvh", "seeded") else (
             "seeded" if self.bins is not None else "bvh"
         )
-        n_eff = k if k is not None else self.config.n_particles
-        key_ = (other, n_eff, eff_cfg.samples)
-        if key_ in self._warmed or self._points_shape is None:
+        if self._points_shape is None:
             return
-        self._warmed.add(key_)
-        accel_o = (self.bvh, self.bins) if other == "seeded" else self.bins
-        M = self._points_shape[0]
-        sds = jax.ShapeDtypeStruct
-        cloud_abs = jax.tree_util.tree_map(
-            lambda x: sds((n_eff,) + x.shape[1:], x.dtype)
-            if getattr(x, "ndim", 0) >= 1 and x.shape[0] == self.config.n_particles
-            else sds(getattr(x, "shape", ()), getattr(x, "dtype", jnp.float32)),
-            self.cloud,
-        )
+        n_eff = k if k is not None else self.config.n_particles
         run_audit = (
             other == "binned"
             and not self._budget_checked
             and self.config.auto_budget
             and eff_cfg.correspondence_type != "CP"
         )
-
-        def work():
-            try:
-                if run_audit and not self._budget_checked:
-                    # adopts (rung-quantized) budgets into
-                    # self.config.sensor and sets _budget_checked — the
-                    # eventual flip then skips its own audit and uses a
-                    # config this thread compiles below
-                    self._check_budgets(points_s, points_mask, tsb)
-                cfg_w = dataclasses.replace(self.config.sensor, engine=other)
-                sensor_update.lower(
-                    accel_o, cloud_abs,
-                    sds((2,), jnp.uint32),
-                    sds((M, 3), jnp.float32), sds((M,), jnp.bool_),
-                    Transform.identity(), cfg_w,
-                ).compile()
-            except Exception:  # warming is best-effort
-                pass
-
-        t = threading.Thread(target=work, daemon=True)
-        t.start()  # start BEFORE publishing: the atexit joiner may run now
-        _WARM_THREADS.append(t)
+        self._spawn_warm(
+            other, n_eff, self._points_shape[0],
+            audit_args=(points_s, points_mask, tsb) if run_audit else None,
+        )
 
     def resample(self) -> bool:
         """Resampling stage; returns False when guarded away (reference

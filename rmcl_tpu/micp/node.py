@@ -88,6 +88,12 @@ class MICPLocalization:
     """
 
     def __init__(self, map_: MeshMap, config: Optional[ParamTree] = None):
+        # persistent compile cache: process restarts re-load compiled
+        # correction programs instead of re-paying the relay's cold
+        # compile (VERDICT r4 #4; the reference's AOT loop has no cliff)
+        from rmcl_tpu.utils.cache import enable_persistent_cache
+
+        enable_persistent_cache()
         self.map = map_
         self.config = config or ParamTree()
         self.micp_config = MICPConfig(

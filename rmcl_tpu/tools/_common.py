@@ -6,6 +6,12 @@ import numpy as np
 
 
 def load_map(path: str, bin_size: int = 64, bins_per_super: int = 64):
+    # every tool loads its map first, so this is the one choke point where
+    # the persistent compile cache reliably turns on before any tracing
+    # (VERDICT r4 #4 — the node/tool paths lacked bench.py's cache)
+    from rmcl_tpu.utils.cache import enable_persistent_cache
+
+    enable_persistent_cache()
     from rmcl_tpu.geom.map import MeshMap
 
     return MeshMap.from_file(

