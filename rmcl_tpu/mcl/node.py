@@ -368,7 +368,7 @@ class MCLNode:
         import warnings
 
         from rmcl_tpu.mcl.sensor_update import probe_update_rays
-        from rmcl_tpu.ops.raycast_binned import candidate_stats
+        from rmcl_tpu.ops.raycast_binned import block_cull_stats
         from rmcl_tpu.utils.tune import suggest_budgets
 
         self._budget_checked = True
@@ -380,25 +380,32 @@ class MCLNode:
             points_s, points_mask, tsb, cfg,
         )
         # per-ray capped t_max — the reach the real cast uses; a flat
-        # range_max audit overstates counts (the wedge sweeps the map)
-        counts = np.asarray(candidate_stats(
+        # range_max audit overstates counts (the wedge sweeps the map).
+        # block_cull_stats runs the REAL fused cull at the configured
+        # budgets: its `sat` flag catches truncation at EVERY level —
+        # candidate_stats' bin counts were blind to c_super truncation
+        # (round-5 find: cs=24 dropped winners while counts read clean)
+        counts, sat = (np.asarray(x) for x in block_cull_stats(
             self.bins, o, d, t_max=t_cap,
-            c_super=cfg.c_super, c_bin=cfg.c_bin,
+            block_size=cfg.block_size, c_super=cfg.c_super,
+            c_bin=cfg.c_bin, sub_blocks=cfg.sub_blocks,
+            c_mid=cfg.c_mid, c_hyper=cfg.c_hyper,
         ))
-        if int(counts.max()) < cfg.c_bin:
-            return  # budgets cover the worst sampled block — silent-safe
-        frac = float((counts >= cfg.c_bin).mean())
+        if not sat.any():
+            return  # no level truncated any sampled block — certified
+        frac = float(sat.mean())
         if not self.config.auto_budget:
             warnings.warn(
                 f"binned sensor-update budgets saturate on this map/cloud: "
-                f"{frac:.0%} of ray blocks pinned at c_bin={cfg.c_bin} — "
-                f"likelihoods may silently drop geometry. Raise c_bin or "
-                f"enable MCLConfig.auto_budget.",
+                f"{frac:.0%} of ray blocks truncated at some cull level "
+                f"(c_super={cfg.c_super}/c_bin={cfg.c_bin}) — likelihoods "
+                f"may silently drop geometry. Raise the budgets or enable "
+                f"MCLConfig.auto_budget.",
                 stacklevel=3,
             )
             return
         rec = suggest_budgets(
-            self.bins, o, d, t_max=t_cap,
+            self.bins, o, d, t_max=t_cap, block_size=cfg.block_size,
         )
         cs, cb = self._budget_rung(
             max(rec.c_super, cfg.c_super), max(rec.c_bin, cfg.c_bin)
@@ -406,9 +413,9 @@ class MCLNode:
         new = dataclasses.replace(cfg, c_super=cs, c_bin=cb, c_mid=rec.c_mid)
         print(
             f"[rmcl_tpu] sensor-update budgets saturated ({frac:.0%} of "
-            f"blocks at c_bin={cfg.c_bin}); auto-adopting c_super="
-            f"{new.c_super} c_bin={new.c_bin} c_mid={new.c_mid} "
-            f"(worst sampled block: {rec.max_bins} bins)"
+            f"blocks truncated at c_super={cfg.c_super}/c_bin={cfg.c_bin}); "
+            f"auto-adopting c_super={new.c_super} c_bin={new.c_bin} "
+            f"c_mid={new.c_mid} (worst sampled block: {rec.max_bins} bins)"
         )
         self.config.sensor = new
 

@@ -120,6 +120,29 @@ def suggest_budgets(
         # 3-level only pays when it shrinks the level-1 key count
         if c_mid * M >= c_super * S:
             c_mid = 0
+
+    # VERIFY through the engine's real fused cull: the c_super derived
+    # from bin counts bounds the supers holding candidates, but the super
+    # budget truncates PASSING supers (cone-box hits), which can be more —
+    # found round 5: c_super=24 silently dropped winners while the bin
+    # audit read clean. Escalate c_super until no block saturates.
+    from rmcl_tpu.ops.raycast_binned import block_cull_stats
+
+    for _ in range(6):
+        _, sat = block_cull_stats(
+            bins, orig, dirs, t_min=t_min, t_max=t_max,
+            block_size=block_size, c_super=c_super, c_bin=c_bin,
+            c_mid=c_mid,
+        )
+        if not bool(np.asarray(sat).any()):
+            break
+        if c_super >= bins.n_super and c_bin >= min(
+            bins.n_bins, c_super * S
+        ):
+            saturated = True
+            break
+        c_super = min(c_super * 2, bins.n_super)
+        c_bin = min(max(c_bin, -(-c_super * S // 8)), bins.n_bins, c_super * S)
     return BudgetRecommendation(
         c_super=c_super,
         c_bin=c_bin,

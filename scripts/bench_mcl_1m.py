@@ -13,9 +13,10 @@ The sensor stage is chunked over particles (128k/dispatch) to bound the
 (TPU_NOTES block_until_ready rule) and every iteration gets fresh keys /
 odometry jitter (relay result-cache hazard).
 
-Writes MCL_1M_r04.json. Usage (TPU): python scripts/bench_mcl_1m.py
+Writes MCL_1M_r05.json. Usage (TPU): python scripts/bench_mcl_1m.py
 """
 
+import dataclasses
 import json
 import os
 import sys
@@ -51,6 +52,12 @@ ITERS = int(os.environ.get("MCL_ITERS", 3))
 # c_bin 288: covers the capped-reach worst block (262 measured r3);
 # budgets are ~free under count-sorted chunks (TPU_NOTES: 96->288 cost 0.9%)
 C_BIN = int(os.environ.get("MCL_CBIN", 288))
+# c_super 48: cs=24 TRUNCATED at the super level on this workload (r5 find:
+# lossless frac 0.828, checksum moved) while the bin audit read clean;
+# cs=48 is checksum-converged (== cs=96/cb=768). c_hyper=8 claws back the
+# level-0 cost of the doubled super budget (chip: 1156 -> 1123 ms/chunk).
+C_SUP = int(os.environ.get("MCL_CSUP", 48))
+C_HYP = int(os.environ.get("MCL_CHYP", 8))
 BLOCK = int(os.environ.get("MCL_BLOCK", 128))
 SUBB = int(os.environ.get("MCL_SUBB", 16))  # r4b chip A/B @256k: sub 4/16 = 2.537/2.297 s
 
@@ -85,7 +92,7 @@ def main():
     scfg = SensorUpdateConfig.create(
         samples=SAMPLES, engine="binned",
         cluster=os.environ.get("MCL_CLUSTER", "1") == "1",
-        c_super=24, c_bin=C_BIN, c_hyper=0, range_max=30.0,
+        c_super=C_SUP, c_bin=C_BIN, c_hyper=C_HYP, range_max=30.0,
         dist_sigma=0.4, block_size=BLOCK, sub_blocks=SUBB,
     )
     mcfg = MotionUpdateConfig.create()
@@ -98,14 +105,20 @@ def main():
     o_p, d_p, t_p = probe_update_rays(
         jax.tree_util.tree_map(lambda x: x[:65536], cloud), kp,
         points_s, mask, tsb, scfg)
-    # uncapped audit at the benchmark's own block size (ADVICE r4: the
-    # default 256-block audit measured a different configuration). The
-    # full-block cone is a conservative upper bound of the sub-block
-    # cones' union, so max < C_BIN still certifies the run lossless.
-    counts = np.asarray(candidate_stats(
-        bins, o_p, d_p, t_max=t_p, block_size=BLOCK, c_super=24, c_bin=4096))
+    # audit through the engine's REAL fused cull at the run's own config:
+    # `sat` catches truncation at EVERY level (candidate_stats' bin counts
+    # were blind to c_super truncation — the r5 cs=24 find)
+    from rmcl_tpu.ops.raycast_binned import block_cull_stats
+    counts, sat = (np.asarray(x) for x in block_cull_stats(
+        bins, o_p, d_p, t_max=t_p, block_size=BLOCK, c_super=C_SUP,
+        c_bin=C_BIN, sub_blocks=SUBB, c_hyper=C_HYP))
+    sat_frac = float(sat.mean())
     print(f"audit: candidates/block mean {counts.mean():.1f} "
-          f"max {counts.max()} (budget {C_BIN})", file=sys.stderr)
+          f"max {counts.max()} (budget {C_BIN}); saturated blocks "
+          f"{sat_frac:.2%}", file=sys.stderr)
+    if sat_frac > 0:
+        print("WARNING: budgets truncate — the run is NOT lossless",
+              file=sys.stderr)
 
     # jitted stages; sensor update lax.map'd over particle chunks to bound
     # the (chunk, S) hit-payload memory
@@ -115,6 +128,8 @@ def main():
 
     from rmcl_tpu.mcl.sensor_update import sample_beams
 
+    from rmcl_tpu.ops.order import cluster_order
+
     @jax.jit
     def cycle(cloud, key, delta_t):
         delta = Transform(rot=jnp.asarray([1.0, 0, 0, 0], jnp.float32),
@@ -122,16 +137,28 @@ def main():
         cloud = motion_update(cloud, delta, jnp.float32(0.05), mcfg)
         k_s, k_r = jax.random.split(key)
 
+        # GLOBAL Morton+heading clustering, once per cycle: the cloud is a
+        # multiset (resampling/stats are order-free), so permanently
+        # reordering it is semantically free — and 1M-wide clustering
+        # makes every chunk's blocks ~8x denser than the per-chunk sorts
+        # it replaces (one 1M argsort vs n_chunks x 131k argsorts)
+        fw = cloud.poses.rotate(jnp.asarray([1.0, 0.0, 0.0], jnp.float32))
+        order, _ = cluster_order(cloud.poses.trans, fw)
+        cloud = jax.tree_util.tree_map(
+            lambda x: jnp.take(x, order, axis=0), cloud)
+
         # ONE beam sample per update, shared by every particle chunk —
         # reference semantics (each sampled beam is broadcast to ALL
         # particles, PCDSensorUpdaterEmbree.cpp:330-341) and one
         # sample_beams instead of n_chunks (r4 phase split: 114 ms/chunk)
         beams = sample_beams(k_s, points_s, mask, SAMPLES)
 
+        scfg_nc = dataclasses.replace(scfg, cluster=False)
+
         def upd_chunk(args):
             sub, kc = args
-            return sensor_update(bins, sub, kc, points_s, mask, tsb, scfg,
-                                 beams=beams)
+            return sensor_update(bins, sub, kc, points_s, mask, tsb,
+                                 scfg_nc, beams=beams)
 
         subs = jax.tree_util.tree_map(
             lambda x: x.reshape((n_chunks, CHUNK) + x.shape[1:]), cloud)
@@ -162,22 +189,29 @@ def main():
         if it > 0:
             times.append(dt)
         cloud = cloud2
-    best = min(times)
+    # honest steady state: the converging cloud tightens blocks over the
+    # first iterations — report the MEDIAN of the last 5 timed cycles
+    # (r4b lesson: min-of-few on a cold cloud overstated the rate)
+    tail = sorted(times[-5:])
+    steady = tail[len(tail) // 2]
     result = {
         "metric": "mcl_full_cycle_particles_per_sec_1M",
         "n_particles": N,
         "samples_per_update": SAMPLES,
         "map_faces": int(mesh.faces.shape[0]),
-        "cycle_seconds": round(best, 3),
-        "particles_per_sec": round(N / best, 1),
-        "beam_rays_per_sec": round(N * SAMPLES / best, 1),
+        "cycle_seconds": round(steady, 3),
+        "cycle_seconds_best": round(min(times), 3),
+        "particles_per_sec": round(N / steady, 1),
+        "beam_rays_per_sec": round(N * SAMPLES / steady, 1),
         "estimate_error_m": round(est_err, 4),
         "audit_candidates_max": int(counts.max()),
         "audit_budget": C_BIN,
+        "audit_saturated_frac": sat_frac,
+        "c_super": C_SUP, "c_hyper": C_HYP,
         "reference": "1M max particles, 100 beams, motion 50 Hz / resample "
                      "20 Hz timers (rmcl_localization.cpp:349,384)",
     }
-    out_path = os.environ.get("MCL_OUT", "/root/repo/MCL_1M_r04.json")
+    out_path = os.environ.get("MCL_OUT", "/root/repo/MCL_1M_r05.json")
     with open(out_path, "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps(result))

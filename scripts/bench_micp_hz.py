@@ -21,7 +21,7 @@ Two regimes:
   * rate_20hz: 5 cm / 1 deg per step (the same robot at 20 Hz) — the
     margin forces frequent re-culls.
 
-Writes MICP_HZ_r04.json. Usage (TPU): python scripts/bench_micp_hz.py
+Writes MICP_HZ_r05.json. Usage (TPU): python scripts/bench_micp_hz.py
 """
 
 import json
@@ -50,6 +50,9 @@ SUBDIV = int(os.environ.get("HZ_SUBDIV", 45))
 T = int(os.environ.get("HZ_STEPS", 32))  # corrections per dispatch
 ITERS = int(os.environ.get("HZ_ITERS", 3))
 C_BIN = int(os.environ.get("HZ_CBIN", 96))
+C_SUP = int(os.environ.get("HZ_CSUP", 24))
+C_HYP = int(os.environ.get("HZ_CHYP", 0))
+SUBB = int(os.environ.get("HZ_SUBB", 4))  # sub-block cone ladder
 FLOOR = float(os.environ.get("HZ_FLOOR", 0.005))  # s per dispatch
 
 
@@ -82,11 +85,11 @@ def main():
     mesh, bins, model = build_world()
     print(f"map: {mesh.faces.shape[0]} faces, {bins.n_bins} bins",
           file=sys.stderr)
-    cfg = MICPConfig(c_bin=C_BIN, c_hyper=0)
+    cfg = MICPConfig(c_bin=C_BIN, c_super=C_SUP, c_hyper=C_HYP)
     scfg = MICPSensorConfig.create(max_dist=1.0)
     tsb = Transform.identity()
     tc = TrackedCorrector(bins, model, cfg, origin_margin=0.05,
-                          dir_margin=0.01)
+                          dir_margin=0.01, sub_blocks=SUBB)
 
     # budget sanity at a representative pose (saturation = silent loss)
     st0 = tc.init(bins, Transform(rot=jnp.asarray([1.0, 0, 0, 0]),
@@ -111,21 +114,28 @@ def main():
                "map_faces": int(mesh.faces.shape[0]),
                "rays_per_correction": model.n_rays,
                "gn_iterations": cfg.optimization_iterations,
-               "steps_per_dispatch": T,
+               "sub_blocks": SUBB,
                "reference": "correction cap 1000 Hz (micp_localization.cpp:130)",
                "rows": []}
 
-    for regime, step_t, step_r in (("high_rate", 0.002, 0.002),
-                                   ("rate_20hz", 0.05, 0.02)):
+    # T-sweep: the relay charges ~58 ms RPC per dispatch; measuring the
+    # same regime at T and 4T separates device time from the RPC artifact
+    # (VERDICT r4 #5: report the dispatch-free device rate alongside)
+    for regime, step_t, step_r, T_row in (
+        ("high_rate", 0.002, 0.002, T),
+        ("high_rate", 0.002, 0.002, 4 * T),
+        ("rate_20hz", 0.05, 0.02, T),
+    ):
         rng = np.random.default_rng(1)
         times = []
         row_err = row_reculls = 0.0
         for it in range(ITERS + 1):  # +1 warm
-            pos, yaw = trajectory(rng, T, step_t, step_r,
+            pos, yaw = trajectory(rng, T_row, step_t, step_r,
                                   start=[3.0 + 0.1 * it, 3.0, 1.2])
             truths = Transform.from_xyz_euler(
                 jnp.asarray(pos), jnp.stack(
-                    [jnp.zeros(T), jnp.zeros(T), jnp.asarray(yaw)], -1))
+                    [jnp.zeros(T_row), jnp.zeros(T_row),
+                     jnp.asarray(yaw)], -1))
             # scans at truth (dataset build — not timed, like the bench)
             hits = simulate(bins, model, truths, c_super=24, c_bin=C_BIN)
             ranges = jnp.where(hits.hit, hits.t, 0.0)
@@ -133,8 +143,9 @@ def main():
             msk = hits.hit
             # drifting odometry: tbo = drift^-1 * truth (so tbm = tom@tbo
             # must re-discover truth; drift grows per step)
-            dr = np.cumsum(rng.normal(0, 0.002, (T, 3)).astype(np.float32),
-                           0) * np.asarray([1, 1, 0], np.float32)
+            dr = np.cumsum(
+                rng.normal(0, 0.002, (T_row, 3)).astype(np.float32),
+                0) * np.asarray([1, 1, 0], np.float32)
             tbo = Transform(
                 rot=truths.rot,
                 trans=truths.trans + jnp.asarray(dr),
@@ -146,29 +157,46 @@ def main():
             sync(state.tom.trans)
             dt = time.time() - t0
             # track quality: corrected pose vs truth
-            tbm_t = np.asarray(track) + np.asarray(tbo.trans)  # tom.trans + tbo.trans (rot≈I)
             err = np.linalg.norm(
                 np.asarray(state.tom.trans) + np.asarray(tbo.trans[-1])
                 - np.asarray(truths.trans[-1]))
             if it == 0:
-                print(f"{regime}: warm {dt:.3f}s", file=sys.stderr)
+                print(f"{regime} T={T_row}: warm {dt:.3f}s", file=sys.stderr)
                 continue
             times.append(dt)
             row_err = float(err)
             row_reculls = int(state.n_reculls)
-            print(f"{regime} it{it}: {dt:.4f}s for {T} corrections, "
-                  f"reculls {int(state.n_reculls)}, end err {err:.4f} m",
+            print(f"{regime} T={T_row} it{it}: {dt:.4f}s for {T_row} "
+                  f"corrections, reculls {int(state.n_reculls)}, "
+                  f"end err {err:.4f} m",
                   file=sys.stderr)
         real = [t for t in times if t > FLOOR]
         best = min(real) if real else min(times)
         results["rows"].append({
             "regime": regime,
+            "steps_per_dispatch": T_row,
             "step_translation_m": step_t,
-            "corrections_per_sec": round(T / best, 1),
-            "ms_per_correction": round(1000 * best / T, 3),
+            "corrections_per_sec": round(T_row / best, 1),
+            "ms_per_correction": round(1000 * best / T_row, 3),
+            "seconds_per_dispatch": round(best, 4),
             "reculls_per_window": row_reculls,
             "end_pose_error_m": round(row_err, 5),
         })
+
+    # dispatch-free device rate from the two high_rate windows:
+    # t(T) = fixed + T*device_ms  =>  device_ms = (t4 - t1) / 3T
+    r1, r4 = results["rows"][0], results["rows"][1]
+    dev_ms = 1000.0 * (
+        r4["seconds_per_dispatch"] - r1["seconds_per_dispatch"]
+    ) / (r4["steps_per_dispatch"] - r1["steps_per_dispatch"])
+    results["device_ms_per_correction"] = round(dev_ms, 3)
+    results["device_corrections_per_sec"] = round(1000.0 / dev_ms, 1)
+    results["dispatch_fixed_ms"] = round(
+        1000.0 * r1["seconds_per_dispatch"]
+        - dev_ms * r1["steps_per_dispatch"], 1)
+    print(f"device rate: {results['device_corrections_per_sec']}/s "
+          f"({dev_ms:.3f} ms/corr; fixed {results['dispatch_fixed_ms']} ms)",
+          file=sys.stderr)
 
     # --- two-sensor rig: spherical + O1Dn (VERDICT r3 #6 done-criterion:
     # multi-sensor tracked rate within 1.5x of single-sensor) -------------
@@ -182,7 +210,7 @@ def main():
     tsb2 = Transform.from_pose_tuple(
         jnp.asarray([0.1, 0.0, 0.15, 0.0, 0.0, 0.0]))
     tc2 = TrackedCorrector(bins, [model, o1dn], cfg, origin_margin=0.05,
-                           dir_margin=0.01)
+                           dir_margin=0.01, sub_blocks=SUBB)
 
     def scan_window2(state, pts, msk, pts2, msk2, tbo_q, tbo_t):
         def body(st, inp):
@@ -247,7 +275,7 @@ def main():
         "end_pose_error_m": round(row_err, 5),
     })
 
-    out = os.environ.get("HZ_OUT", "/root/repo/MICP_HZ_r04.json")
+    out = os.environ.get("HZ_OUT", "/root/repo/MICP_HZ_r05.json")
     with open(out, "w") as f:
         json.dump(results, f, indent=1)
     print(json.dumps(results))

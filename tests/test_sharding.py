@@ -475,6 +475,56 @@ def test_sharded_correct_once_collective_budget(mesh8):
         assert n_ar == k + 1, (k, n_ar)
 
 
+def test_sharded_backward_matches_single_and_collective_budget(mesh8):
+    """Sharded value_and_grad over poses/vertices (north-star backward
+    clause): must match the single-device gradients and spend exactly ONE
+    all-reduce per evaluation (loss packed with the gradient)."""
+    import re
+
+    from rmcl_tpu.bvh.bins import build_bins
+    from rmcl_tpu.geom.mesh import make_sphere
+    from rmcl_tpu.ops.diff import cast_rays_diff
+    from rmcl_tpu.parallel.diff_sharded import sharded_range_value_and_grad
+    from rmcl_tpu.parallel.mesh import shard_rays
+
+    mesh_g = make_sphere(48, 48, radius=5.0)
+    bins = build_bins(mesh_g, bin_size=64, bins_per_super=16)
+    verts = jnp.asarray(mesh_g.vertices, jnp.float32)
+    faces = jnp.asarray(mesh_g.faces, jnp.int32)
+    rng = np.random.default_rng(0)
+    n_poses, n_dirs = 4, 256
+    trans = jnp.asarray(rng.uniform(-1, 1, (n_poses, 3)), jnp.float32)
+    d = rng.normal(size=(n_poses * n_dirs, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=1, keepdims=True)
+    dirs = jnp.asarray(d)
+    pose_id = jnp.repeat(jnp.arange(n_poses, dtype=jnp.int32), n_dirs)
+
+    def loss_ref(trans, verts):
+        o = jnp.take(trans, pose_id, axis=0)
+        h = cast_rays_diff(bins, verts, faces, o, dirs)
+        return jnp.sum(jnp.where(h.hit, h.t, 0.0))
+
+    dirs_s = jax.device_put(dirs, shard_rays(mesh8))
+    pid_s = jax.device_put(pose_id, shard_rays(mesh8))
+
+    for wrt, argnum in (("pose", 0), ("verts", 1)):
+        l_ref, g_ref = jax.value_and_grad(loss_ref, argnums=argnum)(
+            trans, verts)
+        l_s, g_s = sharded_range_value_and_grad(
+            bins, verts, faces, trans, dirs_s, pid_s, mesh8, wrt=wrt)
+        np.testing.assert_allclose(float(l_s), float(l_ref), rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(g_s), np.asarray(g_ref), rtol=2e-4, atol=1e-5)
+
+    from rmcl_tpu.parallel.diff_sharded import _svg
+
+    hlo = _svg.lower(
+        bins, verts, faces, trans, dirs_s, pid_s, mesh8, "pose", ()
+    ).compile().as_text()
+    n_ar = len(re.findall(r"\ball-reduce\b", hlo))
+    assert n_ar == 1, n_ar
+
+
 def test_sharded_mcl_collective_budget(mesh8, key):
     """Collective-budget pin for the sharded MCL path (VERDICT r4 #8c):
     the sensor update is purely shard-local (ZERO collectives), the
