@@ -200,7 +200,8 @@ from rmcl_tpu.bvh.bins import build_bins
 from rmcl_tpu.geom.mesh import make_sphere
 from rmcl_tpu.ops.raycast_binned import cast_rays_binned
 from rmcl_tpu.parallel.scene_shard import (
-    SCENE_AXIS, cast_rays_scene_sharded, partition_bins, put_scene_sharded)
+    SCENE_AXIS, cast_rays_scene_forwarded, cast_rays_scene_sharded,
+    partition_bins, put_scene_sharded, shard_boxes)
 from rmcl_tpu.sensors.models import SphericalModel
 from rmcl_tpu.utils.timing import sync
 
@@ -213,7 +214,9 @@ o, d = model.rays()
 o = jnp.broadcast_to(o, d.shape)
 
 mesh = Mesh(np.array(jax.devices()).reshape(4), (SCENE_AXIS,))
-sb = put_scene_sharded(partition_bins(bins, 4), mesh)
+sb0 = partition_bins(bins, 4)
+boxes = shard_boxes(sb0)
+sb = put_scene_sharded(sb0, mesh)
 
 def timed(f, *a):
     out = f(*a); sync(out)
@@ -222,12 +225,18 @@ def timed(f, *a):
 
 t_single = timed(lambda: cast_rays_binned(bins, o, d, c_super=32, c_bin=192))
 t_shard = timed(lambda: cast_rays_scene_sharded(sb, o, d, mesh, c_super=32, c_bin=192))
+t_fwd = timed(lambda: cast_rays_scene_forwarded(sb, o, d, mesh, boxes, c_super=32, c_bin=192))
 h1 = cast_rays_binned(bins, o, d, c_super=32, c_bin=192)
 h2 = cast_rays_scene_sharded(sb, o, d, mesh, c_super=32, c_bin=192)
+h3 = cast_rays_scene_forwarded(sb, o, d, mesh, boxes, c_super=32, c_bin=192)
 agree = float(jnp.mean((h1.hit == h2.hit)))
+agree_f = float(jnp.mean((h1.hit == h3.hit)))
 print("SCENE_JSON:" + json.dumps({
     "t_single": t_single, "t_scene_sharded_4": t_shard,
-    "work_inflation_wall": t_shard / t_single, "hit_agreement": agree}))
+    "t_scene_forwarded_4": t_fwd,
+    "work_inflation_wall": t_shard / t_single,
+    "forwarded_inflation_wall": t_fwd / t_single,
+    "hit_agreement": agree, "hit_agreement_forwarded": agree_f}))
 """ % (REPO, args.faces, args.width, args.height)
     env = dict(os.environ, PYTHONPATH=REPO)
     env.pop("JAX_PLATFORMS", None)
