@@ -405,34 +405,41 @@ class MICPLocalization:
         recommendation because the probe uses conservative margins."""
         import warnings
 
-        from rmcl_tpu.ops.raycast_binned import candidate_stats
+        from rmcl_tpu.ops.raycast_binned import block_cull_stats
         from rmcl_tpu.utils.tune import suggest_budgets
 
         self._budget_checked = True
         cfg = self.micp_config
         tbm = self.tom @ self.tbo
-        worst = 0
+        worst_sat = 0.0
         worst_rays = None
         for data in sensor_data:
             o_s, d_s = data.model.rays()
             tsm = tbm @ data.tsb
             o = tsm.apply(o_s)
             d = tsm.rotate(d_s)
-            counts = np.asarray(candidate_stats(
+            # the REAL fused cull's saturation flag covers every budget
+            # level — bin counts alone were blind to c_super truncation
+            # (round-5 find: 933/14400 false misses at cs=24 on the
+            # building map while the bin audit read clean)
+            _, sat = block_cull_stats(
                 self.map.bins, o, d,
-                c_super=cfg.c_super, c_bin=cfg.c_bin,
-            ))
-            if int(counts.max()) > worst:
-                worst = int(counts.max())
+                c_super=cfg.c_super, c_bin=cfg.c_bin, c_mid=cfg.c_mid,
+                c_hyper=cfg.c_hyper,
+            )
+            sat_frac = float(np.asarray(sat).mean())
+            if sat_frac > worst_sat or worst_rays is None:
+                worst_sat = sat_frac
                 worst_rays = (o, d)
-        if worst < cfg.c_bin:
+        if worst_sat == 0.0:
             return
         if not self._auto_budget:
             warnings.warn(
-                f"MICP binned-engine budgets saturate (worst block hit "
-                f"c_bin={cfg.c_bin}) — correspondences may silently drop "
-                f"geometry. Raise engine_options.c_bin or enable "
-                f"engine_options.auto_budget.",
+                f"MICP binned-engine budgets saturate ({worst_sat:.0%} of "
+                f"ray blocks truncated at some cull level, c_super="
+                f"{cfg.c_super}/c_bin={cfg.c_bin}) — correspondences may "
+                f"silently drop geometry. Raise engine_options budgets or "
+                f"enable engine_options.auto_budget.",
                 stacklevel=3,
             )
             return

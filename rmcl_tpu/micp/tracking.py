@@ -131,10 +131,19 @@ class TrackedCorrector:
         group: int = 128,
         block_chunk: int = 512,
         sub_blocks: int = 4,
+        payload: str = "plane",
     ):
+        """``block_chunk``: single-scan casts have ~100-200 blocks total;
+        a chunk larger than that makes every trip bill the GLOBAL worst
+        block instead of the count-sorted chunk maxima (r5 chip find:
+        cb=256 at one 113-block chunk paid 199 trips where chunked-32
+        tracks ~the sorted means). Use ~32-64 for single-sensor tracking.
+        ``payload``: "plane" (default) or "index" — see
+        :func:`ops.raycast_binned.cast_rays_binned_factored`."""
         self.config = config
         self.origin_margin = float(origin_margin)
         self.dir_margin = float(dir_margin)
+        self.payload = payload
         models = self._as_seq(models)
         self._layouts = [_SensorLayout(m, group) for m in models]
         self._cull_kw = dict(
@@ -212,7 +221,7 @@ class TrackedCorrector:
 
             o_blk, d_blk = lay.blocks(tsm)
             hits = cast_rays_binned_factored(
-                bins, o_blk, d_blk, candidates=cand, payload="plane",
+                bins, o_blk, d_blk, candidates=cand, payload=self.payload,
                 sort_blocks=True, paired=lay.paired,
                 t_min=lay.t_min, t_max=lay.t_max, **self._cull_kw,
             )

@@ -53,6 +53,8 @@ C_BIN = int(os.environ.get("HZ_CBIN", 96))
 C_SUP = int(os.environ.get("HZ_CSUP", 24))
 C_HYP = int(os.environ.get("HZ_CHYP", 0))
 SUBB = int(os.environ.get("HZ_SUBB", 4))  # sub-block cone ladder
+CHUNK = int(os.environ.get("HZ_CHUNK", 64))  # single-scan casts have ~113 blocks
+PAYLOAD = os.environ.get("HZ_PAYLOAD", "plane")
 FLOOR = float(os.environ.get("HZ_FLOOR", 0.005))  # s per dispatch
 
 
@@ -89,7 +91,8 @@ def main():
     scfg = MICPSensorConfig.create(max_dist=1.0)
     tsb = Transform.identity()
     tc = TrackedCorrector(bins, model, cfg, origin_margin=0.05,
-                          dir_margin=0.01, sub_blocks=SUBB)
+                          dir_margin=0.01, sub_blocks=SUBB,
+                          block_chunk=CHUNK, payload=PAYLOAD)
 
     # budget sanity at a representative pose (saturation = silent loss)
     st0 = tc.init(bins, Transform(rot=jnp.asarray([1.0, 0, 0, 0]),
@@ -114,7 +117,8 @@ def main():
                "map_faces": int(mesh.faces.shape[0]),
                "rays_per_correction": model.n_rays,
                "gn_iterations": cfg.optimization_iterations,
-               "sub_blocks": SUBB,
+               "sub_blocks": SUBB, "block_chunk": CHUNK,
+               "payload": PAYLOAD, "c_super": C_SUP,
                "reference": "correction cap 1000 Hz (micp_localization.cpp:130)",
                "rows": []}
 
@@ -210,7 +214,8 @@ def main():
     tsb2 = Transform.from_pose_tuple(
         jnp.asarray([0.1, 0.0, 0.15, 0.0, 0.0, 0.0]))
     tc2 = TrackedCorrector(bins, [model, o1dn], cfg, origin_margin=0.05,
-                           dir_margin=0.01, sub_blocks=SUBB)
+                           dir_margin=0.01, sub_blocks=SUBB,
+                           block_chunk=CHUNK, payload=PAYLOAD)
 
     def scan_window2(state, pts, msk, pts2, msk2, tbo_q, tbo_t):
         def body(st, inp):
