@@ -205,13 +205,23 @@ from rmcl_tpu.parallel.scene_shard import (
 from rmcl_tpu.sensors.models import SphericalModel
 from rmcl_tpu.utils.timing import sync
 
-n = int(np.sqrt(%d / 2))
-world = make_sphere(n, n, radius=20.0)
+# building map, sensor inside one room: the scene-partitioning use case
+# (city/building maps too big to replicate). A sphere-shell map with
+# center rays is the forwarding-pathological case — every shard box
+# contains the origin, so every ray escalates (measured 3.6x; kept in
+# TPU_NOTES as the degenerate bound).
+from rmcl_tpu.geom.mesh import make_building_scene
+world = make_building_scene(rooms_x=4, rooms_y=3, subdiv=30, seed=0,
+                            door_t=0.5)
 bins = build_bins(world, bin_size=32, bins_per_super=16)
+_ = %d  # faces arg unused for the building map
 model = SphericalModel.create(width=%d, height=%d, phi_min=-0.4, phi_max=0.4,
                               range_min=0.05, range_max=100.0)
 o, d = model.rays()
-o = jnp.broadcast_to(o, d.shape)
+lo = world.vertices.min(0); hi = world.vertices.max(0)
+pose = jnp.asarray([lo[0]*0.7 + hi[0]*0.3, lo[1]*0.7 + hi[1]*0.3, 1.2],
+                   jnp.float32)
+o = jnp.broadcast_to(pose, d.shape)
 
 mesh = Mesh(np.array(jax.devices()).reshape(4), (SCENE_AXIS,))
 sb0 = partition_bins(bins, 4)
@@ -223,12 +233,12 @@ def timed(f, *a):
     t0 = time.time(); out = f(*a); sync(out)
     return time.time() - t0
 
-t_single = timed(lambda: cast_rays_binned(bins, o, d, c_super=32, c_bin=192))
-t_shard = timed(lambda: cast_rays_scene_sharded(sb, o, d, mesh, c_super=32, c_bin=192))
-t_fwd = timed(lambda: cast_rays_scene_forwarded(sb, o, d, mesh, boxes, c_super=32, c_bin=192))
-h1 = cast_rays_binned(bins, o, d, c_super=32, c_bin=192)
-h2 = cast_rays_scene_sharded(sb, o, d, mesh, c_super=32, c_bin=192)
-h3 = cast_rays_scene_forwarded(sb, o, d, mesh, boxes, c_super=32, c_bin=192)
+t_single = timed(lambda: cast_rays_binned(bins, o, d, c_super=256, c_bin=768))
+t_shard = timed(lambda: cast_rays_scene_sharded(sb, o, d, mesh, c_super=256, c_bin=768))
+t_fwd = timed(lambda: cast_rays_scene_forwarded(sb, o, d, mesh, boxes, c_super=256, c_bin=768))
+h1 = cast_rays_binned(bins, o, d, c_super=256, c_bin=768)
+h2 = cast_rays_scene_sharded(sb, o, d, mesh, c_super=256, c_bin=768)
+h3 = cast_rays_scene_forwarded(sb, o, d, mesh, boxes, c_super=256, c_bin=768)
 agree = float(jnp.mean((h1.hit == h2.hit)))
 agree_f = float(jnp.mean((h1.hit == h3.hit)))
 print("SCENE_JSON:" + json.dumps({
