@@ -675,10 +675,12 @@ class MCLNode:
         conservative rung; budgets are ~free under count-sorted chunks
         (TPU_NOTES), so over-provisioning costs ~nothing while making the
         flip-time config fully predictable."""
-        # the flip target: the engine not currently selected
-        other = "binned" if self._engine_choice in ("bvh", "seeded") else (
-            "seeded" if self.bins is not None else "bvh"
-        )
+        # the flip target: the engine auto would actually flip TO —
+        # exact -> binned on concentration; binned -> the exact 'bvh'
+        # traversal on re-scatter (_auto_select_engine's exact_choice;
+        # 'seeded' is never an auto target — warming it would leave the
+        # real flip-back cold)
+        other = "binned" if self._engine_choice != "binned" else "bvh"
         if self._points_shape is None:
             return
         n_eff = k if k is not None else self.config.n_particles
