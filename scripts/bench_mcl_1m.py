@@ -46,7 +46,8 @@ from rmcl_tpu.utils.timing import sync
 
 N = int(os.environ.get("MCL_N", 1 << 20))  # 1,048,576 >= the reference's 1M cap
 SAMPLES = int(os.environ.get("MCL_SAMPLES", 100))
-CHUNK = int(os.environ.get("MCL_CHUNK", 131072))
+# 256k chunks (4 lax.map steps, not 8): r5 chip A/B 4.76 -> 4.54 s median
+CHUNK = int(os.environ.get("MCL_CHUNK", 262144))
 SUBDIV = int(os.environ.get("MCL_SUBDIV", 45))
 ITERS = int(os.environ.get("MCL_ITERS", 3))
 # c_bin 288: covers the capped-reach worst block (262 measured r3);
@@ -59,7 +60,7 @@ C_BIN = int(os.environ.get("MCL_CBIN", 288))
 C_SUP = int(os.environ.get("MCL_CSUP", 48))
 C_HYP = int(os.environ.get("MCL_CHYP", 8))
 BLOCK = int(os.environ.get("MCL_BLOCK", 128))
-SUBB = int(os.environ.get("MCL_SUBB", 16))  # r4b chip A/B @256k: sub 4/16 = 2.537/2.297 s
+SUBB = int(os.environ.get("MCL_SUBB", 8))  # r5 @cs=48: sub 8 edges 16 (1147 vs 1160 ms/chunk)
 
 
 def main():
