@@ -129,22 +129,35 @@ for W in (1, 2, 4, 8):
 # --------------------------------------------------------------------------
 def make_traverse_w(W):
     n_slots = nodes_h.shape[0]
-    # flat int32 table padded by W-1 slots so window gathers stay in bounds
-    flat_i = jnp.asarray(
-        np.concatenate(
-            [nodes_i_h, np.zeros(((W - 1) * 1 + 1, 16), np.int32)], 0
-        ).reshape(-1)
-    )
     as_f = lambda x: jax.lax.bitcast_convert_type(x, jnp.float32)
-    dnums = jax.lax.GatherDimensionNumbers(
-        offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,))
+    mode = os.environ.get("QUAD_MODE", "win")
+    if mode == "dup":
+        # duplicated W-row table: row k = slots k..k+W-1 concatenated.
+        # W x memory, but the gather is the known-good jnp.take row path.
+        padded = np.concatenate(
+            [nodes_i_h, np.zeros((W, 16), np.int32)], 0)
+        dup = np.concatenate(
+            [padded[j:j + n_slots] for j in range(W)], axis=1)
+        dup_j = jnp.asarray(dup)  # (n_slots, 16W)
 
-    def gw(idx):
-        return jax.lax.gather(
-            flat_i, (idx * 16)[:, None], dnums,
-            slice_sizes=(16 * W,),
-            mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
-        )  # (R, 16*W)
+        def gw(idx):
+            return jnp.take(dup_j, idx, axis=0)
+    else:
+        # flat int32 table padded so window gathers stay in bounds
+        flat_i = jnp.asarray(
+            np.concatenate(
+                [nodes_i_h, np.zeros((W, 16), np.int32)], 0
+            ).reshape(-1)
+        )
+        dnums = jax.lax.GatherDimensionNumbers(
+            offset_dims=(1,), collapsed_slice_dims=(), start_index_map=(0,))
+
+        def gw(idx):
+            return jax.lax.gather(
+                flat_i, (idx * 16)[:, None], dnums,
+                slice_sizes=(16 * W,),
+                mode=jax.lax.GatherScatterMode.PROMISE_IN_BOUNDS,
+            )  # (R, 16*W)
 
     def traverse(o, d, t_min, t_max, max_iters, cur, t_best, best_slot):
         Rl = o.shape[0]
@@ -288,17 +301,19 @@ def run_w(W, rounds=((1.0, 64), (0.375, 48), (0.125, None)), chunk=262144):
     return min(ts[1:]), float(outv)
 
 
-# baseline: the shipped cast_rays
-f0 = jax.jit(lambda o, d, lo, hi: jnp.sum(
-    jnp.where((h := cast_rays(map_.bvh, o, d, lo, hi)).hit, h.t, 0.0)))
-ts = []
-for it in range(3):
-    t0 = time.perf_counter()
-    cs0 = f0(o, d, jnp.zeros_like(tm), tm)
-    sync(cs0)
-    ts.append(time.perf_counter() - t0)
-print(f"W=1 (shipped): best {min(ts[1:]):.3f}s checksum {float(cs0):.1f}",
-      flush=True)
+RUN = os.environ.get("QUAD_RUN", "base,2,4")
+if "base" in RUN:
+    f0 = jax.jit(lambda o, d, lo, hi: jnp.sum(
+        jnp.where((h := cast_rays(map_.bvh, o, d, lo, hi)).hit, h.t, 0.0)))
+    ts = []
+    for it in range(3):
+        t0 = time.perf_counter()
+        cs0 = f0(o, d, jnp.zeros_like(tm), tm)
+        sync(cs0)
+        ts.append(time.perf_counter() - t0)
+    print(f"W=1 (shipped): best {min(ts[1:]):.3f}s checksum {float(cs0):.1f}",
+          flush=True)
 
 for W in (2, 4):
-    run_w(W)
+    if str(W) in RUN.split(","):
+        run_w(W)
